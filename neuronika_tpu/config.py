@@ -1,0 +1,52 @@
+"""Global configuration for neuronika-tpu.
+
+The reference (neuronika/neuronika) configures itself through Cargo features
+(`blas`, `cuda`, `matrixmultiply-threading`, `serialize` — Cargo.toml:22-26).
+Here the equivalent switches are runtime flags: the Pallas kernel tier can be
+toggled on/off (falling back to pure `jax.lax`), and the global PRNG used by
+stochastic ops (dropout, `rand`) is seedable.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import jax
+
+
+class _Config(threading.local):
+    def __init__(self) -> None:
+        # Use hand-written Pallas kernels for hot ops where available.
+        # Auto-enabled on TPU backends; lax fallbacks are always available.
+        self.use_pallas: bool = os.environ.get("NEURONIKA_TPU_PALLAS", "auto") == "1"
+        # Interpret mode for Pallas (useful on CPU test meshes).
+        self.pallas_interpret: bool = (
+            os.environ.get("NEURONIKA_TPU_PALLAS_INTERPRET", "0") == "1"
+        )
+        # Default floating dtype. The reference is f32-only
+        # (neuronika-variable/src/lib.rs:43); we keep f32 as the public
+        # default and use bf16 internally only where explicitly requested.
+        self.default_dtype = "float32"
+        self._rng_key = None
+        self._rng_counter = 0
+
+    # ------------------------------------------------------------------ rng
+    def seed(self, seed: int) -> None:
+        """Seed the global PRNG used by `rand`, dropout, shuffles."""
+        self._rng_key = jax.random.key(seed)
+
+    def next_key(self):
+        """Split one fresh PRNG key off the global stream."""
+        if self._rng_key is None:
+            self._rng_key = jax.random.key(0x5EED ^ os.getpid())
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
+
+config = _Config()
+
+
+def seed(s: int) -> None:
+    """Seed the framework-global PRNG stream."""
+    config.seed(s)

@@ -1,0 +1,530 @@
+"""Pure op definitions: forward functions + hand-written VJP rules.
+
+Every op the reference implements as a `Forward`/`Backward` struct pair
+(neuronika-variable/src/node/mod.rs:1-81, 39 modules) is defined here as a
+pair of *pure, jit-traceable* functions:
+
+``fwd(extra, *operand_values) -> value``
+``vjp(extra, operand_values, out_value, out_grad) -> per-operand grads``
+
+`extra` is a hashable tuple of static parameters (axis, exponent, stride, …)
+baked into the trace-cache signature. Stochastic ops (dropout) additionally
+take ``key``/``train`` keyword arguments; their VJP regenerates the identical
+mask from the same key (the reference instead stores the noise buffer,
+node/dropout/mod.rs:53-128 — equivalent semantics, no HBM residual).
+
+Backward semantics deliberately mirror the reference, including its quirks:
+
+* broadcast un-reduction sums the out-grad over leading / size-1 axes into
+  each operand's shape (utils.rs:152-192) — see :func:`unbroadcast`.
+* losses: MAE/MSE/BCE/BCEWithLogits `Mean` divide by element count
+  (e.g. squared_error/mod.rs:54); KLDiv and NLL `Mean` divide by
+  ``len_of(Axis(0))`` (kldiv/mod.rs:56, nll/mod.rs:63) while the NLL
+  *backward* divides by ``target.len()`` (nll/mod.rs:113).
+* NLL expects the **class axis first** (input ``(C, …)``, target over the
+  remaining axes holding class indices as floats) — nll/mod.rs:46-68.
+* BCE clamps logs at −100 like the reference (bce/mod.rs).
+* pad's backward only slices the interior (node/pad/mod.rs:161-182); for
+  reflective/replicative modes this drops the border contributions exactly
+  as the reference does.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class Op(NamedTuple):
+    name: str
+    fwd: Callable
+    vjp: Optional[Callable]
+    rng: bool = False
+
+
+OPS: Dict[str, Op] = {}
+
+
+def _register(name: str, fwd: Callable, vjp: Optional[Callable], rng: bool = False) -> Op:
+    op = Op(name, fwd, vjp, rng)
+    OPS[name] = op
+    return op
+
+
+# --------------------------------------------------------------------------
+# broadcasting helpers (reference: utils.rs cobroadcast / accumulate)
+
+
+def unbroadcast(g: jax.Array, shape) -> jax.Array:
+    """Reduce a broadcast out-gradient back to an operand's shape by summing
+    over prepended axes and broadcast (size-1) axes — the reference's
+    `accumulate` (utils.rs:152-192)."""
+    if g.shape == tuple(shape):
+        return g
+    extra = g.ndim - len(shape)
+    if extra > 0:
+        g = g.sum(axis=tuple(range(extra)))
+    keep = tuple(i for i, (gs, s) in enumerate(zip(g.shape, shape)) if s == 1 and gs != 1)
+    if keep:
+        g = g.sum(axis=keep, keepdims=True)
+    return g
+
+
+# --------------------------------------------------------------------------
+# broadcast arithmetic (node/{addition,subtraction,multiplication,division})
+
+
+_register(
+    "add",
+    lambda e, a, b: a + b,
+    lambda e, p, o, g: (unbroadcast(g, p[0].shape), unbroadcast(g, p[1].shape)),
+)
+_register(
+    "sub",
+    lambda e, a, b: a - b,
+    lambda e, p, o, g: (unbroadcast(g, p[0].shape), unbroadcast(-g, p[1].shape)),
+)
+_register(
+    "mul",
+    lambda e, a, b: a * b,
+    lambda e, p, o, g: (
+        unbroadcast(g * p[1], p[0].shape),
+        unbroadcast(g * p[0], p[1].shape),
+    ),
+)
+_register(
+    "div",
+    lambda e, a, b: a / b,
+    lambda e, p, o, g: (
+        unbroadcast(g / p[1], p[0].shape),
+        unbroadcast(-g * p[0] / (p[1] * p[1]), p[1].shape),
+    ),
+)
+_register("neg", lambda e, a: -a, lambda e, p, o, g: (-g,))
+
+# --------------------------------------------------------------------------
+# elementwise unary (node/{power,sqrt,exp,logn,relu,leaky_relu,sigmoid,tanh,
+# softplus})
+
+_register(
+    "pow",
+    lambda e, a: a ** e[0],
+    lambda e, p, o, g: (g * e[0] * p[0] ** (e[0] - 1),),
+)
+_register("sqrt", lambda e, a: jnp.sqrt(a), lambda e, p, o, g: (g / (2.0 * o),))
+_register("exp", lambda e, a: jnp.exp(a), lambda e, p, o, g: (g * o,))
+_register("ln", lambda e, a: jnp.log(a), lambda e, p, o, g: (g / p[0],))
+_register(
+    "relu",
+    lambda e, a: jnp.maximum(a, 0.0),
+    lambda e, p, o, g: (g * (p[0] > 0.0).astype(g.dtype),),
+)
+_register(
+    "leaky_relu",
+    lambda e, a: jnp.where(a > 0.0, a, 0.01 * a),
+    lambda e, p, o, g: (g * jnp.where(p[0] > 0.0, 1.0, 0.01).astype(g.dtype),),
+)
+_register(
+    "sigmoid",
+    lambda e, a: jax.nn.sigmoid(a),
+    lambda e, p, o, g: (g * o * (1.0 - o),),
+)
+_register(
+    "tanh",
+    lambda e, a: jnp.tanh(a),
+    lambda e, p, o, g: (g * (1.0 - o * o),),
+)
+_register(
+    "softplus",
+    lambda e, a: jnp.logaddexp(a, 0.0),
+    # d/dx ln(1+e^x) = 1/(1+e^-x) (softplus/mod.rs:74-76)
+    lambda e, p, o, g: (g * jax.nn.sigmoid(p[0]),),
+)
+
+# --------------------------------------------------------------------------
+# softmax family (node/{softmax,logsoftmax}); extra = (axis,)
+
+
+def _softmax_vjp(e, p, o, g):
+    axis = e[0]
+    return (o * (g - (g * o).sum(axis=axis, keepdims=True)),)
+
+
+def _log_softmax_vjp(e, p, o, g):
+    axis = e[0]
+    return (g - jnp.exp(o) * g.sum(axis=axis, keepdims=True),)
+
+
+_register("softmax", lambda e, a: jax.nn.softmax(a, axis=e[0]), _softmax_vjp)
+_register("log_softmax", lambda e, a: jax.nn.log_softmax(a, axis=e[0]), _log_softmax_vjp)
+
+# --------------------------------------------------------------------------
+# reductions (node/{sum,mean}) — full reductions to a 0-d scalar
+
+
+_register(
+    "sum",
+    lambda e, a: a.sum(),
+    lambda e, p, o, g: (jnp.broadcast_to(g, p[0].shape),),
+)
+_register(
+    "mean",
+    lambda e, a: a.mean(),
+    lambda e, p, o, g: (jnp.broadcast_to(g / p[0].size, p[0].shape),),
+)
+
+# --------------------------------------------------------------------------
+# shape ops (node/{transpose,unsqueeze,chunk,concatenate,stack,multi_*})
+
+_register(
+    "t",
+    lambda e, a: jnp.transpose(a),  # ndarray .t() reverses all axes
+    lambda e, p, o, g: (jnp.transpose(g),),
+)
+_register(
+    "unsqueeze",
+    lambda e, a: jnp.expand_dims(a, e[0]),
+    lambda e, p, o, g: (jnp.squeeze(g, e[0]),),
+)
+
+
+def _chunk_fwd(e, a):
+    starts, sizes = e
+    return lax.slice(a, starts, tuple(s + z for s, z in zip(starts, sizes)))
+
+
+def _chunk_vjp(e, p, o, g):
+    starts, _ = e
+    return (jnp.zeros(p[0].shape, g.dtype).at[
+        tuple(slice(s, s + z) for s, z in zip(starts, g.shape))
+    ].set(g),)
+
+
+_register("chunk", _chunk_fwd, _chunk_vjp)
+
+
+def _cat_vjp(e, p, o, g):
+    axis = e[0]
+    split = p[0].shape[axis]
+    return (
+        lax.slice_in_dim(g, 0, split, axis=axis),
+        lax.slice_in_dim(g, split, g.shape[axis], axis=axis),
+    )
+
+
+_register("cat", lambda e, a, b: jnp.concatenate((a, b), axis=e[0]), _cat_vjp)
+
+
+def _multi_cat_vjp(e, p, o, g):
+    axis = e[0]
+    grads = []
+    off = 0
+    for x in p:
+        grads.append(lax.slice_in_dim(g, off, off + x.shape[axis], axis=axis))
+        off += x.shape[axis]
+    return tuple(grads)
+
+
+_register(
+    "multi_cat",
+    lambda e, *xs: jnp.concatenate(xs, axis=e[0]),
+    _multi_cat_vjp,
+)
+
+
+def _stack_vjp(e, p, o, g):
+    axis = e[0]
+    return tuple(
+        lax.index_in_dim(g, i, axis=axis, keepdims=False) for i in range(len(p))
+    )
+
+
+_register("stack", lambda e, a, b: jnp.stack((a, b), axis=e[0]), _stack_vjp)
+_register("multi_stack", lambda e, *xs: jnp.stack(xs, axis=e[0]), _stack_vjp)
+
+# --------------------------------------------------------------------------
+# linear algebra (node/{matrix_matrix_mul,matrix_matrix_mul_t,matrix_vector_
+# mul,vector_matrix_mul,vector_vector_mul}) — MXU ops; always f32 accumulate.
+
+
+def _mm(e, a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+_register(
+    "mm",
+    _mm,
+    # bwd-left g·Rᵀ, bwd-right Lᵀ·g (matrix_matrix_mul/mod.rs:65,97)
+    lambda e, p, o, g: (_mm(e, g, p[1].T), _mm(e, p[0].T, g)),
+)
+_register(
+    "mm_t",
+    lambda e, a, b: _mm(e, a, b.T),
+    # bwd-left g·R, bwd-right gᵀ·L (matrix_matrix_mul_t/mod.rs)
+    lambda e, p, o, g: (_mm(e, g, p[1]), _mm(e, g.T, p[0])),
+)
+_register(
+    "mv",
+    lambda e, a, v: _mm(e, a, v[:, None])[:, 0],
+    lambda e, p, o, g: (g[:, None] * p[1][None, :], _mm(e, p[0].T, g[:, None])[:, 0]),
+)
+_register(
+    "vm",
+    lambda e, v, a: _mm(e, v[None, :], a)[0],
+    lambda e, p, o, g: (_mm(e, p[1], g[:, None])[:, 0], p[0][:, None] * g[None, :]),
+)
+_register(
+    "vv",
+    lambda e, a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype),
+    lambda e, p, o, g: (g * p[1], g * p[0]),
+)
+
+# --------------------------------------------------------------------------
+# dropout (node/dropout/mod.rs:53-128): Bernoulli(1-p) mask scaled 1/(1-p);
+# identity when eval or p==0; zeros when p==1. Mask regenerated from the key.
+
+
+def _dropout_mask(key, shape, p):
+    return jax.random.bernoulli(key, 1.0 - p, shape)
+
+
+def _dropout_fwd(e, a, *, key, train):
+    (p,) = e
+    if not train or p == 0.0:
+        return a
+    if p == 1.0:
+        return jnp.zeros_like(a)
+    mask = _dropout_mask(key, a.shape, p)
+    return jnp.where(mask, a / (1.0 - p), 0.0)
+
+
+def _dropout_vjp(e, prim, o, g, *, key, train):
+    (p,) = e
+    if not train or p == 0.0:
+        return (g,)
+    if p == 1.0:
+        return (jnp.zeros_like(g),)
+    mask = _dropout_mask(key, prim[0].shape, p)
+    return (jnp.where(mask, g / (1.0 - p), 0.0),)
+
+
+_register("dropout", _dropout_fwd, _dropout_vjp, rng=True)
+
+# --------------------------------------------------------------------------
+# padding (node/pad) — extra = (padding per trailing spatial axis, mode, value)
+# padding applies symmetrically to the LAST len(padding) axes; leading
+# (batch/channel) axes are untouched (node/pad/mod.rs:104-128).
+
+
+def _pad_widths(ndim: int, padding: Sequence[int]):
+    lead = ndim - len(padding)
+    return [(0, 0)] * lead + [(w, w) for w in padding]
+
+
+def _pad_fwd(e, a):
+    padding, mode, value = e
+    widths = _pad_widths(a.ndim, padding)
+    if mode == "zero":
+        return jnp.pad(a, widths)
+    if mode == "constant":
+        return jnp.pad(a, widths, constant_values=value)
+    if mode == "reflective":
+        return jnp.pad(a, widths, mode="reflect")
+    if mode == "replicative":
+        return jnp.pad(a, widths, mode="edge")
+    raise ValueError(f"unknown padding mode: {mode}")
+
+
+def _pad_vjp(e, p, o, g):
+    padding, _, _ = e
+    widths = _pad_widths(g.ndim, padding)
+    sl = tuple(slice(lo, dim - hi) for (lo, hi), dim in zip(widths, g.shape))
+    return (g[sl],)
+
+
+_register("pad", _pad_fwd, _pad_vjp)
+
+# --------------------------------------------------------------------------
+# convolution (node/convolution/mod.rs, 513 LoC). Layouts follow the
+# reference: input (N, C_in, *spatial), kernel (C_out, C_in/groups, *k),
+# VALID padding (padding composes via the `pad` op, var.rs:726).
+# extra = (stride, dilation, groups). NB: the reference exposes this as a
+# *kernel* method — kernel.convolution(input, ...) (var.rs:704-724) — the
+# operand order here is (kernel, input) to match.
+
+
+def _conv_dn(nd: int):
+    # (batch, feature, spatial...) for lhs/out; (out, in, spatial...) for rhs.
+    lhs = (0, 1) + tuple(range(2, 2 + nd))
+    rhs = (0, 1) + tuple(range(2, 2 + nd))
+    return lax.ConvDimensionNumbers(lhs, rhs, lhs)
+
+
+def _conv_fwd(e, kernel, inp):
+    stride, dilation, groups = e
+    nd = len(stride)
+    return lax.conv_general_dilated(
+        inp,
+        kernel,
+        window_strides=stride,
+        padding="VALID",
+        rhs_dilation=dilation,
+        dimension_numbers=_conv_dn(nd),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(inp.dtype)
+
+
+def _conv_vjp(e, p, o, g):
+    # Convolution is bilinear; the input/kernel cotangents are the standard
+    # transposed convolutions (reference: ConvolutionBackwardInput /
+    # ConvolutionBackwardKernel, node/convolution/mod.rs:146-294). We derive
+    # them by linear transposition of the forward conv — under jit this
+    # lowers to exactly the transposed-conv HLO.
+    kernel, inp = p
+
+    def conv_k(k):
+        return _conv_fwd(e, k, inp)
+
+    def conv_x(x):
+        return _conv_fwd(e, kernel, x)
+
+    dk = jax.linear_transpose(conv_k, kernel)(g)[0]
+    dx = jax.linear_transpose(conv_x, inp)(g)[0]
+    return (dk, dx)
+
+
+_register("convolution", _conv_fwd, _conv_vjp)
+
+# --------------------------------------------------------------------------
+# losses — scalar criteria with Reduction::{Sum,Mean}; extra = (reduction,)
+# All take (input, target); target is non-differentiable in the reference
+# (targets are `Var`, var.rs:440-521) but grads w.r.t. target are never
+# requested, so we return None for it.
+
+
+def _red_mean_numel(x, total):
+    return total / x.size
+
+
+def _mae_fwd(e, inp, tgt):
+    total = jnp.abs(inp - tgt).sum()
+    return total / inp.size if e[0] == "mean" else total
+
+
+def _mae_vjp(e, p, o, g):
+    inp, tgt = p
+    diff = inp - tgt
+    d = jnp.sign(diff) * g
+    if e[0] == "mean":
+        d = d / inp.size
+    return (d, None)
+
+
+_register("mae", _mae_fwd, _mae_vjp)
+
+
+def _mse_fwd(e, inp, tgt):
+    total = ((inp - tgt) ** 2).sum()
+    return total / inp.size if e[0] == "mean" else total
+
+
+def _mse_vjp(e, p, o, g):
+    inp, tgt = p
+    d = 2.0 * (inp - tgt) * g
+    if e[0] == "mean":
+        d = d / inp.size
+    return (d, None)
+
+
+_register("mse", _mse_fwd, _mse_vjp)
+
+
+def _clamped_log(x):
+    # ln clamped at -100, matching the reference's BCE (var.rs:461-482) and
+    # PyTorch's convention.
+    return jnp.maximum(jnp.log(x), -100.0)
+
+
+def _bce_fwd(e, inp, tgt):
+    total = -(tgt * _clamped_log(inp) + (1.0 - tgt) * _clamped_log(1.0 - inp)).sum()
+    return total / inp.size if e[0] == "mean" else total
+
+
+def _bce_vjp(e, p, o, g):
+    inp, tgt = p
+    eps = jnp.finfo(inp.dtype).tiny
+    d = (inp - tgt) / jnp.maximum(inp * (1.0 - inp), eps) * g
+    if e[0] == "mean":
+        d = d / inp.size
+    return (d, None)
+
+
+_register("bce", _bce_fwd, _bce_vjp)
+
+
+def _bce_logits_fwd(e, inp, tgt):
+    # log-sum-exp stable form (bce_with_logits/mod.rs:44-57)
+    m = jnp.maximum(-inp, 0.0)
+    total = ((1.0 - tgt) * inp + m + jnp.log(jnp.exp(-m) + jnp.exp(-inp - m))).sum()
+    return total / inp.size if e[0] == "mean" else total
+
+
+def _bce_logits_vjp(e, p, o, g):
+    inp, tgt = p
+    d = (jax.nn.sigmoid(inp) - tgt) * g
+    if e[0] == "mean":
+        d = d / inp.size
+    return (d, None)
+
+
+_register("bce_with_logits", _bce_logits_fwd, _bce_logits_vjp)
+
+
+def _kldiv_fwd(e, inp, tgt):
+    # input = log-probabilities; masked where target == 0 (kldiv/mod.rs:46-53).
+    elt = jnp.where(tgt > 0.0, tgt * (jnp.log(jnp.where(tgt > 0.0, tgt, 1.0)) - inp), 0.0)
+    total = elt.sum()
+    # Mean divides by the batch (axis 0) length — "batchmean" (kldiv/mod.rs:56).
+    return total / inp.shape[0] if e[0] == "mean" else total
+
+
+def _kldiv_vjp(e, p, o, g):
+    inp, tgt = p
+    d = -tgt * g
+    if e[0] == "mean":
+        d = d / tgt.shape[0]
+    return (d, None)
+
+
+_register("kldiv", _kldiv_fwd, _kldiv_vjp)
+
+
+def _nll_fwd(e, inp, tgt):
+    # Reference layout: class axis FIRST (nll/mod.rs:46-68): input (C, ...),
+    # target (...) of float class indices. total = Σ input[target[j], j].
+    c = inp.shape[0]
+    idx = tgt.astype(jnp.int32)
+    onehot = jax.nn.one_hot(idx, c, axis=0, dtype=inp.dtype)
+    total = (onehot * inp).sum()
+    # Mean divides by input.len_of(Axis(0)) == C in the reference
+    # (nll/mod.rs:63) — replicated verbatim, quirk documented.
+    return -total / c if e[0] == "mean" else -total
+
+
+def _nll_vjp(e, p, o, g):
+    inp, tgt = p
+    c = inp.shape[0]
+    idx = tgt.astype(jnp.int32)
+    onehot = jax.nn.one_hot(idx, c, axis=0, dtype=inp.dtype)
+    d = -onehot * g
+    if e[0] == "mean":
+        # backward divides by target.len() (nll/mod.rs:113), not by C.
+        d = d / tgt.size
+    return (d, None)
+
+
+_register("nll", _nll_fwd, _nll_vjp)
