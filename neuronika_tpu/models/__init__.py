@@ -1,0 +1,2 @@
+"""Model configurations (quickstart MLP, MNIST CNN, char-RNN, mini-GPT)."""
+__all__ = []

@@ -1,0 +1,2 @@
+"""Serialization, checkpointing, misc utilities."""
+__all__ = []

@@ -1,0 +1,265 @@
+"""Optimizer tests: update rules replicated in numpy from the reference
+(neuronika-optim/src/*/mod.rs) and compared step-by-step, plus scheduler lr
+sequences (lr_scheduler/*/test.rs style) and constructor validation."""
+
+import numpy as np
+import pytest
+
+import neuronika_tpu as nk
+from neuronika_tpu import optim
+from neuronika_tpu.optim import lr_scheduler as sched
+from tests.conftest import assert_close
+
+
+def make_param(value, grad):
+    p = nk.from_ndarray(value).requires_grad()
+    with p.grad_mut() as g:
+        g[...] = grad
+    return p
+
+
+def run_steps(opt, p, grads, n):
+    history = []
+    for i in range(n):
+        p.node.grad = None
+        with p.grad_mut() as g:
+            g[...] = grads[i]
+        opt.step()
+        history.append(np.asarray(p.data()).copy())
+    return history
+
+
+def test_sgd_plain():
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.5, 0.5, -1.0], np.float32)
+    p = make_param(w0, g)
+    opt = optim.StochasticGD(0.1)
+    opt.register(p)
+    opt.step()
+    assert_close(p.data(), w0 - 0.1 * g)
+
+
+def test_sgd_momentum_zero_init_buffer():
+    # reference quirk: buffer starts at zeros, so step1 uses (1-damp)*g
+    # (sgd/mod.rs:205-215) — unlike PyTorch's buf=g initialisation.
+    w0 = np.array([1.0, 1.0], np.float32)
+    g = np.array([1.0, 2.0], np.float32)
+    p = make_param(w0, g)
+    opt = optim.StochasticGD(0.1, momentum=0.9, dampening=0.1)
+    opt.register(p)
+    opt.step()
+    buf = 0.9 * g  # (1-0.1)*g
+    assert_close(p.data(), w0 - 0.1 * buf)
+    # second step with same grad
+    with p.grad_mut() as gm:
+        gm[...] = g
+    p.node.grad = nk.from_ndarray(g).data()
+    opt.step()
+    buf2 = 0.9 * buf + 0.9 * g
+    assert_close(p.data(), w0 - 0.1 * buf - 0.1 * buf2, tol=1e-5)
+
+
+def test_sgd_nesterov():
+    w0 = np.array([1.0], np.float32)
+    g = np.array([2.0], np.float32)
+    p = make_param(w0, g)
+    opt = optim.StochasticGD(0.1, momentum=0.5, nesterov=True)
+    opt.register(p)
+    opt.step()
+    buf = g  # (1-0)*g
+    assert_close(p.data(), w0 - (g + 0.5 * buf) * 0.1)
+
+
+def test_sgd_nesterov_requires_momentum():
+    with pytest.raises(ValueError):
+        optim.StochasticGD(0.1, nesterov=True)
+
+
+def test_l2_penalty_added_to_grad():
+    w0 = np.array([2.0], np.float32)
+    g = np.array([1.0], np.float32)
+    p = make_param(w0, g)
+    opt = optim.StochasticGD(0.1, optim.L2(0.5))
+    opt.register(p)
+    opt.step()
+    # grad' = g + 2*λ*w = 1 + 2*0.5*2 = 3
+    assert_close(p.data(), w0 - 0.1 * 3.0)
+    # the penalised grad is written back (reference mutates grad in place)
+    assert_close(p.grad(), np.array([3.0]))
+
+
+def test_l1_and_elasticnet_penalties():
+    w = np.array([2.0, -2.0], np.float32)
+    import jax.numpy as jnp
+
+    assert_close(optim.L1(0.3).penalize(jnp.asarray(w)), [0.3, -0.3])
+    assert_close(
+        optim.ElasticNet(0.3, 0.5).penalize(jnp.asarray(w)),
+        [0.3 + 2.0, -0.3 - 2.0],
+    )
+
+
+def test_adam_matches_reference_rule():
+    w0 = np.array([1.0, -1.0], np.float32)
+    grads = [np.array([0.1, 0.2], np.float32), np.array([-0.3, 0.4], np.float32)]
+    p = make_param(w0, grads[0])
+    opt = optim.Adam(0.01, 0.9, 0.999, None, 1e-8)
+    opt.register(p)
+
+    # numpy replica (adam/mod.rs:117-160)
+    m = np.zeros(2)
+    v = np.zeros(2)
+    w = w0.astype(np.float64)
+    hist = run_steps(opt, p, grads, 2)
+    for t, g in enumerate(grads, start=1):
+        m = m * 0.9 + g * 0.1
+        v = v * 0.999 + g * g * 0.001
+        bc1 = 1 - 0.9**t
+        bc2 = 1 - 0.999**t
+        w = w - m / (np.sqrt(v) / np.sqrt(bc2) + 1e-8) * (0.01 / bc1)
+        assert_close(hist[t - 1], w, tol=1e-5)
+
+
+def test_amsgrad_uses_running_max():
+    w0 = np.array([1.0], np.float32)
+    grads = [np.array([1.0], np.float32), np.array([0.1], np.float32)]
+    p = make_param(w0, grads[0])
+    opt = optim.AMSGrad(0.01, 0.9, 0.999, None, 1e-8)
+    opt.register(p)
+    m = np.zeros(1)
+    v = np.zeros(1)
+    vmax = np.zeros(1)
+    w = w0.astype(np.float64)
+    hist = run_steps(opt, p, grads, 2)
+    for t, g in enumerate(grads, start=1):
+        m = m * 0.9 + g * 0.1
+        v = v * 0.999 + g * g * 0.001
+        vmax = np.maximum(vmax, v)
+        bc1 = 1 - 0.9**t
+        bc2 = 1 - 0.999**t
+        w = w - m / (np.sqrt(vmax) / np.sqrt(bc2) + 1e-8) * (0.01 / bc1)
+        assert_close(hist[t - 1], w, tol=1e-5)
+
+
+def test_adagrad_lr_decay():
+    w0 = np.array([1.0], np.float32)
+    grads = [np.array([0.5], np.float32)] * 3
+    p = make_param(w0, grads[0])
+    opt = optim.Adagrad(0.1, 0.5, None, 1e-10)
+    opt.register(p)
+    gs = np.zeros(1)
+    w = w0.astype(np.float64)
+    hist = run_steps(opt, p, grads, 3)
+    for t, g in enumerate(grads, start=1):
+        clr = 0.1 / (1.0 + (t - 1) * 0.5)
+        gs = gs + g * g
+        w = w - g / (np.sqrt(gs) + 1e-10) * clr
+        assert_close(hist[t - 1], w, tol=1e-5)
+
+
+@pytest.mark.parametrize("centered", [False, True])
+@pytest.mark.parametrize("momentum", [None, 0.5])
+def test_rmsprop_four_paths(centered, momentum):
+    w0 = np.array([1.0, 2.0], np.float32)
+    grads = [np.array([0.3, -0.1], np.float32), np.array([0.2, 0.2], np.float32)]
+    p = make_param(w0, grads[0])
+    opt = optim.RMSProp(0.01, None, 0.9, momentum, centered, 1e-8)
+    opt.register(p)
+    sq = np.zeros(2)
+    ga = np.zeros(2)
+    buf = np.zeros(2)
+    w = w0.astype(np.float64)
+    hist = run_steps(opt, p, grads, 2)
+    for t, g in enumerate(grads, start=1):
+        sq = sq * 0.9 + g * g * 0.1
+        if centered:
+            ga = ga * 0.9 + g * 0.1
+            denom = np.sqrt(sq - ga * ga) + 1e-8
+        else:
+            denom = np.sqrt(sq) + 1e-8
+        if momentum:
+            buf = buf * momentum + g / denom
+            w = w - buf * 0.01
+        else:
+            w = w - g / denom * 0.01
+        assert_close(hist[t - 1], w, tol=1e-5)
+
+
+def test_set_lr_validation():
+    opt = optim.StochasticGD(0.1)
+    with pytest.raises(ValueError):
+        opt.set_lr(-1.0)
+
+
+def test_register_requires_vardiff():
+    opt = optim.StochasticGD(0.1)
+    with pytest.raises(TypeError):
+        opt.register(nk.ones((2,)))
+
+
+# ------------------------------------------------------------- schedulers
+
+
+def test_exponential_lr():
+    opt = optim.StochasticGD(1.0)
+    s = sched.ExponentialLR(opt, 0.5)
+    lrs = []
+    for _ in range(3):
+        s.step()
+        lrs.append(opt.get_lr())
+    assert lrs == [0.5, 0.25, 0.125]
+    assert s.get_current_epoch() == 3
+    assert s.get_last_lr() == 0.25
+
+
+def test_step_lr():
+    opt = optim.StochasticGD(1.0)
+    s = sched.StepLR(opt, 2, 0.1)
+    lrs = []
+    for _ in range(4):
+        s.step()
+        lrs.append(round(opt.get_lr(), 6))
+    assert lrs == [1.0, 0.1, 0.1, 0.01]
+
+
+def test_multi_step_lr():
+    opt = optim.StochasticGD(1.0)
+    s = sched.MultiStepLR(opt, [1, 3], 0.1)
+    lrs = []
+    for _ in range(4):
+        s.step()
+        lrs.append(round(opt.get_lr(), 6))
+    assert lrs == [0.1, 0.1, 0.01, 0.01]
+
+
+def test_lambda_lr():
+    opt = optim.StochasticGD(2.0)
+    s = sched.LambdaLR(opt, lambda epoch: 1.0 / (1 + epoch))
+    s.step()
+    assert opt.get_lr() == pytest.approx(1.0)
+    s.step()
+    assert opt.get_lr() == pytest.approx(2.0 / 3.0)
+
+
+def test_multiplicative_lr():
+    opt = optim.StochasticGD(1.0)
+    s = sched.MultiplicativeLR(opt, lambda epoch: 0.5)
+    s.step()
+    s.step()
+    assert opt.get_lr() == pytest.approx(0.25)
+
+
+def test_scheduler_does_not_recompile_step():
+    import neuronika_tpu._engine.executor as ex
+
+    opt = optim.StochasticGD(1.0)
+    p = make_param(np.ones(3, np.float32), np.ones(3, np.float32))
+    opt.register(p)
+    s = sched.ExponentialLR(opt, 0.9)
+    opt.step()
+    compiled = opt._compiled
+    for _ in range(3):
+        s.step()
+        p.node.grad = nk.ones(3).data()
+        opt.step()
+    assert opt._compiled is compiled  # lr is traced, not baked
