@@ -1,0 +1,107 @@
+"""Headline benchmark: mini GPT-2 training throughput on one TPU chip.
+
+The reference publishes no numbers (BASELINE.md), so the target is the TPU
+roofline: BASELINE.json's north star asks for ≥80% of roofline on the
+matmul-dominated path. This bench times the flagship fused train step
+(fwd + bwd + Adam, bf16 matmuls / f32 accumulate) and reports:
+
+  value        = training throughput, tokens/sec
+  vs_baseline  = measured model-FLOPs utilisation (MFU) divided by the 0.80
+                 roofline target — >= 1.0 means the target is met.
+
+Prints exactly ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+# v5e (TPU v5 lite) bf16 peak; other platforms fall back to a conservative
+# figure so the script still runs on CPU test boxes.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5": 197e12,
+    "TPU v4": 275e12,
+}
+
+
+def _device_peak() -> float:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu")
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 1e12  # CPU fallback — numbers then only meaningful relatively
+
+
+def main() -> None:
+    from neuronika_tpu.models import transformer as T
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        cfg = T.GPTConfig(
+            vocab_size=16384, n_layer=8, n_head=12, d_model=768, d_ff=3072,
+            max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
+        )
+        B, S, steps = 8, 1024, 20
+    else:  # tiny CPU smoke configuration
+        cfg = T.GPTConfig(
+            vocab_size=256, n_layer=2, n_head=4, d_model=128, d_ff=512,
+            max_seq=128, dropout=0.0, dtype=jnp.float32,
+        )
+        B, S, steps = 2, 128, 3
+
+    key = jax.random.key(0)
+    params = T.init_params(key, cfg)
+    opt_state = T.adam_init(params)
+    step = T.make_train_step(cfg)
+
+    tokens = jax.random.randint(jax.random.key(1), (B, S), 0, cfg.vocab_size)
+    targets = jax.random.randint(jax.random.key(2), (B, S), 0, cfg.vocab_size)
+    lr = jnp.float32(3e-4)
+
+    # warmup / compile
+    params, opt_state, loss = step(params, opt_state, tokens, targets, lr, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state, tokens, targets, lr, jax.random.fold_in(key, i)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    tokens_per_step = B * S
+    tok_per_sec = tokens_per_step * steps / dt
+    flops_per_step = T.flops_per_token(cfg, S) * tokens_per_step
+    mfu = flops_per_step * steps / dt / _device_peak()
+
+    print(
+        json.dumps(
+            {
+                "metric": "gpt2_mini_train_tokens_per_sec",
+                "value": round(tok_per_sec, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(mfu / 0.80, 4),
+                "detail": {
+                    "mfu": round(mfu, 4),
+                    "step_ms": round(dt / steps * 1e3, 2),
+                    "loss": float(loss),
+                    "device": str(jax.devices()[0]),
+                    "config": "d768 L8 H12 ff3072 S1024 B8 bf16"
+                    if on_tpu
+                    else "cpu-smoke",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

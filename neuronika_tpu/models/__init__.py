@@ -1,2 +1,5 @@
-"""Model configurations (quickstart MLP, MNIST CNN, char-RNN, mini-GPT)."""
-__all__ = []
+"""Model configurations from BASELINE.md: quickstart MLP, MNIST CNN,
+char-LSTM/GRU, mini-GPT2 transformer (flagship)."""
+from . import transformer  # noqa: F401
+
+__all__ = ["transformer"]

@@ -1,2 +1,18 @@
-"""Multi-chip scale-out via jax.sharding (filled in parallel.py)."""
-from .mesh import *  # noqa: F401,F403
+"""Multi-chip scale-out via jax.sharding over a device Mesh.
+
+See `mesh.py` for why this exists (the reference's only parallelism is
+rayon-over-batch; here that maps to dp sharding over ICI) and
+`models/transformer.py` for the tp layout the flagship uses.
+"""
+from .mesh import (  # noqa: F401
+    DataParallel,
+    data_parallel_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DataParallel", "data_parallel_sharding", "make_mesh",
+    "replicated", "shard_batch",
+]
