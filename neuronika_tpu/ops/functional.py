@@ -528,3 +528,60 @@ def _nll_vjp(e, p, o, g):
 
 
 _register("nll", _nll_fwd, _nll_vjp)
+
+# --------------------------------------------------------------------------
+# max pooling — not in the reference (its MNIST-CNN capability target,
+# BASELINE.md configs[1], needs it); extra = (window, stride), applied to
+# the trailing spatial dims of an (N, C, *spatial) input.
+
+
+def _pool_dims(ndim: int, window, stride):
+    lead = ndim - len(window)
+    return (
+        (1,) * lead + tuple(window),
+        (1,) * lead + tuple(stride),
+    )
+
+
+def _max_pool_fwd(e, a):
+    window, stride = e
+    w, s = _pool_dims(a.ndim, window, stride)
+    return lax.reduce_window(a, -jnp.inf, lax.max, w, s, "VALID")
+
+
+def _max_pool_vjp(e, p, o, g):
+    # max-pool is piecewise linear; its cotangent is the select-and-scatter
+    # HLO, obtained by linearizing the forward at the primal point.
+    (x,) = p
+    _, vjp_fn = jax.vjp(lambda t: _max_pool_fwd(e, t), x)
+    return (vjp_fn(g)[0],)
+
+
+_register("max_pool", _max_pool_fwd, _max_pool_vjp)
+
+
+def _avg_pool_fwd(e, a):
+    window, stride = e
+    w, s = _pool_dims(a.ndim, window, stride)
+    total = lax.reduce_window(a, 0.0, lax.add, w, s, "VALID")
+    denom = 1
+    for k in window:
+        denom *= k
+    return total / denom
+
+
+def _avg_pool_vjp(e, p, o, g):
+    (x,) = p
+    _, vjp_fn = jax.vjp(lambda t: _avg_pool_fwd(e, t), x)
+    return (vjp_fn(g)[0],)
+
+
+_register("avg_pool", _avg_pool_fwd, _avg_pool_vjp)
+
+# reshape — extension beyond the reference (needed for conv -> linear
+# transitions in the CNN configs); extra = (new_shape,)
+_register(
+    "reshape",
+    lambda e, a: a.reshape(e[0]),
+    lambda e, p, o, g: (g.reshape(p[0].shape),),
+)

@@ -243,6 +243,26 @@ class Var:
     def unsqueeze(self, axis: int):
         return _apply("unsqueeze", (self,), (int(axis),))
 
+    def reshape(self, shape):
+        """Reshape (extension beyond the reference; conv -> linear glue)."""
+        shape = tuple(int(s) for s in (
+            shape if isinstance(shape, (tuple, list)) else (shape,)
+        ))
+        if -1 in shape:
+            known = 1
+            for s in shape:
+                if s != -1:
+                    known *= s
+            total = 1
+            for s in self.shape:
+                total *= s
+            shape = tuple(total // known if s == -1 else s for s in shape)
+        return _apply("reshape", (self,), (shape,))
+
+    def flatten(self):
+        """(N, ...) -> (N, prod(...))."""
+        return self.reshape((self.shape[0], -1))
+
     def chunks(self, chunk_size) -> List["Var"]:
         """Split into equal chunks of shape `chunk_size` (ndarray
         `exact_chunks` semantics — partial edge chunks are dropped;
@@ -265,6 +285,27 @@ class Var:
 
     def stack(self, variables: Sequence["Var"], axis: int):
         return _apply("multi_stack", (self, *variables), (int(axis),))
+
+    # ------------------------------------------------------------- pooling
+    def max_pool(self, window, stride=None):
+        """Max pooling over the trailing spatial dims (extension beyond the
+        reference, required by the MNIST-CNN capability target)."""
+        w = tuple(int(x) for x in (
+            window if isinstance(window, (tuple, list)) else (window,)
+        ))
+        s = w if stride is None else tuple(int(x) for x in (
+            stride if isinstance(stride, (tuple, list)) else (stride,)
+        ))
+        return _apply("max_pool", (self,), (w, s))
+
+    def avg_pool(self, window, stride=None):
+        w = tuple(int(x) for x in (
+            window if isinstance(window, (tuple, list)) else (window,)
+        ))
+        s = w if stride is None else tuple(int(x) for x in (
+            stride if isinstance(stride, (tuple, list)) else (stride,)
+        ))
+        return _apply("avg_pool", (self,), (w, s))
 
     # ------------------------------------------------------------- dropout
     def dropout(self, p: float, status: StatusCell):

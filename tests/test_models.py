@@ -1,0 +1,133 @@
+"""Model-family tests (BASELINE.md configs): MLP, MNIST CNN, char-RNN,
+mini-GPT2 (functional + Var-API parity tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neuronika_tpu as nk
+from neuronika_tpu import models, optim
+from neuronika_tpu.models import transformer as T
+from tests.conftest import assert_close
+
+
+def test_mlp_trains():
+    mlp = models.MLP((3, 8, 1))
+    opt = optim.SGD(0.05)
+    opt.register_all(mlp.parameters())
+    X = np.random.randn(16, 3).astype(np.float32)
+    Y = (X.sum(1, keepdims=True) > 0).astype(np.float32)
+    first = last = None
+    for _ in range(30):
+        loss = mlp.forward(nk.from_ndarray(X)).mse(
+            nk.from_ndarray(Y), nk.Reduction.Mean
+        )
+        loss.forward()
+        if first is None:
+            first = loss.item()
+        last = loss.item()
+        loss.backward(1.0)
+        opt.step()
+        opt.zero_grad()
+    assert last < first
+
+
+def test_mnist_cnn_shapes_and_step():
+    cnn = models.MnistCNN(channels=4, hidden=16, image=28)
+    x = nk.rand((2, 1, 28, 28))
+    logits = cnn.forward(x)
+    logits.forward()
+    assert logits.shape == (2, 10)
+    # one Adam+L2 training step (the configs[1] recipe)
+    opt = optim.Adam(1e-3, penalty=optim.L2(1e-4))
+    opt.register_all(cnn.parameters())
+    tgt = np.zeros(2, np.float32)
+    loss = logits.log_softmax(1).t().nll(nk.from_ndarray(tgt), nk.Reduction.Mean)
+    loss.forward()
+    loss.backward(1.0)
+    opt.step()
+    assert np.isfinite(loss.item())
+    # eval mode disables dropout: two forwards agree
+    cnn.eval()
+    y1 = cnn.forward(x)
+    y1.forward()
+    y2 = cnn.forward(x)
+    y2.forward()
+    assert_close(y1.data(), y2.data())
+
+
+@pytest.mark.parametrize("kind", ["lstm", "gru"])
+def test_char_rnn_trains_and_caches(kind):
+    import neuronika_tpu._engine.executor as ex
+
+    rnn = models.CharRNN(vocab=12, hidden=16, cell=kind)
+    opt = optim.Adam(1e-2)
+    opt.register_all(rnn.parameters())
+    rng = np.random.default_rng(0)
+
+    def step(T_len):
+        ids = rng.integers(0, 12, (2, T_len))
+        tgt = np.roll(ids, -1, axis=1)
+        loss = rnn.loss(ids, tgt)
+        loss.forward()
+        loss.backward(1.0)
+        opt.step()
+        opt.zero_grad()
+        return loss.item()
+
+    ex.clear_cache()
+    first = step(6)
+    for _ in range(3):
+        last = step(6)
+    fwd_after_same, bwd_after_same = ex.cache_stats()
+    # variable length -> one extra compile, not one per call
+    step(9)
+    step(9)
+    fwd_after_var, _ = ex.cache_stats()
+    assert fwd_after_var == fwd_after_same + 1  # retrace-and-cache
+    assert np.isfinite(last)
+
+
+def test_transformer_functional_trains():
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    opt = T.adam_init(params)
+    step = T.make_train_step(cfg)
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    losses = []
+    for i in range(10):
+        params, opt, loss = step(params, opt, toks, tgts,
+                                 jnp.float32(1e-2), jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_transformer_causality():
+    cfg = T.GPTConfig(vocab_size=17, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=8, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    a = jax.random.randint(jax.random.key(1), (1, 8), 0, 17)
+    b = a.at[0, 5].set((a[0, 5] + 1) % 17)  # change a future token
+    la = T.forward(params, a, cfg)
+    lb = T.forward(params, b, cfg)
+    # positions before the edit are unaffected
+    assert_close(la[0, :5], lb[0, :5], tol=1e-5)
+    assert not np.allclose(np.asarray(la[0, 5]), np.asarray(lb[0, 5]))
+
+
+def test_transformer_var_api_parity_tier():
+    cfg = T.GPTConfig(vocab_size=16, n_layer=1, n_head=1, d_model=16,
+                      d_ff=32, max_seq=8, dtype=jnp.float32)
+    params, fwd = T.build_var_model(cfg, batch=1, seq=8)
+    onehot = np.eye(16, dtype=np.float32)[np.random.randint(0, 16, 8)]
+    logits = fwd(nk.from_ndarray(onehot))
+    loss = logits.log_softmax(1).t().nll(
+        nk.from_ndarray(np.arange(8.0) % 16), nk.Reduction.Mean
+    )
+    loss.forward()
+    loss.backward(1.0)
+    for p in params:
+        assert np.isfinite(np.asarray(p.grad())).all()

@@ -1,0 +1,92 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4's fake-backend strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuronika_tpu import parallel
+from neuronika_tpu.models import transformer as T
+from tests.conftest import assert_close
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_make_mesh_factorizations():
+    mesh = parallel.make_mesh()
+    assert mesh.axis_names == ("dp",)
+    mesh2 = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    assert mesh2.devices.shape == (4, 2)
+    mesh3 = parallel.make_mesh([("dp", -1), ("tp", 2)])
+    assert mesh3.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        parallel.make_mesh([("dp", 3), ("tp", 2)])
+
+
+def test_shard_batch_layout():
+    mesh = parallel.make_mesh()
+    x = np.arange(32.0, dtype=np.float32).reshape(8, 4)
+    arr = parallel.shard_batch(x, mesh)
+    assert arr.sharding.spec[0] == "dp"
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape == (1, 4)
+
+
+def test_data_parallel_matches_single_device():
+    """DP gradient step == single-device step (the semantics the
+    reference's rayon-over-batch implies)."""
+    mesh = parallel.make_mesh()
+    w0 = jnp.ones((4, 4))
+    X = np.random.randn(8, 4).astype(np.float32)
+    Y = np.random.randn(8, 4).astype(np.float32)
+
+    def step(w, x, y):
+        def loss(w):
+            return ((x @ w - y) ** 2).mean()
+
+        g = jax.grad(loss)(w)
+        return w - 0.1 * g, loss(w)
+
+    dp = parallel.DataParallel(step, mesh, donate_params=False)
+    w_dp, loss_dp = dp(w0, X, Y)
+    w_ref, loss_ref = jax.jit(step)(w0, jnp.asarray(X), jnp.asarray(Y))
+    assert_close(w_dp, w_ref, tol=1e-5)
+    assert_close(loss_dp, loss_ref, tol=1e-5)
+
+
+def test_sharded_transformer_matches_unsharded():
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    sh_step = T.make_sharded_train_step(mesh, cfg)
+    params_a = jax.tree.map(jnp.copy, params)
+    opt_a = T.adam_init(params_a)
+    params_a, opt_a, loss_a = sh_step(
+        params_a, opt_a, toks, tgts, jnp.float32(1e-3), jax.random.key(2)
+    )
+
+    step = T.make_train_step(cfg)
+    params_b = jax.tree.map(jnp.copy, params)
+    opt_b = T.adam_init(params_b)
+    params_b, opt_b, loss_b = step(
+        params_b, opt_b, toks, tgts, jnp.float32(1e-3), jax.random.key(2)
+    )
+
+    assert_close(loss_a, loss_b, tol=1e-4)
+    assert_close(params_a["blocks"][0]["qkv"], params_b["blocks"][0]["qkv"], tol=1e-4)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

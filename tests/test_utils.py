@@ -1,0 +1,80 @@
+"""Serialization tests (reference serde tier: data-only Var serde,
+layer derive, JSON model load — serde.rs:10-58, quickstart.rs:47-179)."""
+
+import json
+
+import numpy as np
+
+import neuronika_tpu as nk
+from neuronika_tpu import nn, utils
+from tests.conftest import assert_close
+
+
+def test_var_json_roundtrip():
+    v = nk.from_ndarray(np.arange(6.0).reshape(2, 3))
+    s = utils.dumps(v)
+    w = utils.loads(s)
+    assert_close(w.data(), v.data())
+    d = json.loads(s)
+    assert d["dim"] == [2, 3]
+    assert d["v"] == 1
+
+
+def test_vardiff_serializes_data_only():
+    v = nk.from_ndarray(np.ones((2,))).requires_grad()
+    (v * 2.0).sum().forward()
+    loss = (v * 2.0).sum()
+    loss.forward()
+    loss.backward(1.0)
+    w = utils.loads(utils.dumps(v), requires_grad=True)
+    assert_close(w.data(), v.data())
+    assert_close(w.grad(), np.zeros(2))  # gradient NOT persisted
+
+
+def test_layer_roundtrip():
+    lin = nn.Linear(3, 2)
+    state = utils.save_layer(lin)
+    lin2 = nn.Linear(3, 2)
+    utils.load_layer(lin2, state)
+    assert_close(lin2.weight.data(), lin.weight.data())
+    assert_close(lin2.bias.data(), lin.bias.data())
+
+
+def test_model_json_load_like_quickstart():
+    """Loading a model from a JSON string (quickstart.rs:47-179)."""
+    model = {"lin1": nn.Linear(3, 5), "lin2": nn.Linear(5, 1)}
+    blob = json.dumps(utils.state_dict(model))
+    fresh = {"lin1": nn.Linear(3, 5), "lin2": nn.Linear(5, 1)}
+    utils.load_state_dict(fresh, json.loads(blob))
+    assert_close(fresh["lin1"].weight.data(), model["lin1"].weight.data())
+    x = nk.rand((4, 3))
+    y1 = model["lin2"].forward(model["lin1"].forward(x).relu())
+    y2 = fresh["lin2"].forward(fresh["lin1"].forward(x).relu())
+    y1.forward()
+    y2.forward()
+    assert_close(y1.data(), y2.data())
+
+
+def test_npz_roundtrip(tmp_path):
+    lin = nn.Linear(4, 4)
+    path = str(tmp_path / "ckpt.npz")
+    utils.save_npz(path, {"w": lin.weight, "b": lin.bias})
+    lin2 = nn.Linear(4, 4)
+    utils.load_npz(path, {"w": lin2.weight, "b": lin2.bias})
+    assert_close(lin2.weight.data(), lin.weight.data())
+
+
+def test_pytree_roundtrip(tmp_path):
+    import jax
+
+    from neuronika_tpu.models import transformer as T
+
+    cfg = T.GPTConfig(vocab_size=8, n_layer=1, n_head=1, d_model=8,
+                      d_ff=16, max_seq=4)
+    params = T.init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "params.npz")
+    utils.save_pytree(path, params)
+    like = T.init_params(jax.random.key(1), cfg)
+    loaded = utils.load_pytree(path, like)
+    assert_close(loaded["wte"], params["wte"])
+    assert_close(loaded["blocks"][0]["qkv"], params["blocks"][0]["qkv"])
