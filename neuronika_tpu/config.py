@@ -17,9 +17,12 @@ import jax
 
 class _Config(threading.local):
     def __init__(self) -> None:
-        # Use hand-written Pallas kernels for hot ops where available.
-        # Auto-enabled on TPU backends; lax fallbacks are always available.
-        self.use_pallas: bool = os.environ.get("NEURONIKA_TPU_PALLAS", "auto") == "1"
+        # Use hand-written Pallas kernels for the define-by-run op tier
+        # (mm / softmax). Opt-in: XLA's fused dot/softmax is already the
+        # speed-of-light path for standalone ops; the kernels exist as the
+        # native tier and for fusion experiments. The flash-attention kernel
+        # in the transformer is gated separately (auto-on on TPU).
+        self.use_pallas: bool = os.environ.get("NEURONIKA_TPU_PALLAS", "0") == "1"
         # Interpret mode for Pallas (useful on CPU test meshes).
         self.pallas_interpret: bool = (
             os.environ.get("NEURONIKA_TPU_PALLAS_INTERPRET", "0") == "1"
@@ -50,3 +53,21 @@ config = _Config()
 def seed(s: int) -> None:
     """Seed the framework-global PRNG stream."""
     config.seed(s)
+
+
+def enable_pallas(on: bool = True, interpret: bool = False) -> None:
+    """Toggle the Pallas op tier. Clears the executor trace caches because
+    the kernel choice is baked into compiled tapes."""
+    config.use_pallas = bool(on)
+    config.pallas_interpret = bool(interpret)
+    from ._engine import executor
+
+    executor.clear_cache()
+
+
+def on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. the axon tunnel)."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False

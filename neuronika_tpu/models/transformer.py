@@ -40,6 +40,10 @@ class GPTConfig:
     max_seq: int = 256
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params live in f32
+    # "auto": use the Pallas flash-attention kernel on TPU when the shape
+    # qualifies; "on"/"off" force it. Attention-dropout always uses the
+    # composite path (the flash kernel does not sample a mask).
+    flash: str = "auto"
 
 
 # --------------------------------------------------------------------------
@@ -119,6 +123,18 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
 
 
+def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
+    if cfg.flash == "off":
+        return False
+    if train and cfg.dropout > 0.0:
+        return False  # attention-dropout only on the composite path
+    if cfg.flash == "on":
+        return True
+    from ..config import on_tpu
+
+    return on_tpu() and S >= 128 and S % 128 == 0
+
+
 def _attention(x, blk, cfg: GPTConfig, dropout_key, train):
     B, S, D = x.shape
     H = cfg.n_head
@@ -129,15 +145,21 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train):
     q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    att = att / math.sqrt(hd)
-    mask = jnp.tril(jnp.ones((S, S), bool))
-    att = jnp.where(mask, att, -1e30)
-    att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
-    if train and cfg.dropout > 0.0:
-        keep = jax.random.bernoulli(dropout_key, 1.0 - cfg.dropout, att.shape)
-        att = jnp.where(keep, att / (1.0 - cfg.dropout), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
+    if _use_flash(cfg, S, train):
+        from ..ops.pallas.attention import flash_attention
+
+        bq = bk = min(256, S)
+        out = flash_attention(q, k, v, True, None, bq, bk, False)
+    else:
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        att = att / math.sqrt(hd)
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        att = jnp.where(mask, att, -1e30)
+        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
+        if train and cfg.dropout > 0.0:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - cfg.dropout, att.shape)
+            att = jnp.where(keep, att / (1.0 - cfg.dropout), 0.0)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
     out = out.astype(cfg.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
     out = jnp.dot(out, blk["proj"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     return (out + blk["proj_b"]).astype(cfg.dtype)

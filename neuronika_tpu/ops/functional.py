@@ -158,8 +158,18 @@ def _log_softmax_vjp(e, p, o, g):
     return (g - jnp.exp(o) * g.sum(axis=axis, keepdims=True),)
 
 
-_register("softmax", lambda e, a: jax.nn.softmax(a, axis=e[0]), _softmax_vjp)
-_register("log_softmax", lambda e, a: jax.nn.log_softmax(a, axis=e[0]), _log_softmax_vjp)
+def _softmax_fwd(e, a, *, log=False):
+    axis = e[0]
+    if _use_pallas() and axis in (-1, a.ndim - 1):
+        from ..config import config
+        from .pallas.softmax import softmax_last_axis
+
+        return softmax_last_axis(a, log=log, interpret=config.pallas_interpret)
+    return jax.nn.log_softmax(a, axis=axis) if log else jax.nn.softmax(a, axis=axis)
+
+
+_register("softmax", lambda e, a: _softmax_fwd(e, a), _softmax_vjp)
+_register("log_softmax", lambda e, a: _softmax_fwd(e, a, log=True), _log_softmax_vjp)
 
 # --------------------------------------------------------------------------
 # reductions (node/{sum,mean}) — full reductions to a 0-d scalar
@@ -250,7 +260,18 @@ _register("multi_stack", lambda e, *xs: jnp.stack(xs, axis=e[0]), _stack_vjp)
 # mul,vector_matrix_mul,vector_vector_mul}) — MXU ops; always f32 accumulate.
 
 
+def _use_pallas() -> bool:
+    from ..config import config
+
+    return config.use_pallas
+
+
 def _mm(e, a, b):
+    if _use_pallas() and a.ndim == 2 and b.ndim == 2:
+        from ..config import config
+        from .pallas.matmul import matmul as pallas_matmul
+
+        return pallas_matmul(a, b, interpret=config.pallas_interpret)
     return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
 
 

@@ -1,0 +1,105 @@
+"""Pallas kernel tier tests (interpreter mode on CPU; the same kernels
+compile natively on TPU). Every kernel is checked against its XLA
+composite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuronika_tpu.ops.pallas.attention import flash_attention, reference_attention
+from neuronika_tpu.ops.pallas.matmul import matmul
+from neuronika_tpu.ops.pallas.softmax import softmax_last_axis
+from tests.conftest import assert_close
+
+
+@pytest.mark.parametrize(
+    "m,k,n", [(128, 128, 128), (300, 200, 150), (64, 512, 256), (8, 128, 128)]
+)
+def test_pallas_matmul(m, k, n):
+    a = np.random.randn(m, k).astype(np.float32)
+    b = np.random.randn(k, n).astype(np.float32)
+    out = matmul(jnp.asarray(a), jnp.asarray(b), interpret=True)
+    assert_close(out, a @ b, tol=1e-4)
+
+
+def test_pallas_matmul_bf16():
+    a = jnp.asarray(np.random.randn(128, 256), jnp.bfloat16)
+    b = jnp.asarray(np.random.randn(256, 128), jnp.bfloat16)
+    out = matmul(a, b, interpret=True)
+    ref = jnp.dot(a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    assert_close(out.astype(np.float32), np.asarray(ref, np.float32), tol=2e-2)
+
+
+@pytest.mark.parametrize("log", [False, True])
+@pytest.mark.parametrize("shape", [(16, 64), (3, 5, 40), (300, 128)])
+def test_pallas_softmax(log, shape):
+    x = jnp.asarray(np.random.randn(*shape).astype(np.float32) * 3)
+    out = softmax_last_axis(x, log=log, interpret=True)
+    ref = jax.nn.log_softmax(x, -1) if log else jax.nn.softmax(x, -1)
+    assert_close(out, ref, tol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("S,D", [(256, 64), (128, 128)])
+def test_flash_attention_forward(causal, S, D):
+    q, k, v = [
+        jax.random.normal(jax.random.key(i), (2, 2, S, D), jnp.float32)
+        for i in range(3)
+    ]
+    out = flash_attention(q, k, v, causal, None, 128, 128, True)
+    ref = reference_attention(q, k, v, causal)
+    assert_close(out, ref, tol=1e-5)
+
+
+def test_flash_attention_backward():
+    B, H, S, D = 1, 2, 256, 64
+    q, k, v = [
+        jax.random.normal(jax.random.key(i), (B, H, S, D), jnp.float32)
+        for i in range(3)
+    ]
+    w = jnp.cos(jnp.arange(D))
+
+    def f(q, k, v):
+        return (flash_attention(q, k, v, True, None, 128, 128, True) * w).sum()
+
+    def g(q, k, v):
+        return (reference_attention(q, k, v, True) * w).sum()
+
+    ours = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(ours, ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_attention_nondivisible_seq_raises():
+    q = jnp.zeros((1, 1, 100, 64))
+    with pytest.raises(ValueError, match="divisible"):
+        flash_attention(q, q, q, True, None, 64, 64, True)
+
+
+def test_ops_pallas_gate():
+    """config.use_pallas routes mm/softmax through the kernels (interpret
+    mode here) and produces identical numbers."""
+    import neuronika_tpu as nk
+    from neuronika_tpu.config import enable_pallas
+
+    a = np.random.randn(64, 32).astype(np.float32)
+    b = np.random.randn(32, 48).astype(np.float32)
+    x = nk.from_ndarray(a).requires_grad()
+    y = x.mm(nk.from_ndarray(b)).softmax(1).sum()
+    y.forward()
+    base = np.asarray(y.data())
+    try:
+        enable_pallas(True, interpret=True)
+        x2 = nk.from_ndarray(a).requires_grad()
+        y2 = x2.mm(nk.from_ndarray(b)).softmax(1).sum()
+        y2.forward()
+        assert_close(y2.data(), base, tol=1e-5)
+        y2.backward(1.0)
+        assert np.isfinite(np.asarray(x2.grad())).all()
+    finally:
+        enable_pallas(False)
