@@ -75,7 +75,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, causal):
 
     m, l, acc = lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0, 0] = (acc / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)
+    # lse is replicated across a 128-lane axis to satisfy TPU tiling
+    lse_ref[0, 0] = jnp.broadcast_to(
+        (m + jnp.log(l))[:, None], lse_ref.shape[2:]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -90,8 +93,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]      # (bq, 1), lane-replicated storage
+    delta = delta_ref[0, 0][:, :1]
 
     if causal:
         num_kv = ((qi + 1) * block_q + block_k - 1) // block_k
@@ -110,9 +113,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])
+        p = jnp.exp(s - lse)
         dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = p * (dp - delta) * scale
         return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32)
 
     dq0 = jnp.zeros_like(q)
@@ -135,8 +138,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
         s = jnp.dot(qb, k.T, preferred_element_type=jnp.float32) * scale
         if causal:
             rows = i * block_q + jax.lax.broadcasted_iota(
@@ -146,10 +149,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])
+        p = jnp.exp(s - lse)
         dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
         dp = jnp.dot(dob, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = p * (dp - delta) * scale
         dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -184,13 +187,13 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret):
         functools.partial(_fwd_kernel, scale=scale, block_k=bk, causal=causal),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, S, 128), jnp.float32),
         ),
         grid=grid,
         in_specs=[row_spec, full_spec, full_spec],
         out_specs=(
             row_spec,
-            pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, h, i),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -209,7 +212,9 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret):
 def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k, interpret):
     B, H, S, D = q.shape
     bq, bk = _block_sizes(S, block_q, block_k)
-    delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1)  # (B,H,S)
+    # delta = rowsum(dO * O), lane-replicated like lse
+    delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (B, H, S, 128))
 
     row_q = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
@@ -217,9 +222,9 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec_q = pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, h, i),
+    vec_q = pl.BlockSpec((1, 1, bq, 128), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
-    vec_full = pl.BlockSpec((1, 1, S), lambda b, h, i: (b, h, 0),
+    vec_full = pl.BlockSpec((1, 1, S, 128), lambda b, h, i: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
