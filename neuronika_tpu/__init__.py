@@ -40,7 +40,8 @@ __all__ = [
     "from_ndarray", "zeros", "ones", "full", "rand", "eye",
     "linspace", "logspace", "geomspace", "range", "cat", "stack",
     "Zero", "Constant", "Reflective", "Replicative",
-    "nn", "optim", "data", "parallel", "models", "utils",
+    "nn", "optim", "data", "parallel", "models", "utils", "device",
+    "Device", "devices", "default_device", "to_device", "device_of",
 ]
 
 
@@ -157,4 +158,5 @@ def stack(lhs, rhs, axis: int):
 
 
 # submodules re-exported for `nk.nn.Linear`-style access
-from . import nn, optim, data, parallel, models, utils  # noqa: E402
+from . import nn, optim, data, parallel, models, utils, device  # noqa: E402
+from .device import Device, default_device, device_of, devices, to_device  # noqa: E402

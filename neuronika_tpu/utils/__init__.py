@@ -1,12 +1,14 @@
 """Serialization, checkpointing, misc utilities."""
+from . import gradcheck as gradcheck_mod  # noqa: F401
 from . import profiler, serde  # noqa: F401
+from .gradcheck import gradcheck  # noqa: F401
 from .serde import (  # noqa: F401
     dumps, load_layer, load_npz, load_pytree, load_state_dict, loads,
     save_layer, save_npz, save_pytree, state_dict, var_from_dict, var_to_dict,
 )
 
 __all__ = [
-    "profiler",
+    "profiler", "gradcheck",
     "serde", "dumps", "loads", "var_to_dict", "var_from_dict",
     "save_layer", "load_layer", "state_dict", "load_state_dict",
     "save_npz", "load_npz", "save_pytree", "load_pytree",
