@@ -11,22 +11,29 @@ Two tiers, same math:
 * `build_var_model()` below: the same block expressed through the
   define-by-run `Var`/`VarDiff` API for parity demonstration.
 
-Sharding (see `neuronika_tpu.parallel`): batch over the `dp` mesh axis;
-attention heads and MLP hidden over `tp` (Megatron-style column/row split:
-QKV and MLP-in are column-parallel, attn-proj and MLP-out row-parallel, so
-each block needs a single all-reduce per sub-layer which GSPMD inserts from
-the param shardings).
+TPU-first structure:
+* **Stacked layers + `lax.scan`**: per-layer params carry a leading
+  `n_layer` axis and the block is traced/compiled ONCE, not per layer —
+  compile time stays flat in depth (essential with Pallas kernels in the
+  block) and XLA pipelines the scan.
+* **Flash attention** (`ops/pallas/attention.py`) on TPU; composite
+  softmax·V fallback elsewhere (and whenever attention-dropout is active).
+* **Rematerialisation**: `cfg.remat` wraps the block in `jax.checkpoint`,
+  trading ~⅓ more FLOPs for activation memory → larger batches.
+* **dp×tp pjit shardings** (Megatron column/row split: QKV and MLP-in
+  column-parallel, attn-proj and MLP-out row-parallel; GSPMD inserts one
+  all-reduce per sub-layer).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -44,71 +51,68 @@ class GPTConfig:
     # qualifies; "on"/"off" force it. Attention-dropout always uses the
     # composite path (the flash kernel does not sample a mask).
     flash: str = "auto"
+    # checkpoint the block during training (memory for FLOPs)
+    remat: bool = True
 
 
 # --------------------------------------------------------------------------
-# params
+# params (per-layer tensors are STACKED with a leading n_layer axis)
 
 
 def init_params(key, cfg: GPTConfig) -> Dict:
     """GPT-2 style init: N(0, 0.02), residual projections scaled by
     1/sqrt(2*n_layer)."""
-    keys = jax.random.split(key, 4 + cfg.n_layer)
+    keys = jax.random.split(key, 8)
     std = 0.02
     resid_std = std / math.sqrt(2.0 * cfg.n_layer)
+    L, D, F = cfg.n_layer, cfg.d_model, cfg.d_ff
 
     def norm(k, shape, s=std):
         return (s * jax.random.normal(k, shape)).astype(jnp.float32)
 
-    params = {
-        "wte": norm(keys[0], (cfg.vocab_size, cfg.d_model)),
-        "wpe": norm(keys[1], (cfg.max_seq, cfg.d_model)),
-        "ln_f": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
-        "blocks": [],
+    return {
+        "wte": norm(keys[0], (cfg.vocab_size, D)),
+        "wpe": norm(keys[1], (cfg.max_seq, D)),
+        "ln_f": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
+        "blocks": {
+            "ln1": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
+            "ln2": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
+            "qkv": norm(keys[2], (L, D, 3 * D)),
+            "qkv_b": jnp.zeros((L, 3 * D)),
+            "proj": norm(keys[3], (L, D, D), resid_std),
+            "proj_b": jnp.zeros((L, D)),
+            "fc_in": norm(keys[4], (L, D, F)),
+            "fc_in_b": jnp.zeros((L, F)),
+            "fc_out": norm(keys[5], (L, F, D), resid_std),
+            "fc_out_b": jnp.zeros((L, D)),
+        },
     }
-    for i in range(cfg.n_layer):
-        k = jax.random.split(keys[4 + i], 4)
-        params["blocks"].append(
-            {
-                "ln1": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
-                "ln2": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
-                "qkv": norm(k[0], (cfg.d_model, 3 * cfg.d_model)),
-                "qkv_b": jnp.zeros(3 * cfg.d_model),
-                "proj": norm(k[1], (cfg.d_model, cfg.d_model), resid_std),
-                "proj_b": jnp.zeros(cfg.d_model),
-                "fc_in": norm(k[2], (cfg.d_model, cfg.d_ff)),
-                "fc_in_b": jnp.zeros(cfg.d_ff),
-                "fc_out": norm(k[3], (cfg.d_ff, cfg.d_model), resid_std),
-                "fc_out_b": jnp.zeros(cfg.d_model),
-            }
-        )
-    return params
 
 
 def param_shardings(mesh, cfg: GPTConfig) -> Dict:
-    """Megatron-style tp layout + replicated small params."""
+    """Megatron-style tp layout + replicated small params. Stacked block
+    leaves have a leading (replicated) layer axis."""
 
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
     rep = ns()
-    block = {
-        "ln1": {"scale": rep, "bias": rep},
-        "ln2": {"scale": rep, "bias": rep},
-        "qkv": ns(None, "tp"),
-        "qkv_b": ns("tp"),
-        "proj": ns("tp", None),
-        "proj_b": rep,
-        "fc_in": ns(None, "tp"),
-        "fc_in_b": ns("tp"),
-        "fc_out": ns("tp", None),
-        "fc_out_b": rep,
-    }
     return {
         "wte": ns(None, "tp"),
         "wpe": rep,
         "ln_f": {"scale": rep, "bias": rep},
-        "blocks": [block for _ in range(cfg.n_layer)],
+        "blocks": {
+            "ln1": {"scale": rep, "bias": rep},
+            "ln2": {"scale": rep, "bias": rep},
+            "qkv": ns(None, None, "tp"),
+            "qkv_b": ns(None, "tp"),
+            "proj": ns(None, "tp", None),
+            "proj_b": rep,
+            "fc_in": ns(None, None, "tp"),
+            "fc_in_b": ns(None, "tp"),
+            "fc_out": ns(None, "tp", None),
+            "fc_out_b": rep,
+        },
     }
 
 
@@ -116,11 +120,13 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
 # forward
 
 
-def _layer_norm(x, scale, bias, eps=1e-5):
+def _layer_norm(x, p, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mu = x32.mean(-1, keepdims=True)
     var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
-    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(
+        x.dtype
+    )
 
 
 def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
@@ -172,18 +178,31 @@ def _mlp(x, blk, cfg: GPTConfig):
     return (o + blk["fc_out_b"]).astype(cfg.dtype)
 
 
+def _block(x, blk, cfg: GPTConfig, key, train: bool):
+    x = x + _attention(_layer_norm(x, blk["ln1"]), blk, cfg, key, train)
+    x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    return x
+
+
 def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None):
-    """tokens (B, S) int32 -> logits (B, S, V)."""
+    """tokens (B, S) int32 -> logits (B, S, V). Layers run under one
+    `lax.scan` over the stacked block params (compile-once-per-depth)."""
     B, S = tokens.shape
-    x = params["wte"][tokens] + params["wpe"][:S]
-    x = x.astype(cfg.dtype)
+    x = (params["wte"][tokens] + params["wpe"][:S]).astype(cfg.dtype)
     if key is None:
         key = jax.random.key(0)
-    for i, blk in enumerate(params["blocks"]):
-        k1 = jax.random.fold_in(key, i)
-        x = x + _attention(_layer_norm(x, **blk["ln1"]), blk, cfg, k1, train)
-        x = x + _mlp(_layer_norm(x, **blk["ln2"]), blk, cfg)
-    x = _layer_norm(x, **params["ln_f"])
+    keys = jax.random.split(key, cfg.n_layer)
+
+    block = _block
+    if cfg.remat and train:
+        block = jax.checkpoint(_block, static_argnums=(2, 4))
+
+    def scan_body(x, layer):
+        blk, k = layer
+        return block(x, blk, cfg, k, train), None
+
+    x, _ = lax.scan(scan_body, x, (params["blocks"], keys))
+    x = _layer_norm(x, params["ln_f"])
     logits = jnp.dot(
         x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
     )
@@ -260,10 +279,11 @@ def make_sharded_train_step(mesh, cfg: GPTConfig):
 
 
 def flops_per_token(cfg: GPTConfig, seq: int) -> float:
-    """Training FLOPs/token (fwd+bwd ≈ 3x fwd; fwd ≈ 2·params + attention)."""
+    """Training FLOPs/token (fwd+bwd ≈ 3× fwd; causal attention counted at
+    S/2 average keys, the PaLM convention)."""
     p_block = 3 * cfg.d_model**2 + cfg.d_model**2 + 2 * cfg.d_model * cfg.d_ff
     p_matmul = cfg.n_layer * p_block + cfg.vocab_size * cfg.d_model
-    attn = cfg.n_layer * 2 * seq * cfg.d_model  # qk^T + att*v per token
+    attn = cfg.n_layer * 2 * seq * cfg.d_model  # (qkᵀ + p·v) · S/2 · 2 FLOPs
     return 3.0 * (2.0 * p_matmul + 2.0 * attn)
 
 

@@ -80,7 +80,7 @@ def test_sharded_transformer_matches_unsharded():
     )
 
     assert_close(loss_a, loss_b, tol=1e-4)
-    assert_close(params_a["blocks"][0]["qkv"], params_b["blocks"][0]["qkv"], tol=1e-4)
+    assert_close(params_a["blocks"]["qkv"], params_b["blocks"]["qkv"], tol=1e-4)
 
 
 def test_dryrun_multichip_entrypoint():

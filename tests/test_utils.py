@@ -77,4 +77,4 @@ def test_pytree_roundtrip(tmp_path):
     like = T.init_params(jax.random.key(1), cfg)
     loaded = utils.load_pytree(path, like)
     assert_close(loaded["wte"], params["wte"])
-    assert_close(loaded["blocks"][0]["qkv"], params["blocks"][0]["qkv"])
+    assert_close(loaded["blocks"]["qkv"], params["blocks"]["qkv"])
