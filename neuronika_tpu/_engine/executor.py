@@ -258,3 +258,136 @@ def backward(root: Node, seed: float) -> None:
     targets = [tape[j] for j in diff_tape_idx] + [leaves[i] for i in diff_leaf_idx]
     for node, g in zip(targets, grads):
         node.accumulate_grad(g)
+
+
+# --------------------------------------------------------------------------
+# fused train step: forward + backward + optimizer update in ONE program
+#
+# The perf mode for static training loops: interior node values and
+# gradients never touch HBM (XLA dead-code-eliminates everything but the
+# loss and the parameter updates). Semantics intentionally condensed vs the
+# step-by-step path: gradients do not accumulate across calls (each fused
+# step is forward → zero fresh grads → update, i.e. the quickstart pattern
+# with zero_grad after every step), and interior `.data()`/.grad()` cells
+# are not populated.
+
+
+def _build_fused(tape, leaves, param_pos, optimizer):
+    slotted = list(leaves) + list(tape)
+    slot = {n.id: i for i, n in enumerate(slotted)}
+    rng_nodes = [n for n in tape if n.rng]
+    key_slot = {n.id: i for i, n in enumerate(rng_nodes)}
+    root = tape[-1]
+
+    fwd_steps = []
+    for n in tape:
+        train = None if n.status is None else bool(n.status.value)
+        fwd_steps.append(
+            (n.fn, n.extra, tuple(slot[p.id] for p in n.parents),
+             key_slot.get(n.id), train)
+        )
+
+    bwd_specs = []
+    for n in reversed(tape):
+        if not n.differentiable:
+            continue
+        train = None if n.status is None else bool(n.status.value)
+        bwd_specs.append(
+            (n.id, n.vjp, n.extra,
+             tuple((p.id, slot[p.id], p.differentiable) for p in n.parents),
+             slot[n.id], key_slot.get(n.id), train)
+        )
+
+    penalty = optimizer.penalty
+    update = optimizer._update
+    n_leaves = len(leaves)
+    param_ids = [leaves[i].id for i in param_pos]
+    root_shape, root_dtype = root.shape, root.dtype
+
+    def run(leaf_vals, keys, seed, states, hyper, step):
+        env = list(leaf_vals)
+        for fn, extra, parents, kidx, train in fwd_steps:
+            args = [env[p] for p in parents]
+            if kidx is not None:
+                env.append(fn(extra, *args, key=keys[kidx], train=train))
+            else:
+                env.append(fn(extra, *args))
+        loss = env[-1]
+
+        grads: Dict[int, jax.Array] = {
+            root.id: jnp.full(root_shape, seed, root_dtype)
+        }
+        for nid, vjp, extra, parents, out_slot, kidx, train in bwd_specs:
+            g = grads.get(nid)
+            if g is None:
+                continue
+            primals = [env[s] for _, s, _ in parents]
+            if kidx is not None:
+                pgrads = vjp(extra, primals, env[out_slot], g,
+                             key=keys[kidx], train=train)
+            else:
+                pgrads = vjp(extra, primals, env[out_slot], g)
+            for (pid, _, pdiff), pg in zip(parents, pgrads):
+                if pg is None or not pdiff:
+                    continue
+                acc = grads.get(pid)
+                grads[pid] = pg if acc is None else acc + pg
+
+        new_datas, new_states = [], []
+        for pos, pid, state in zip(param_pos, param_ids, states):
+            data = leaf_vals[pos]
+            g = grads.get(pid)
+            if g is None:
+                g = jnp.zeros_like(data)
+            g = g + penalty.penalize(data)
+            nd, ns = update(data, g, state, hyper, step)
+            new_datas.append(nd)
+            new_states.append(ns)
+        return loss, new_datas, new_states
+
+    return jax.jit(run), None
+
+
+def fused_train_step(root: Node, optimizer, seed: float = 1.0) -> float:
+    """Run one fused (fwd + bwd + update) step on the graph rooted at
+    `root`, updating the optimizer's registered parameters in place.
+    Returns the loss value."""
+    tape, leaves = _plan(root)
+    if not tape:
+        raise ValueError("fused step requires a non-leaf loss variable")
+    leaf_index = {l.id: i for i, l in enumerate(leaves)}
+    param_pos = []
+    for p in optimizer._params:
+        if p.node.id in leaf_index:
+            param_pos.append(leaf_index[p.node.id])
+        else:
+            raise ValueError(
+                "all registered parameters must be leaves of the loss graph "
+                "for a fused step"
+            )
+
+    sig = (_signature(tape, leaves), tuple(param_pos))
+    cache = optimizer._fused_cache
+    entry = cache.get(sig)
+    if entry is None:
+        entry = _build_fused(tape, leaves, param_pos, optimizer)
+        cache[sig] = entry
+    fn, _ = entry
+
+    keys = [config.next_key() for _ in range(sum(1 for n in tape if n.rng))]
+    leaf_vals = [l.get_value() for l in leaves]
+    optimizer._step_count += 1
+    hyper = tuple(jnp.asarray(h, jnp.float32) for h in optimizer._hyper())
+    step = jnp.asarray(optimizer._step_count, jnp.float32)
+    states = optimizer._state
+    seed_arr = jnp.asarray(seed, root.dtype)
+    loss, new_datas, new_states = fn(leaf_vals, keys, seed_arr, states, hyper, step)
+
+    for p, d in zip(optimizer._params, new_datas):
+        p.node.value = d
+        p.node.computed = True
+        p.node.grad = None
+    optimizer._state = list(new_states)
+    root.value = loss
+    root.computed = True
+    return float(loss)

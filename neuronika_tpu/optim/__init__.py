@@ -100,6 +100,7 @@ class Optimizer:
         self._state: List[Dict[str, jax.Array]] = []
         self._step_count = 0
         self._compiled = None
+        self._fused_cache: Dict = {}
 
     # -------------------------------------------------------------- lr api
     def get_lr(self) -> float:
@@ -155,6 +156,17 @@ class Optimizer:
     def zero_grad(self) -> None:
         for p in self._params:
             p.node.zero_grad()
+
+    def train_step(self, loss, seed: float = 1.0) -> float:
+        """Fused step: stage forward + backward + this optimizer's update
+        into ONE XLA program (trace-cached on the loss graph's structure).
+        Equivalent to `loss.forward(); loss.backward(seed); self.step();
+        self.zero_grad()` but interior values/gradients never touch HBM —
+        the TPU-first fast path for static training loops. Returns the
+        loss value."""
+        from .._engine import executor
+
+        return executor.fused_train_step(loss.node, self, seed)
 
     def _build(self):
         penalty = self.penalty
