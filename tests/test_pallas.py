@@ -103,3 +103,22 @@ def test_ops_pallas_gate():
         assert np.isfinite(np.asarray(x2.grad())).all()
     finally:
         enable_pallas(False)
+
+
+@pytest.mark.parametrize(
+    "xs,ws,dil",
+    [
+        ((2, 3, 10, 10), (4, 3, 3, 3), (1, 1)),
+        ((1, 2, 9, 11), (2, 2, 2, 3), (2, 2)),
+        ((1, 4, 16, 12), (8, 4, 5, 5), (1, 1)),
+    ],
+)
+def test_pallas_direct_conv2d(xs, ws, dil):
+    from neuronika_tpu.ops.functional import OPS
+    from neuronika_tpu.ops.pallas.conv import conv2d_direct
+
+    x = jnp.asarray(np.random.randn(*xs), jnp.float32)
+    w = jnp.asarray(np.random.randn(*ws), jnp.float32)
+    out = conv2d_direct(x, w, dil, interpret=True)
+    ref = OPS["convolution"].fwd(((1, 1), dil, 1), w, x)
+    assert_close(out, ref, tol=1e-4)
