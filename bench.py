@@ -39,6 +39,34 @@ def _device_peak() -> float:
     return 1e12  # CPU fallback — numbers then only meaningful relatively
 
 
+def _bench_quickstart_mlp(steps: int = 50) -> float:
+    """BASELINE configs[0]: quickstart MLP (Linear+ReLU, MSE, SGD) through
+    the define-by-run API with the fused train step. Returns steps/sec."""
+    import numpy as np
+
+    import neuronika_tpu as nk
+    from neuronika_tpu import models, optim
+
+    nk.seed(0)
+    mlp = models.MLP((3, 5, 5, 1))
+    opt = optim.SGD(0.01, optim.L2(0.0))
+    opt.register_all(mlp.parameters())
+    X = np.random.rand(64, 3).astype("float32")
+    Y = np.random.rand(64, 1).astype("float32")
+
+    def one_step():
+        loss = mlp.forward(nk.from_ndarray(X)).mse(
+            nk.from_ndarray(Y), nk.Reduction.Mean
+        )
+        return opt.train_step(loss)
+
+    one_step()  # compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return steps / (time.perf_counter() - t0)
+
+
 def main() -> None:
     from neuronika_tpu.models import transformer as T
 
@@ -48,7 +76,7 @@ def main() -> None:
             vocab_size=16384, n_layer=8, n_head=12, d_model=768, d_ff=3072,
             max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
         )
-        B, S, steps = 8, 1024, 20
+        B, S, steps = 16, 1024, 20
     else:  # tiny CPU smoke configuration
         cfg = T.GPTConfig(
             vocab_size=256, n_layer=2, n_head=4, d_model=128, d_ff=512,
@@ -67,20 +95,39 @@ def main() -> None:
 
     # warmup / compile
     params, opt_state, loss = step(params, opt_state, tokens, targets, lr, key)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    t0 = time.perf_counter()
+    # Timing methodology: this TPU sits behind a network tunnel, so each
+    # synchronised step pays a host<->device round trip. We time fully
+    # synced steps (float(loss) forces the round trip) and subtract the
+    # measured RTT of an empty fetch; the async enqueue-then-block pattern
+    # is not reliable on this experimental PJRT platform.
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    float(tiny(z))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(tiny(z))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
+    times = []
     for i in range(steps):
+        t0 = time.perf_counter()
         params, opt_state, loss = step(
             params, opt_state, tokens, targets, lr, jax.random.fold_in(key, i)
         )
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
 
     tokens_per_step = B * S
-    tok_per_sec = tokens_per_step * steps / dt
+    tok_per_sec = tokens_per_step / dt
     flops_per_step = T.flops_per_token(cfg, S) * tokens_per_step
-    mfu = flops_per_step * steps / dt / _device_peak()
+    mfu = flops_per_step / dt / _device_peak()
+
+    mlp_sps = _bench_quickstart_mlp()
 
     print(
         json.dumps(
@@ -91,10 +138,12 @@ def main() -> None:
                 "vs_baseline": round(mfu / 0.80, 4),
                 "detail": {
                     "mfu": round(mfu, 4),
-                    "step_ms": round(dt / steps * 1e3, 2),
+                    "step_ms": round(dt * 1e3, 2),
+                    "rtt_ms": round(rtt * 1e3, 2),
+                    "quickstart_mlp_steps_per_sec": round(mlp_sps, 1),
                     "loss": float(loss),
                     "device": str(jax.devices()[0]),
-                    "config": "d768 L8 H12 ff3072 S1024 B8 bf16"
+                    "config": "d768 L8 H12 ff3072 S1024 B16 bf16 flash+remat"
                     if on_tpu
                     else "cpu-smoke",
                 },

@@ -412,24 +412,25 @@ class VarDiff(Var):
         return _GradGuard()
 
     def zero_grad(self) -> None:
-        """Reset every gradient in this tape to zero (vardiff.rs:100-102)."""
-        tape, leaves = executor._plan(self.node)
-        for n in (*tape, *leaves, self.node):
-            if n.differentiable:
-                n.zero_grad()
+        """Reset THIS variable's gradient to zero — not the whole tape
+        (vardiff.rs:99-101); the optimizer zero-grads each parameter."""
+        self.node.zero_grad()
 
     def no_grad(self) -> None:
-        """De-allocate every gradient in this tape (memory toggle,
-        vardiff.rs:145-155)."""
-        tape, leaves = executor._plan(self.node)
-        for n in (*tape, *leaves, self.node):
+        """De-allocate the gradients of `self` and its *interior* ancestors
+        (memory toggle, vardiff.rs:143-152). Like the reference, leaf
+        gradients are untouched (leaves never insert a NoGrad handle into
+        the history), and calling this on a leaf is a no-op."""
+        tape, _ = executor._plan(self.node)
+        for n in tape:
             if n.differentiable:
                 n.no_grad()
 
     def with_grad(self) -> None:
-        """Re-allocate (zeroed) gradients after `no_grad` (vardiff.rs:157-165)."""
-        tape, leaves = executor._plan(self.node)
-        for n in (*tape, *leaves, self.node):
+        """Re-allocate (zeroed) interior gradients after `no_grad`
+        (vardiff.rs:154-163)."""
+        tape, _ = executor._plan(self.node)
+        for n in tape:
             if n.differentiable:
                 n.with_grad()
 

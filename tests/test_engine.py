@@ -42,8 +42,9 @@ def test_backward_seed_and_accumulation():
     # gradients accumulate across backward calls (vardiff.rs:136-140)
     y.backward(1.0)
     assert_close(w.grad(), np.full((3,), 8.0))
+    # zero_grad resets only the variable it is called on (vardiff.rs:99-101)
+    w.zero_grad()
     # seeded backward scales the root gradient (vardiff.rs:133)
-    y.zero_grad()
     y.backward(0.5)
     assert_close(w.grad(), np.full((3,), 2.0))
 
