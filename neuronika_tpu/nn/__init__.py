@@ -21,9 +21,10 @@ from ..variable import Reduction, StatusCell, Var, VarDiff
 from .. import zeros as _zeros
 from . import init
 from . import loss
+from .recurrent import GRU, LSTM
 
 __all__ = [
-    "Linear", "LSTMCell", "GRUCell",
+    "Linear", "LSTMCell", "GRUCell", "LSTM", "GRU",
     "Conv1d", "Conv2d", "Conv3d",
     "GroupedConv1d", "GroupedConv2d", "GroupedConv3d",
     "Dropout", "ModelStatus", "Learnable", "init", "loss",

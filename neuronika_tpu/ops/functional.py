@@ -606,3 +606,20 @@ _register(
     lambda e, a: a.reshape(e[0]),
     lambda e, p, o, g: (g.reshape(p[0].shape),),
 )
+
+
+# embedding — extension beyond the reference (token lookup for the
+# transformer config without one-hot matmuls). Operands: (weight (V, D),
+# ids (...)); ids are float class indices like NLL's targets and are
+# non-differentiable. VJP scatter-adds into the table.
+def _embedding_fwd(e, w, ids):
+    return w[ids.astype(jnp.int32)]
+
+
+def _embedding_vjp(e, p, o, g):
+    w, ids = p
+    dw = jnp.zeros_like(w).at[ids.astype(jnp.int32)].add(g)
+    return (dw, None)
+
+
+_register("embedding", _embedding_fwd, _embedding_vjp)

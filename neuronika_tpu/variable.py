@@ -263,6 +263,12 @@ class Var:
         """(N, ...) -> (N, prod(...))."""
         return self.reshape((self.shape[0], -1))
 
+    def embed(self, ids):
+        """Token-table lookup: self is the (V, D) table, `ids` float class
+        indices (extension beyond the reference; receiver-style like
+        `convolution`)."""
+        return _apply("embedding", (self, _to_operand(ids)))
+
     def chunks(self, chunk_size) -> List["Var"]:
         """Split into equal chunks of shape `chunk_size` (ndarray
         `exact_chunks` semantics — partial edge chunks are dropped;

@@ -200,3 +200,60 @@ def test_dirac():
     assert arr.sum() == 4.0
     for i in range(4):
         assert arr[i, i, 1] == 1.0
+
+
+def test_scan_lstm_matches_cell_loop():
+    """nn.LSTM (one scan node) must equal LSTMCell stepped in Python."""
+    lstm = nn.LSTM(3, 4)
+    cell = nn.LSTMCell(3, 4)
+    for p, q in zip(cell.parameters(), lstm.parameters()):
+        p.assign(np.asarray(q.data()))
+    T, B = 5, 2
+    xs = np.random.randn(T, B, 3).astype(np.float32)
+    seq = lstm.forward(nk.from_ndarray(xs))
+    seq.forward()
+    state = (nk.zeros((B, 4)), nk.zeros((B, 4)))
+    outs = []
+    for t in range(T):
+        state = cell.forward(state, nk.from_ndarray(xs[t]))
+        outs.append(state[1])
+    last = outs[-1]
+    last.forward()
+    assert_close(np.asarray(seq.data())[-1], np.asarray(last.data()), tol=1e-5)
+    # backward flows to all params through the scan node
+    loss = seq.mse(nk.zeros((T, B, 4)), nk.Reduction.Mean)
+    loss.forward()
+    loss.backward(1.0)
+    for p in lstm.parameters():
+        assert np.abs(np.asarray(p.grad())).sum() > 0
+
+
+def test_scan_gru_matches_cell_loop():
+    gru = nn.GRU(3, 4)
+    cell = nn.GRUCell(3, 4)
+    for p, q in zip(cell.parameters(), gru.parameters()):
+        p.assign(np.asarray(q.data()))
+    T, B = 4, 2
+    xs = np.random.randn(T, B, 3).astype(np.float32)
+    seq = gru.forward(nk.from_ndarray(xs))
+    seq.forward()
+    h = nk.zeros((B, 4))
+    for t in range(T):
+        h = cell.forward(h, nk.from_ndarray(xs[t]))
+    h.forward()
+    assert_close(np.asarray(seq.data())[-1], np.asarray(h.data()), tol=1e-5)
+
+
+def test_embedding_op():
+    table = nk.from_ndarray(np.arange(12.0).reshape(4, 3)).requires_grad()
+    ids = nk.from_ndarray(np.array([0.0, 2.0, 2.0]))
+    out = table.embed(ids)
+    out.forward()
+    assert_close(out.data(), np.arange(12.0).reshape(4, 3)[[0, 2, 2]])
+    loss = out.sum()
+    loss.forward()
+    loss.backward(1.0)
+    g = np.zeros((4, 3))
+    g[0] = 1.0
+    g[2] = 2.0
+    assert_close(table.grad(), g)
