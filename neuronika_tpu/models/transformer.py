@@ -220,26 +220,9 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None):
 # training step (pure Adam, reference update rule — adam/mod.rs:117-160)
 
 
-def adam_init(params):
-    # m and v must be distinct buffers (donation forbids aliased arguments)
-    return {
-        "m": jax.tree.map(jnp.zeros_like, params),
-        "v": jax.tree.map(jnp.zeros_like, params),
-        "step": jnp.zeros((), jnp.float32),
-    }
-
-
-def adam_update(params, grads, state, lr, b1=0.9, b2=0.999, eps=1e-8):
-    step = state["step"] + 1.0
-    bc1 = 1.0 - b1**step
-    bc2 = 1.0 - b2**step
-    m = jax.tree.map(lambda m_, g: m_ * b1 + g * (1 - b1), state["m"], grads)
-    v = jax.tree.map(lambda v_, g: v_ * b2 + g * g * (1 - b2), state["v"], grads)
-    new = jax.tree.map(
-        lambda p, m_, v_: p - m_ / (jnp.sqrt(v_) / jnp.sqrt(bc2) + eps) * (lr / bc1),
-        params, m, v,
-    )
-    return new, {"m": m, "v": v, "step": step}
+# Adam over the param pytree — the shared functional rule
+# (optim/functional.py, mirroring adam/mod.rs:117-160).
+from ..optim.functional import adam_init, adam_update  # noqa: E402
 
 
 def make_train_step(cfg: GPTConfig):

@@ -25,11 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from ..variable import VarDiff
-from . import lr_scheduler
+from . import functional, lr_scheduler
 
 __all__ = [
     "Optimizer", "StochasticGD", "SGD", "Adam", "AMSGrad", "Adagrad",
-    "RMSProp", "L1", "L2", "ElasticNet", "Penalty", "lr_scheduler",
+    "RMSProp", "L1", "L2", "ElasticNet", "Penalty", "lr_scheduler", "functional",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Pure-functional optimizer updates over pytrees.
+
+The same update rules the `Optimizer` classes stage for the define-by-run
+tier (reference: neuronika-optim/src/*/mod.rs), exposed as `(params, grads,
+state, lr) -> (params, state)` transforms for the functional/pjit model
+tier (e.g. `models.transformer`). State layouts are dicts of pytrees so
+they shard exactly like the parameters."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sgd_init", "sgd_update",
+    "adam_init", "adam_update",
+    "amsgrad_init", "amsgrad_update",
+    "adagrad_init", "adagrad_update",
+    "rmsprop_init", "rmsprop_update",
+]
+
+
+def _zeros_like_tree(params):
+    return jax.tree.map(jnp.zeros_like, params)
+
+
+# -------------------------------------------------------------------- SGD
+
+
+def sgd_init(params, momentum: float = 0.0) -> Dict:
+    state: Dict[str, Any] = {}
+    if momentum:
+        state["buffer"] = _zeros_like_tree(params)
+    return state
+
+
+def sgd_update(params, grads, state, lr, momentum: float = 0.0,
+               dampening: float = 0.0, nesterov: bool = False):
+    """Reference rule incl. the zero-initialised momentum buffer
+    (sgd/mod.rs:191-231)."""
+    if not momentum:
+        return jax.tree.map(lambda p, g: p - g * lr, params, grads), state
+    buf = jax.tree.map(
+        lambda b, g: b * momentum + g * (1.0 - dampening),
+        state["buffer"], grads,
+    )
+    if nesterov:
+        new = jax.tree.map(
+            lambda p, g, b: p - (g + b * momentum) * lr, params, grads, buf
+        )
+    else:
+        new = jax.tree.map(lambda p, b: p - b * lr, params, buf)
+    return new, {"buffer": buf}
+
+
+# ------------------------------------------------------------------- Adam
+
+
+def adam_init(params) -> Dict:
+    return {
+        "m": _zeros_like_tree(params),
+        "v": _zeros_like_tree(params),
+        "step": jnp.zeros((), jnp.float32),
+    }
+
+
+def adam_update(params, grads, state, lr, b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-8):
+    """adam/mod.rs:117-160 bias-corrected rule."""
+    step = state["step"] + 1.0
+    bc1 = 1.0 - b1**step
+    bc2 = 1.0 - b2**step
+    m = jax.tree.map(lambda m_, g: m_ * b1 + g * (1 - b1), state["m"], grads)
+    v = jax.tree.map(lambda v_, g: v_ * b2 + g * g * (1 - b2), state["v"], grads)
+    new = jax.tree.map(
+        lambda p, m_, v_: p - m_ / (jnp.sqrt(v_) / jnp.sqrt(bc2) + eps) * (lr / bc1),
+        params, m, v,
+    )
+    return new, {"m": m, "v": v, "step": step}
+
+
+# ---------------------------------------------------------------- AMSGrad
+
+
+def amsgrad_init(params) -> Dict:
+    s = adam_init(params)
+    s["vmax"] = _zeros_like_tree(params)
+    return s
+
+
+def amsgrad_update(params, grads, state, lr, b1: float = 0.9,
+                   b2: float = 0.999, eps: float = 1e-8):
+    step = state["step"] + 1.0
+    bc1 = 1.0 - b1**step
+    bc2 = 1.0 - b2**step
+    m = jax.tree.map(lambda m_, g: m_ * b1 + g * (1 - b1), state["m"], grads)
+    v = jax.tree.map(lambda v_, g: v_ * b2 + g * g * (1 - b2), state["v"], grads)
+    vmax = jax.tree.map(jnp.maximum, state["vmax"], v)
+    new = jax.tree.map(
+        lambda p, m_, x: p - m_ / (jnp.sqrt(x) / jnp.sqrt(bc2) + eps) * (lr / bc1),
+        params, m, vmax,
+    )
+    return new, {"m": m, "v": v, "vmax": vmax, "step": step}
+
+
+# ---------------------------------------------------------------- Adagrad
+
+
+def adagrad_init(params) -> Dict:
+    return {"grad_sq": _zeros_like_tree(params), "step": jnp.zeros((), jnp.float32)}
+
+
+def adagrad_update(params, grads, state, lr, lr_decay: float = 0.0,
+                   eps: float = 1e-10):
+    step = state["step"] + 1.0
+    clr = lr / (1.0 + (step - 1.0) * lr_decay)
+    gs = jax.tree.map(lambda s, g: s + g * g, state["grad_sq"], grads)
+    new = jax.tree.map(
+        lambda p, g, s: p - g / (jnp.sqrt(s) + eps) * clr, params, grads, gs
+    )
+    return new, {"grad_sq": gs, "step": step}
+
+
+# ---------------------------------------------------------------- RMSProp
+
+
+def rmsprop_init(params, momentum: float = 0.0, centered: bool = False) -> Dict:
+    state = {"square_avg": _zeros_like_tree(params)}
+    if centered:
+        state["grad_avg"] = _zeros_like_tree(params)
+    if momentum:
+        state["buffer"] = _zeros_like_tree(params)
+    return state
+
+
+def rmsprop_update(params, grads, state, lr, alpha: float = 0.99,
+                   momentum: float = 0.0, centered: bool = False,
+                   eps: float = 1e-8):
+    sq = jax.tree.map(
+        lambda s, g: s * alpha + g * g * (1 - alpha), state["square_avg"], grads
+    )
+    new_state = {"square_avg": sq}
+    if centered:
+        ga = jax.tree.map(
+            lambda a, g: a * alpha + g * (1 - alpha), state["grad_avg"], grads
+        )
+        new_state["grad_avg"] = ga
+        denom = jax.tree.map(
+            lambda s, a: jnp.sqrt(s - a * a) + eps, sq, ga
+        )
+    else:
+        denom = jax.tree.map(lambda s: jnp.sqrt(s) + eps, sq)
+    if momentum:
+        buf = jax.tree.map(
+            lambda b, g, d: b * momentum + g / d, state["buffer"], grads, denom
+        )
+        new_state["buffer"] = buf
+        new = jax.tree.map(lambda p, b: p - b * lr, params, buf)
+    else:
+        new = jax.tree.map(lambda p, g, d: p - g / d * lr, params, grads, denom)
+    return new, new_state
