@@ -13,7 +13,24 @@ import sys
 
 _MARKER = "NEURONIKA_TPU_TEST_REEXEC"
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(_MARKER):
+
+def _needs_reexec() -> bool:
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and not os.environ.get(
+        _MARKER
+    )
+
+
+def pytest_configure(config):
+    """Re-exec pytest with the axon plugin disabled and a CPU mesh forced.
+
+    Runs from pytest_configure (not module import) so we can release
+    pytest's fd-level output capture first — otherwise the re-exec'd run
+    writes into the abandoned capture file and appears silent."""
+    if not _needs_reexec():
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
@@ -21,6 +38,8 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(_MARKER):
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    sys.stdout.flush()
+    sys.stderr.flush()
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
