@@ -67,6 +67,20 @@ def _to_operand(x: Any) -> "Var":
     return Var(Node("leaf", arr.shape, arr.dtype))._with_value(arr)
 
 
+_SHAPE_MEMO: dict = {}
+
+
+def _infer_shape(op, extra, parents):
+    key = (op.name, extra, tuple((p.shape, p.dtype.str) for p in parents))
+    hit = _SHAPE_MEMO.get(key)
+    if hit is None:
+        avals = [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parents]
+        out = jax.eval_shape(lambda *xs: op.fwd(extra, *xs), *avals)
+        hit = (out.shape, out.dtype)
+        _SHAPE_MEMO[key] = hit
+    return hit
+
+
 def _apply(name: str, operands: Sequence["Var"], extra: Tuple = (), status=None):
     op = OPS[name]
     parents = [o.node for o in operands]
@@ -74,9 +88,7 @@ def _apply(name: str, operands: Sequence["Var"], extra: Tuple = (), status=None)
     if op.rng:
         out_shape, out_dtype = parents[0].shape, parents[0].dtype
     else:
-        avals = [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parents]
-        out = jax.eval_shape(lambda *xs: op.fwd(extra, *xs), *avals)
-        out_shape, out_dtype = out.shape, out.dtype
+        out_shape, out_dtype = _infer_shape(op, extra, parents)
     node = Node(
         name,
         out_shape,
