@@ -22,9 +22,6 @@ Quickstart (mirrors examples/quickstart.rs):
 
 from __future__ import annotations
 
-import math
-from typing import Sequence, Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np

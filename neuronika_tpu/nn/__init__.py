@@ -15,9 +15,9 @@ groups) → + bias.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
-from ..variable import Reduction, StatusCell, Var, VarDiff
+from ..variable import StatusCell, Var, VarDiff
 from .. import zeros as _zeros
 from . import init
 from . import loss

@@ -10,7 +10,7 @@ cells' (including the reference's tanh'd second LSTM gate)."""
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

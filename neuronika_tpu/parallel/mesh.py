@@ -12,7 +12,7 @@ flagship transformer uses (Megatron column/row splits).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

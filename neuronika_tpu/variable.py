@@ -20,7 +20,7 @@ stage the whole tape into single jitted XLA programs (see `_engine.executor`).
 from __future__ import annotations
 
 import itertools
-from typing import Any, List, Optional, Sequence, Tuple, Union
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
