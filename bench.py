@@ -1,13 +1,23 @@
 """Headline benchmark: mini GPT-2 training throughput on one TPU chip.
 
 The reference publishes no numbers (BASELINE.md), so the target is the TPU
-roofline: BASELINE.json's north star asks for ≥80% of roofline on the
+roofline: BASELINE.json's north star asks for >=80% of roofline on the
 matmul-dominated path. This bench times the flagship fused train step
 (fwd + bwd + Adam, bf16 matmuls / f32 accumulate) and reports:
 
   value        = training throughput, tokens/sec
   vs_baseline  = measured model-FLOPs utilisation (MFU) divided by the 0.80
                  roofline target — >= 1.0 means the target is met.
+
+Timing methodology: this chip sits behind a network tunnel, so each synced
+step pays a host<->device round trip. We time fully-synced steps
+(float(loss) forces the round trip) and subtract the median RTT of an empty
+fetch; the async enqueue-then-block pattern under-reports on this
+experimental PJRT platform.
+
+Config fallbacks: if the preferred configuration fails (backend
+FailedPrecondition / OOM through the tunnel), progressively smaller or
+flash-off configs are tried so a JSON line is always produced.
 
 Prints exactly ONE JSON line.
 """
@@ -16,6 +26,7 @@ from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -67,23 +78,7 @@ def _bench_quickstart_mlp(steps: int = 50) -> float:
     return steps / (time.perf_counter() - t0)
 
 
-def main() -> None:
-    from neuronika_tpu.models import transformer as T
-
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        cfg = T.GPTConfig(
-            vocab_size=16384, n_layer=8, n_head=12, d_model=768, d_ff=3072,
-            max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
-        )
-        B, S, steps = 16, 1024, 20
-    else:  # tiny CPU smoke configuration
-        cfg = T.GPTConfig(
-            vocab_size=256, n_layer=2, n_head=4, d_model=128, d_ff=512,
-            max_seq=128, dropout=0.0, dtype=jnp.float32,
-        )
-        B, S, steps = 2, 128, 3
-
+def _run_config(T, cfg, B, S, steps):
     key = jax.random.key(0)
     params = T.init_params(key, cfg)
     opt_state = T.adam_init(params)
@@ -93,15 +88,9 @@ def main() -> None:
     targets = jax.random.randint(jax.random.key(2), (B, S), 0, cfg.vocab_size)
     lr = jnp.float32(3e-4)
 
-    # warmup / compile
     params, opt_state, loss = step(params, opt_state, tokens, targets, lr, key)
-    float(loss)
+    float(loss)  # warmup / compile / first full round trip
 
-    # Timing methodology: this TPU sits behind a network tunnel, so each
-    # synchronised step pays a host<->device round trip. We time fully
-    # synced steps (float(loss) forces the round trip) and subtract the
-    # measured RTT of an empty fetch; the async enqueue-then-block pattern
-    # is not reliable on this experimental PJRT platform.
     tiny = jax.jit(lambda x: x + 1.0)
     z = jnp.zeros(())
     float(tiny(z))
@@ -118,16 +107,65 @@ def main() -> None:
         params, opt_state, loss = step(
             params, opt_state, tokens, targets, lr, jax.random.fold_in(key, i)
         )
-        float(loss)
+        lv = float(loss)
         times.append(time.perf_counter() - t0)
     dt = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+    return dt, rtt, lv
+
+
+def main() -> None:
+    from neuronika_tpu.models import transformer as T
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    base = dict(
+        vocab_size=16384, n_layer=8, n_head=12, d_model=768, d_ff=3072,
+        max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
+    )
+    if on_tpu:
+        candidates = [
+            (T.GPTConfig(**base, flash="auto", remat=True), 16, 1024, 20,
+             "d768 L8 S1024 B16 bf16 flash+remat"),
+            (T.GPTConfig(**base, flash="auto", remat=True), 8, 1024, 20,
+             "d768 L8 S1024 B8 bf16 flash+remat"),
+            (T.GPTConfig(**base, flash="off", remat=False), 8, 1024, 20,
+             "d768 L8 S1024 B8 bf16 xla-attn"),
+        ]
+    else:
+        cpu_cfg = T.GPTConfig(
+            vocab_size=256, n_layer=2, n_head=4, d_model=128, d_ff=512,
+            max_seq=128, dropout=0.0, dtype=jnp.float32,
+        )
+        candidates = [(cpu_cfg, 2, 128, 3, "cpu-smoke")]
+
+    dt = rtt = lv = None
+    label = "none"
+    errors = []
+    cfg = B = S = None
+    for cfg, B, S, steps, label in candidates:
+        try:
+            dt, rtt, lv = _run_config(T, cfg, B, S, steps)
+            break
+        except Exception as e:  # noqa: BLE001 - fall to next config
+            errors.append(f"{label}: {type(e).__name__}")
+            traceback.print_exc()
+            dt = None
+    if dt is None:
+        print(json.dumps({
+            "metric": "gpt2_mini_train_tokens_per_sec",
+            "value": 0.0, "unit": "tokens/s", "vs_baseline": 0.0,
+            "detail": {"error": "; ".join(errors)},
+        }))
+        return
 
     tokens_per_step = B * S
     tok_per_sec = tokens_per_step / dt
     flops_per_step = T.flops_per_token(cfg, S) * tokens_per_step
     mfu = flops_per_step / dt / _device_peak()
 
-    mlp_sps = _bench_quickstart_mlp()
+    try:
+        mlp_sps = round(_bench_quickstart_mlp(), 1)
+    except Exception:  # noqa: BLE001
+        mlp_sps = None
 
     print(
         json.dumps(
@@ -140,12 +178,11 @@ def main() -> None:
                     "mfu": round(mfu, 4),
                     "step_ms": round(dt * 1e3, 2),
                     "rtt_ms": round(rtt * 1e3, 2),
-                    "quickstart_mlp_steps_per_sec": round(mlp_sps, 1),
-                    "loss": float(loss),
+                    "quickstart_mlp_steps_per_sec": mlp_sps,
+                    "loss": lv,
                     "device": str(jax.devices()[0]),
-                    "config": "d768 L8 H12 ff3072 S1024 B16 bf16 flash+remat"
-                    if on_tpu
-                    else "cpu-smoke",
+                    "config": label,
+                    "fallbacks": errors or None,
                 },
             }
         )

@@ -106,6 +106,29 @@ def load_npz(path: str, variables: Dict[str, Var]) -> None:
             v.assign(data[k])
 
 
+def save_optimizer(path: str, optimizer) -> None:
+    """Checkpoint optimizer slot state + step counter (extension — the
+    reference cannot persist optimizer state, SURVEY.md §5)."""
+    flat = {"__step__": np.asarray(optimizer._step_count)}
+    for i, state in enumerate(optimizer._state):
+        for k, v in state.items():
+            flat[f"{i}.{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_optimizer(path: str, optimizer) -> None:
+    """Restore state saved by `save_optimizer` into a compatible optimizer
+    (same algorithm, same registration order)."""
+    with np.load(path) as data:
+        optimizer._step_count = int(data["__step__"])
+        new_state = []
+        for i, state in enumerate(optimizer._state):
+            new_state.append(
+                {k: jnp.asarray(data[f"{i}.{k}"]) for k in state.keys()}
+            )
+    optimizer._state = new_state
+
+
 def save_pytree(path: str, tree) -> None:
     """Functional-model params: flatten and store leaves + treedef repr."""
     leaves, treedef = jax.tree.flatten(tree)

@@ -78,3 +78,25 @@ def test_pytree_roundtrip(tmp_path):
     loaded = utils.load_pytree(path, like)
     assert_close(loaded["wte"], params["wte"])
     assert_close(loaded["blocks"]["qkv"], params["blocks"]["qkv"])
+
+
+def test_optimizer_state_roundtrip(tmp_path):
+    import numpy as np
+
+    from neuronika_tpu import optim
+
+    lin = nn.Linear(3, 2)
+    opt = optim.Adam(0.01)
+    opt.register_all(lin.parameters())
+    for _ in range(3):
+        loss = lin.forward(nk.ones((4, 3))).mse(nk.zeros((4, 2)), nk.Reduction.Mean)
+        opt.train_step(loss)
+    path = str(tmp_path / "opt.npz")
+    utils.serde.save_optimizer(path, opt)
+
+    opt2 = optim.Adam(0.01)
+    lin2 = nn.Linear(3, 2)
+    opt2.register_all(lin2.parameters())
+    utils.serde.load_optimizer(path, opt2)
+    assert opt2._step_count == opt._step_count
+    assert_close(opt2._state[0]["exp_avg"], opt._state[0]["exp_avg"])
