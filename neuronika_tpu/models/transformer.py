@@ -240,7 +240,13 @@ def make_train_step(cfg: GPTConfig):
 
 def make_sharded_train_step(mesh, cfg: GPTConfig):
     """pjit variant: dp-sharded batch, tp-sharded weights; XLA inserts the
-    psum/all-gather collectives over ICI from the shardings."""
+    psum/all-gather collectives over ICI from the shardings.
+
+    The Pallas flash kernel is not GSPMD-partitionable, so attention uses
+    the XLA composite here (same math); wrapping the kernel in `shard_map`
+    over the head-sharded layout is the planned multi-chip fast path."""
+    if cfg.flash != "off":
+        cfg = dataclasses.replace(cfg, flash="off")
     shard = param_shardings(mesh, cfg)
     opt_shard = {"m": shard, "v": shard, "step": NamedSharding(mesh, P())}
     data_shard = NamedSharding(mesh, P("dp", None))
