@@ -92,27 +92,31 @@ def _leaf(arr: jax.Array) -> Var:
     return Var(node)
 
 
-def from_ndarray(array) -> Var:
+# The reference is f32-only (src/lib.rs:43). `dtype=` on the factories is a
+# TPU extension: bf16 leaves keep the whole graph (and the MXU) in bf16.
+
+
+def from_ndarray(array, dtype=jnp.float32) -> Var:
     """Create a leaf variable from an array (reference lib.rs:51-66)."""
-    return _leaf(jnp.asarray(array, dtype=jnp.float32))
+    return _leaf(jnp.asarray(array, dtype=dtype))
 
 
-def zeros(shape) -> Var:
-    return _leaf(jnp.zeros(_shape_tuple(shape), jnp.float32))
+def zeros(shape, dtype=jnp.float32) -> Var:
+    return _leaf(jnp.zeros(_shape_tuple(shape), dtype))
 
 
-def ones(shape) -> Var:
-    return _leaf(jnp.ones(_shape_tuple(shape), jnp.float32))
+def ones(shape, dtype=jnp.float32) -> Var:
+    return _leaf(jnp.ones(_shape_tuple(shape), dtype))
 
 
-def full(shape, elem: float) -> Var:
-    return _leaf(jnp.full(_shape_tuple(shape), elem, jnp.float32))
+def full(shape, elem: float, dtype=jnp.float32) -> Var:
+    return _leaf(jnp.full(_shape_tuple(shape), elem, dtype))
 
 
-def rand(shape) -> Var:
+def rand(shape, dtype=jnp.float32) -> Var:
     """Uniform [0, 1) random leaf (reference lib.rs:137-155)."""
     return _leaf(
-        jax.random.uniform(config.next_key(), _shape_tuple(shape), jnp.float32)
+        jax.random.uniform(config.next_key(), _shape_tuple(shape), dtype)
     )
 
 

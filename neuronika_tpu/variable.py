@@ -58,12 +58,15 @@ class StatusCell:
 # graph construction
 
 
-def _to_operand(x: Any) -> "Var":
+def _to_operand(x: Any, dtype=None) -> "Var":
     """Coerce scalars / arrays to constant leaf Vars (Python-side
-    convenience; the reference requires explicit Var construction)."""
+    convenience; the reference requires explicit Var construction).
+    `dtype` lets scalar constants adopt the peer operand's dtype so bf16
+    graphs stay bf16 (the reference is f32-only, lib.rs:43; dtype support
+    is a TPU extension)."""
     if isinstance(x, Var):
         return x
-    arr = jnp.asarray(x, dtype=jnp.float32)
+    arr = jnp.asarray(x, dtype=dtype or jnp.float32)
     return Var(Node("leaf", arr.shape, arr.dtype))._with_value(arr)
 
 
@@ -165,28 +168,28 @@ class Var:
 
     # ----------------------------------------------------------- operators
     def __add__(self, rhs):
-        return _apply("add", (self, _to_operand(rhs)))
+        return _apply("add", (self, _to_operand(rhs, self.dtype)))
 
     def __radd__(self, lhs):
-        return _apply("add", (_to_operand(lhs), self))
+        return _apply("add", (_to_operand(lhs, self.dtype), self))
 
     def __sub__(self, rhs):
-        return _apply("sub", (self, _to_operand(rhs)))
+        return _apply("sub", (self, _to_operand(rhs, self.dtype)))
 
     def __rsub__(self, lhs):
-        return _apply("sub", (_to_operand(lhs), self))
+        return _apply("sub", (_to_operand(lhs, self.dtype), self))
 
     def __mul__(self, rhs):
-        return _apply("mul", (self, _to_operand(rhs)))
+        return _apply("mul", (self, _to_operand(rhs, self.dtype)))
 
     def __rmul__(self, lhs):
-        return _apply("mul", (_to_operand(lhs), self))
+        return _apply("mul", (_to_operand(lhs, self.dtype), self))
 
     def __truediv__(self, rhs):
-        return _apply("div", (self, _to_operand(rhs)))
+        return _apply("div", (self, _to_operand(rhs, self.dtype)))
 
     def __rtruediv__(self, lhs):
-        return _apply("div", (_to_operand(lhs), self))
+        return _apply("div", (_to_operand(lhs, self.dtype), self))
 
     def __neg__(self):
         return _apply("neg", (self,))
