@@ -281,32 +281,90 @@ def flops_per_token(cfg: GPTConfig, seq: int) -> float:
 
 
 def build_var_model(cfg: GPTConfig, batch: int, seq: int):
-    """The same transformer block expressed with the `Var`/`VarDiff` API —
-    attention built from the primitive softmax/matmul ops, demonstrating the
-    stretch config of BASELINE.md with the reference's own API surface.
+    """The full GPT-2 block stack expressed with the `Var`/`VarDiff` API —
+    multi-head causal attention, matmul-based LayerNorm, and a GELU-free
+    (softplus·tanh-approx-free) MLP, all from the reference's primitive op
+    vocabulary (matmul / softmax / chunk / cat / elementwise), demonstrating
+    the BASELINE.md stretch config on the define-by-run tier.
 
-    Returns (params, forward_fn) where forward_fn maps one-hot token
-    variables (B·S, V) to logits. Kept small: the Var API is 2-d oriented
-    (like the reference's Ix2-heavy nn layer kit), so this flattens batch
-    and sequence and uses a single head."""
+    The Var kit is 2-d oriented like the reference's Ix2-heavy layer kit, so
+    the model processes one sequence (S, ·) per graph; heads are chunked
+    along the feature axis and re-concatenated. Causality uses an additive
+    mask constant. Returns (params, forward_fn) with forward_fn mapping a
+    float id vector (S,) to logits (S, V)."""
     import neuronika_tpu as nk
 
-    d = cfg.d_model
-    wte = nk.rand((cfg.vocab_size, d)).requires_grad()
-    wq = nk.rand((d, d)).requires_grad()
-    wk = nk.rand((d, d)).requires_grad()
-    wv = nk.rand((d, d)).requires_grad()
-    wo = nk.rand((d, cfg.vocab_size)).requires_grad()
-    params = [wte, wq, wk, wv, wo]
+    d, H, L = cfg.d_model, cfg.n_head, cfg.n_layer
+    hd = d // H
+    scale = 0.02
 
-    def fwd(onehot_tokens):
-        x = onehot_tokens.mm(wte)          # (S, d) embeddings via matmul
-        q = x.mm(wq)
-        k = x.mm(wk)
-        v = x.mm(wv)
-        att = q.mm(k.t()) * (1.0 / math.sqrt(d))
-        att = att.softmax(1)
-        ctx = att.mm(v)
-        return ctx.mm(wo)
+    def p(shape):
+        return (nk.from_ndarray(
+            scale * _np_randn(shape)
+        )).requires_grad()
+
+    wte = p((cfg.vocab_size, d))
+    wpe = p((seq, d))
+    blocks = []
+    for _ in range(L):
+        blocks.append({
+            "g1": nk.ones(d).requires_grad(), "b1": nk.zeros(d).requires_grad(),
+            "g2": nk.ones(d).requires_grad(), "b2": nk.zeros(d).requires_grad(),
+            "wq": p((d, d)), "wk": p((d, d)), "wv": p((d, d)), "wo": p((d, d)),
+            "w1": p((d, cfg.d_ff)), "b1m": nk.zeros(cfg.d_ff).requires_grad(),
+            "w2": p((cfg.d_ff, d)), "b2m": nk.zeros(d).requires_grad(),
+        })
+    gf = nk.ones(d).requires_grad()
+    bf = nk.zeros(d).requires_grad()
+
+    params = [wte, wpe, gf, bf]
+    for blk in blocks:
+        params.extend(blk.values())
+
+    # causal additive mask (S, S): 0 below diagonal, -1e9 above
+    import numpy as np
+
+    mask_np = np.where(np.tril(np.ones((seq, seq))) > 0, 0.0, -1e9).astype(
+        np.float32
+    )
+    mask = nk.from_ndarray(mask_np)
+
+    def layer_norm(x, gamma, beta):
+        mu = x.mean(1)
+        centered = x - mu
+        var = (centered * centered).mean(1)
+        return centered / (var + 1e-5).sqrt() * gamma + beta
+
+    def attention(x, blk):
+        q = x.mm(blk["wq"])
+        k = x.mm(blk["wk"])
+        v = x.mm(blk["wv"])
+        heads = []
+        qs = q.chunks((seq, hd))
+        ks = k.chunks((seq, hd))
+        vs = v.chunks((seq, hd))
+        for h in range(H):
+            att = qs[h].mm(ks[h].t()) * (1.0 / math.sqrt(hd)) + mask
+            heads.append(att.softmax(1).mm(vs[h]))
+        ctx = heads[0].cat(heads[1:], 1) if H > 1 else heads[0]
+        return ctx.mm(blk["wo"])
+
+    def mlp(x, blk):
+        h = (x.mm(blk["w1"]) + blk["b1m"]).sigmoid() * (x.mm(blk["w1"]) + blk["b1m"])
+        return h.mm(blk["w2"]) + blk["b2m"]
+
+    def fwd(ids):
+        x = wte.embed(ids) + wpe
+        for blk in blocks:
+            x = x + attention(layer_norm(x, blk["g1"], blk["b1"]), blk)
+            x = x + mlp(layer_norm(x, blk["g2"], blk["b2"]), blk)
+        x = layer_norm(x, gf, bf)
+        return x.mm(wte.t())
 
     return params, fwd
+
+
+def _np_randn(shape):
+    import numpy as np
+
+    return np.random.randn(*shape).astype(np.float32)

@@ -186,6 +186,32 @@ _register(
     lambda e, p, o, g: (jnp.broadcast_to(g / p[0].size, p[0].shape),),
 )
 
+
+# per-axis reductions (extension beyond the reference's full reductions;
+# keepdims semantics so results broadcast back); extra = (axis,)
+def _axis_red_vjp(scale_by_n):
+    def vjp(e, p, o, g):
+        axis = e[0]
+        g = jnp.expand_dims(g, axis) if g.ndim < p[0].ndim else g
+        g = jnp.broadcast_to(g, p[0].shape)
+        if scale_by_n:
+            g = g / p[0].shape[axis]
+        return (g,)
+
+    return vjp
+
+
+_register(
+    "sum_axis",
+    lambda e, a: a.sum(axis=e[0], keepdims=True),
+    _axis_red_vjp(False),
+)
+_register(
+    "mean_axis",
+    lambda e, a: a.mean(axis=e[0], keepdims=True),
+    _axis_red_vjp(True),
+)
+
 # --------------------------------------------------------------------------
 # shape ops (node/{transpose,unsqueeze,chunk,concatenate,stack,multi_*})
 

@@ -245,11 +245,17 @@ class Var:
         return _apply("log_softmax", (self,), (int(axis),))
 
     # ----------------------------------------------------------- reduction
-    def sum(self):
-        return _apply("sum", (self,))
+    def sum(self, axis: int = None):  # noqa: RUF013
+        """Full reduction to a scalar (reference behavior); `axis=` is a
+        keepdims per-axis extension."""
+        if axis is None:
+            return _apply("sum", (self,))
+        return _apply("sum_axis", (self,), (int(axis),))
 
-    def mean(self):
-        return _apply("mean", (self,))
+    def mean(self, axis: int = None):  # noqa: RUF013
+        if axis is None:
+            return _apply("mean", (self,))
+        return _apply("mean_axis", (self,), (int(axis),))
 
     # --------------------------------------------------------------- shape
     def t(self):
