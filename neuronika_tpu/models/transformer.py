@@ -277,6 +277,105 @@ def flops_per_token(cfg: GPTConfig, seq: int) -> float:
 
 
 # --------------------------------------------------------------------------
+# serving: KV-cache incremental decoding
+
+
+def init_kv_cache(cfg: GPTConfig, batch: int):
+    """Per-layer K/V ring buffers (L, B, H, max_seq, hd) + position."""
+    hd = cfg.d_model // cfg.n_head
+    shape = (cfg.n_layer, batch, cfg.n_head, cfg.max_seq, hd)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+def _decode_block(x, blk, layer_kv, pos, cfg: GPTConfig):
+    """One block for a single new token x (B, 1, D) against cached K/V."""
+    B = x.shape[0]
+    H = cfg.n_head
+    hd = cfg.d_model // H
+    h = _layer_norm(x, blk["ln1"])
+    qkv = jnp.dot(h, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
+    qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)      # (B,H,1,hd)
+    k = k.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
+    ck = lax.dynamic_update_slice(layer_kv["k"], k, (0, 0, pos, 0))
+    cv = lax.dynamic_update_slice(layer_kv["v"], v, (0, 0, pos, 0))
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, ck,
+                     preferred_element_type=jnp.float32) / math.sqrt(hd)
+    idx = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)
+    att = jnp.where(idx <= pos, att, -1e30)
+    att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, cv,
+                     preferred_element_type=jnp.float32).astype(cfg.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, cfg.d_model)
+    ctx = jnp.dot(ctx, blk["proj"].astype(cfg.dtype),
+                  preferred_element_type=jnp.float32)
+    x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
+    x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    return x, {"k": ck, "v": cv}
+
+
+def make_decode_step(cfg: GPTConfig):
+    """Jitted single-token decode: (params, cache, token (B,)) ->
+    (logits (B, V), cache). The KV cache is donated (updated in place)."""
+
+    def step(params, cache, token):
+        B = token.shape[0]
+        pos = cache["pos"]
+        pe = lax.dynamic_slice_in_dim(params["wpe"], pos, 1)  # (1, D)
+        x = (params["wte"][token][:, None, :] + pe).astype(cfg.dtype)
+
+        def body(x, layer):
+            blk, lk, lv = layer
+            x, new_kv = _decode_block(x, blk, {"k": lk, "v": lv}, pos, cfg)
+            return x, (new_kv["k"], new_kv["v"])
+
+        x, (ks, vs) = lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
+        x = _layer_norm(x, params["ln_f"])
+        logits = jnp.dot(
+            x[:, 0], params["wte"].T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits, {"k": ks, "v": vs, "pos": pos + 1}
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def generate(params, cfg: GPTConfig, prompt, max_new: int, key=None,
+             temperature: float = 0.0):
+    """Greedy / temperature sampling with the KV cache (host loop; each
+    step is one compiled program)."""
+    import numpy as np
+
+    decode = make_decode_step(cfg)
+    prompt = jnp.asarray(prompt, jnp.int32)
+    B, P = prompt.shape
+    cache = init_kv_cache(cfg, B)
+    if key is None:
+        key = jax.random.key(0)
+
+    logits = None
+    for t in range(P):
+        logits, cache = decode(params, cache, prompt[:, t])
+    out = [np.asarray(prompt)]
+    for t in range(max_new):
+        if temperature > 0.0:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = logits.argmax(-1)
+        nxt = nxt.astype(jnp.int32)
+        out.append(np.asarray(nxt)[:, None])
+        logits, cache = decode(params, cache, nxt)
+    return np.concatenate(out, axis=1)
+
+
+# --------------------------------------------------------------------------
 # define-by-run parity tier
 
 

@@ -150,3 +150,28 @@ def test_transformer_var_api_parity_tier():
     assert_close(
         np.asarray(logits_a.data())[:6], np.asarray(logits_b.data())[:6], tol=1e-4
     )
+
+
+def test_kv_cache_decode_matches_full_forward():
+    cfg = T.GPTConfig(vocab_size=24, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=10, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (2, 6), 0, 24)
+    full = T.forward(params, toks, cfg)
+
+    decode = T.make_decode_step(cfg)
+    cache = T.init_kv_cache(cfg, 2)
+    for t in range(6):
+        logits, cache = decode(params, cache, toks[:, t])
+        assert_close(logits, full[:, t], tol=1e-4)
+
+
+def test_generate_greedy():
+    cfg = T.GPTConfig(vocab_size=12, n_layer=1, n_head=1, d_model=16,
+                      d_ff=32, max_seq=12, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    prompt = np.array([[1, 2, 3]], np.int32)
+    out = T.generate(params, cfg, prompt, max_new=4)
+    assert out.shape == (1, 7)
+    assert (out[:, :3] == prompt).all()
+    assert ((out >= 0) & (out < 12)).all()
