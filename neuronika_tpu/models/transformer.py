@@ -211,9 +211,12 @@ def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None):
 
 def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None):
     logits = forward(params, tokens, cfg, train=train, key=key)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    onehot = jax.nn.one_hot(targets, cfg.vocab_size, dtype=jnp.float32)
-    return -(onehot * logp).sum(-1).mean()
+    # CE via gather + logsumexp — never materialises one-hot/log-softmax
+    # tensors of shape (B, S, V) beyond the logits themselves.
+    logits32 = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits32, axis=-1)
+    tgt = jnp.take_along_axis(logits32, targets[..., None], axis=-1)[..., 0]
+    return (lse - tgt).mean()
 
 
 # --------------------------------------------------------------------------
