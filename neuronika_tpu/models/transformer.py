@@ -53,6 +53,8 @@ class GPTConfig:
     flash: str = "auto"
     # checkpoint the block during training (memory for FLOPs)
     remat: bool = True
+    # flash-attention block sizes (clamped to S)
+    flash_block: int = 256
 
 
 # --------------------------------------------------------------------------
@@ -154,7 +156,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train):
     if _use_flash(cfg, S, train):
         from ..ops.pallas.attention import flash_attention
 
-        bq = bk = min(256, S)
+        bq = bk = min(cfg.flash_block, S)
         out = flash_attention(q, k, v, True, None, bq, bk, False)
     else:
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
