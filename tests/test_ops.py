@@ -255,3 +255,20 @@ def test_varargs_cat_stack_methods():
     s = a.stack([nk.zeros((2, 2))], 0)
     s.forward()
     assert s.shape == (2, 2, 2)
+
+
+def test_pad_backward_slices_interior_reference_divergence():
+    """The reference's pad backward only slices the interior for ALL modes
+    (node/pad/mod.rs:161-182), dropping reflected/replicated border
+    contributions — replicated here deliberately (so it deviates from the
+    autodiff-exact jax.grad for reflect/edge)."""
+    x = rnd(1, 1, 4, 4)
+    for mode in ("reflective", "replicative"):
+        op = OPS["pad"]
+        extra = ((1, 1), mode, 0.0)
+        xj = jnp.asarray(x)
+        out = op.fwd(extra, xj)
+        g = jnp.ones_like(out)
+        (dx,) = op.vjp(extra, [xj], out, g)
+        # interior slice of an all-ones out-grad is all ones
+        assert_close(dx, np.ones_like(x))
