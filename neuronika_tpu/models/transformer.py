@@ -55,6 +55,10 @@ class GPTConfig:
     remat: bool = True
     # flash-attention block sizes (clamped to S)
     flash_block: int = 256
+    # fused linear+cross-entropy Pallas kernel for the LM head ("auto":
+    # on-TPU when rows/vocab divide the blocks). Avoids materialising the
+    # (B*S, V) logits tensor in training.
+    fused_ce: str = "auto"
 
 
 # --------------------------------------------------------------------------
@@ -186,9 +190,11 @@ def _block(x, blk, cfg: GPTConfig, key, train: bool):
     return x
 
 
-def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None):
-    """tokens (B, S) int32 -> logits (B, S, V). Layers run under one
-    `lax.scan` over the stacked block params (compile-once-per-depth)."""
+def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
+                  key=None):
+    """tokens (B, S) int32 -> final hidden states (B, S, D). Layers run
+    under one `lax.scan` over the stacked block params
+    (compile-once-per-depth)."""
     B, S = tokens.shape
     x = (params["wte"][tokens] + params["wpe"][:S]).astype(cfg.dtype)
     if key is None:
@@ -204,14 +210,38 @@ def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None):
         return block(x, blk, cfg, k, train), None
 
     x, _ = lax.scan(scan_body, x, (params["blocks"], keys))
-    x = _layer_norm(x, params["ln_f"])
-    logits = jnp.dot(
+    return _layer_norm(x, params["ln_f"])
+
+
+def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None):
+    """tokens (B, S) int32 -> logits (B, S, V)."""
+    x = hidden_states(params, tokens, cfg, train=train, key=key)
+    return jnp.dot(
         x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
     )
-    return logits
+
+
+def _use_fused_ce(cfg: GPTConfig, rows: int) -> bool:
+    if cfg.fused_ce == "off":
+        return False
+    if cfg.fused_ce == "on":
+        return True
+    from ..config import on_tpu
+
+    return on_tpu() and rows % 256 == 0 and cfg.vocab_size % 2048 == 0
 
 
 def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None):
+    B, S = tokens.shape
+    if _use_fused_ce(cfg, B * S):
+        from ..ops.pallas.cross_entropy import fused_linear_cross_entropy
+
+        x = hidden_states(params, tokens, cfg, train=train, key=key)
+        return fused_linear_cross_entropy(
+            x.reshape(B * S, cfg.d_model),
+            params["wte"].astype(cfg.dtype),
+            targets.reshape(B * S),
+        )
     logits = forward(params, tokens, cfg, train=train, key=key)
     # CE via gather + logsumexp — never materialises one-hot/log-softmax
     # tensors of shape (B, S, V) beyond the logits themselves.
@@ -250,8 +280,8 @@ def make_sharded_train_step(mesh, cfg: GPTConfig):
     The Pallas flash kernel is not GSPMD-partitionable, so attention uses
     the XLA composite here (same math); wrapping the kernel in `shard_map`
     over the head-sharded layout is the planned multi-chip fast path."""
-    if cfg.flash != "off":
-        cfg = dataclasses.replace(cfg, flash="off")
+    if cfg.flash != "off" or cfg.fused_ce != "off":
+        cfg = dataclasses.replace(cfg, flash="off", fused_ce="off")
     shard = param_shardings(mesh, cfg)
     opt_shard = {"m": shard, "v": shard, "step": NamedSharding(mesh, P())}
     data_shard = NamedSharding(mesh, P("dp", None))

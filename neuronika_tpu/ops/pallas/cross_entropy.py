@@ -1,0 +1,254 @@
+"""Fused linear + softmax-cross-entropy Pallas kernels.
+
+The language-model head is the last big HBM consumer: materialising
+logits (B·S, V) in f32 costs gigabytes of traffic per step at LM vocab
+sizes. These kernels stream the vocabulary in blocks through the grid (so
+Pallas double-buffers the weight tiles) and never write the logits tensor:
+
+* forward: grid (row-block i, vocab-block j) — online logsumexp carried in
+  VMEM scratch across j, plus the target logit gathered by mask; outputs
+  per-row loss and lse at the last j.
+* backward d(x): same grid, recomputes logits blockwise, forms
+  p = exp(logit − lse) − onehot and accumulates p·W in scratch.
+* backward d(W): grid (vocab-block j, row-block i) with an f32 accumulator
+  revisited across rows (matmul-K-loop pattern).
+
+`fused_linear_cross_entropy(x, w, targets)` = mean over rows of
+CE(softmax(x·wᵀ), targets), with a custom VJP. The XLA composite
+(`reference_linear_cross_entropy`) is the fallback and test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# --------------------------------------------------------------------------
+# forward: grid (ni, nj), scratch carries (m, s, target-logit) across j
+
+
+def _ce_fwd_kernel(x_ref, w_ref, t_ref, loss_ref, lse_ref,
+                   m_sc, s_sc, tl_sc, *, block_v):
+    bm = x_ref.shape[0]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        tl_sc[:] = jnp.zeros_like(tl_sc)
+
+    x = x_ref[:].astype(jnp.float32)
+    wb = w_ref[:].astype(jnp.float32)  # (bv, D)
+    tgt = t_ref[:, :1]
+    logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)  # (bm, bv)
+    cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+
+    m_old = m_sc[:, :1]
+    m_new = jnp.maximum(m_old, logits.max(axis=1, keepdims=True))
+    s_sc[:, :1] = s_sc[:, :1] * jnp.exp(m_old - m_new) + jnp.exp(
+        logits - m_new
+    ).sum(axis=1, keepdims=True)
+    m_sc[:, :1] = m_new
+    tl_sc[:, :1] += jnp.where(cols == tgt, logits, 0.0).sum(
+        axis=1, keepdims=True
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        lse = m_sc[:, :1] + jnp.log(s_sc[:, :1])
+        loss_ref[:] = jnp.broadcast_to(lse - tl_sc[:, :1], loss_ref.shape)
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+# --------------------------------------------------------------------------
+# backward d(x): grid (ni, nj), dx accumulated in scratch across j
+
+
+def _ce_dx_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dx_ref, acc_sc,
+                  *, block_v):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    x = x_ref[:].astype(jnp.float32)
+    wb = w_ref[:].astype(jnp.float32)
+    tgt = t_ref[:, :1]
+    lse = lse_ref[:, :1]
+    g = g_ref[:, :1]
+    logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)
+    cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    p = jnp.exp(logits - lse) - jnp.where(cols == tgt, 1.0, 0.0)
+    acc_sc[:] += jnp.dot(p * g, wb, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        dx_ref[:] = acc_sc[:].astype(dx_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# backward d(W): grid (nj, ni), dW accumulated in scratch across i
+
+
+def _ce_dw_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dw_ref, acc_sc,
+                  *, block_v):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    x = x_ref[:].astype(jnp.float32)        # (bm, D) row block i
+    wb = w_ref[:].astype(jnp.float32)       # (bv, D) vocab block j
+    tgt = t_ref[:, :1]
+    lse = lse_ref[:, :1]
+    g = g_ref[:, :1]
+    logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)  # (bm, bv)
+    cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    p = jnp.exp(logits - lse) - jnp.where(cols == tgt, 1.0, 0.0)
+    acc_sc[:] += jnp.dot((p * g).T, x, preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _flush():
+        dw_ref[:] = acc_sc[:].astype(dw_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# wrappers
+
+
+def _rep_i32(v):
+    return jnp.broadcast_to(
+        v[:, None].astype(jnp.int32), (v.shape[0], 128)
+    ).astype(jnp.int32)
+
+
+def _rep_f32(v):
+    return jnp.broadcast_to(v[:, None].astype(jnp.float32), (v.shape[0], 128))
+
+
+def _ce_fwd_call(x, w, targets, bm, bv, interpret):
+    N, D = x.shape
+    V = w.shape[0]
+    row = pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    wrow = pl.BlockSpec((bv, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((bm, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    loss, lse = pl.pallas_call(
+        functools.partial(_ce_fwd_kernel, block_v=bv),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N, 128), jnp.float32),
+        ),
+        grid=(N // bm, V // bv),
+        in_specs=[row, wrow, vec],
+        out_specs=(vec, vec),
+        scratch_shapes=[
+            pltpu.VMEM((bm, 128), jnp.float32),
+            pltpu.VMEM((bm, 128), jnp.float32),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w, _rep_i32(targets))
+    return loss[:, 0], lse
+
+
+def _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret):
+    N, D = x.shape
+    V = w.shape[0]
+    t_rep = _rep_i32(targets)
+    g_rep = _rep_f32(g_rows)
+
+    row_i = pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    w_j = pl.BlockSpec((bv, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    vec_i = pl.BlockSpec((bm, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        functools.partial(_ce_dx_kernel, block_v=bv),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        grid=(N // bm, V // bv),
+        in_specs=[row_i, w_j, vec_i, vec_i, vec_i],
+        out_specs=row_i,
+        scratch_shapes=[pltpu.VMEM((bm, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w, t_rep, lse, g_rep)
+
+    # swapped grid: (vocab j, rows i)
+    row_i2 = pl.BlockSpec((bm, D), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    w_j2 = pl.BlockSpec((bv, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+    vec_i2 = pl.BlockSpec((bm, 128), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dw = pl.pallas_call(
+        functools.partial(_ce_dw_kernel, block_v=bv),
+        out_shape=jax.ShapeDtypeStruct((V, D), w.dtype),
+        grid=(V // bv, N // bm),
+        in_specs=[row_i2, w_j2, vec_i2, vec_i2, vec_i2],
+        out_specs=w_j2,
+        scratch_shapes=[pltpu.VMEM((bv, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w, t_rep, lse, g_rep)
+    return dx, dw
+
+
+def _blocks(x, w, block_m, block_v):
+    bm = min(block_m, x.shape[0])
+    bv = min(block_v, w.shape[0])
+    if x.shape[0] % bm or w.shape[0] % bv:
+        raise ValueError("rows/vocab must be divisible by the block sizes")
+    return bm, bv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_linear_cross_entropy(x, w, targets, block_m: int = 256,
+                               block_v: int = 2048, interpret: bool = False):
+    """mean over rows of CE(softmax(x·wᵀ), targets).
+
+    x (N, D), w (V, D), targets (N,) int — N divisible by block_m, V by
+    block_v (pad rows/vocab at the caller if needed)."""
+    bm, bv = _blocks(x, w, block_m, block_v)
+    loss, _ = _ce_fwd_call(x, w, targets, bm, bv, interpret)
+    return loss.mean()
+
+
+def _flce_fwd(x, w, targets, block_m, block_v, interpret):
+    bm, bv = _blocks(x, w, block_m, block_v)
+    loss, lse = _ce_fwd_call(x, w, targets, bm, bv, interpret)
+    return loss.mean(), (x, w, targets, lse)
+
+
+def _flce_bwd(block_m, block_v, interpret, res, g):
+    x, w, targets, lse = res
+    bm, bv = _blocks(x, w, block_m, block_v)
+    g_rows = jnp.full((x.shape[0],), 1.0 / x.shape[0], jnp.float32) * g
+    dx, dw = _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret)
+    return dx, dw, None
+
+
+fused_linear_cross_entropy.defvjp(_flce_fwd, _flce_bwd)
+
+
+def reference_linear_cross_entropy(x, w, targets):
+    """XLA composite oracle."""
+    logits = jnp.dot(x, w.T, preferred_element_type=jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[:, None].astype(jnp.int32),
+                              axis=-1)[:, 0]
+    return (lse - tgt).mean()

@@ -122,3 +122,38 @@ def test_pallas_direct_conv2d(xs, ws, dil):
     out = conv2d_direct(x, w, dil, interpret=True)
     ref = OPS["convolution"].fwd(((1, 1), dil, 1), w, x)
     assert_close(out, ref, tol=1e-4)
+
+
+def test_fused_linear_cross_entropy():
+    from neuronika_tpu.ops.pallas.cross_entropy import (
+        fused_linear_cross_entropy,
+        reference_linear_cross_entropy,
+    )
+
+    N, D, V = 512, 64, 1024
+    x = jax.random.normal(jax.random.key(0), (N, D), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (V, D), jnp.float32) * 0.05
+    t = jax.random.randint(jax.random.key(2), (N,), 0, V)
+    ours = fused_linear_cross_entropy(x, w, t, 128, 256, True)
+    ref = reference_linear_cross_entropy(x, w, t)
+    assert_close(ours, ref, tol=1e-5)
+
+    g1 = jax.grad(
+        lambda a, b: fused_linear_cross_entropy(a, b, t, 128, 256, True),
+        argnums=(0, 1),
+    )(x, w)
+    g2 = jax.grad(
+        lambda a, b: reference_linear_cross_entropy(a, b, t), argnums=(0, 1)
+    )(x, w)
+    assert_close(g1[0], g2[0], tol=1e-5)
+    assert_close(g1[1], g2[1], tol=1e-5)
+
+
+def test_fused_ce_block_validation():
+    from neuronika_tpu.ops.pallas.cross_entropy import fused_linear_cross_entropy
+
+    x = jnp.zeros((100, 64))
+    w = jnp.zeros((1000, 64))
+    t = jnp.zeros((100,), jnp.int32)
+    with pytest.raises(ValueError, match="divisible"):
+        fused_linear_cross_entropy(x, w, t, 64, 256, True)
