@@ -218,7 +218,7 @@ def _blocks(x, w, block_m, block_v):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_linear_cross_entropy(x, w, targets, block_m: int = 256,
-                               block_v: int = 2048, interpret: bool = False):
+                               block_v: int = 1024, interpret: bool = False):
     """mean over rows of CE(softmax(x·wᵀ), targets).
 
     x (N, D), w (V, D), targets (N,) int — N divisible by block_m, V by
