@@ -45,8 +45,8 @@ def _ce_fwd_kernel(x_ref, w_ref, t_ref, loss_ref, lse_ref,
         s_sc[:] = jnp.zeros_like(s_sc)
         tl_sc[:] = jnp.zeros_like(tl_sc)
 
-    x = x_ref[:].astype(jnp.float32)
-    wb = w_ref[:].astype(jnp.float32)  # (bv, D)
+    x = x_ref[:]
+    wb = w_ref[:]  # (bv, D), storage dtype feeds the MXU; f32 accumulate
     tgt = t_ref[:, :1]
     logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)  # (bm, bv)
     cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -80,15 +80,17 @@ def _ce_dx_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dx_ref, acc_sc,
     def _init():
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    x = x_ref[:].astype(jnp.float32)
-    wb = w_ref[:].astype(jnp.float32)
+    x = x_ref[:]
+    wb = w_ref[:]
     tgt = t_ref[:, :1]
     lse = lse_ref[:, :1]
     g = g_ref[:, :1]
     logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)
     cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.exp(logits - lse) - jnp.where(cols == tgt, 1.0, 0.0)
-    acc_sc[:] += jnp.dot(p * g, wb, preferred_element_type=jnp.float32)
+    acc_sc[:] += jnp.dot(
+        (p * g).astype(x.dtype), wb, preferred_element_type=jnp.float32
+    )
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _flush():
@@ -108,15 +110,17 @@ def _ce_dw_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dw_ref, acc_sc,
     def _init():
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    x = x_ref[:].astype(jnp.float32)        # (bm, D) row block i
-    wb = w_ref[:].astype(jnp.float32)       # (bv, D) vocab block j
+    x = x_ref[:]                      # (bm, D) row block i
+    wb = w_ref[:]                     # (bv, D) vocab block j
     tgt = t_ref[:, :1]
     lse = lse_ref[:, :1]
     g = g_ref[:, :1]
     logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)  # (bm, bv)
     cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.exp(logits - lse) - jnp.where(cols == tgt, 1.0, 0.0)
-    acc_sc[:] += jnp.dot((p * g).T, x, preferred_element_type=jnp.float32)
+    acc_sc[:] += jnp.dot(
+        (p * g).astype(x.dtype).T, x, preferred_element_type=jnp.float32
+    )
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _flush():
