@@ -90,3 +90,32 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_define_by_run_with_sharded_leaves():
+    """The Var tier composes with jax.sharding transparently: tape programs
+    compiled from dp-sharded leaves run SPMD (GSPMD propagates the leaf
+    shardings through the staged forward/backward)."""
+    import neuronika_tpu as nk
+
+    mesh = parallel.make_mesh()
+    X = np.random.randn(16, 4).astype(np.float32)
+    W = np.random.randn(2, 4).astype(np.float32)
+
+    x = nk.from_ndarray(X)
+    x.node.value = parallel.shard_batch(x.node.value, mesh)
+    w = nk.from_ndarray(W).requires_grad()
+
+    loss = x.mm_t(w).relu().mse(nk.zeros((16, 2)), nk.Reduction.Mean)
+    loss.forward()
+    loss.backward(1.0)
+
+    # reference: unsharded run
+    x2 = nk.from_ndarray(X)
+    w2 = nk.from_ndarray(W).requires_grad()
+    loss2 = x2.mm_t(w2).relu().mse(nk.zeros((16, 2)), nk.Reduction.Mean)
+    loss2.forward()
+    loss2.backward(1.0)
+
+    assert_close(loss.data(), loss2.data(), tol=1e-5)
+    assert_close(w.grad(), w2.grad(), tol=1e-5)
