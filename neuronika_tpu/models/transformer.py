@@ -61,6 +61,10 @@ class GPTConfig:
     # composite is ~8% faster (measured), so "auto" resolves to off and
     # the kernel is opt-in via "on".
     fused_ce: str = "auto"
+    # mixture-of-experts FFN: 0 = dense MLP; >0 = top-1 gated experts with
+    # the expert axis shardable over an "ep" mesh axis (dense dispatch —
+    # a capability/sharding tier, not a FLOPs-optimal MoE).
+    n_experts: int = 0
 
 
 # --------------------------------------------------------------------------
@@ -78,7 +82,7 @@ def init_params(key, cfg: GPTConfig) -> Dict:
     def norm(k, shape, s=std):
         return (s * jax.random.normal(k, shape)).astype(jnp.float32)
 
-    return {
+    params = {
         "wte": norm(keys[0], (cfg.vocab_size, D)),
         "wpe": norm(keys[1], (cfg.max_seq, D)),
         "ln_f": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
@@ -89,12 +93,25 @@ def init_params(key, cfg: GPTConfig) -> Dict:
             "qkv_b": jnp.zeros((L, 3 * D)),
             "proj": norm(keys[3], (L, D, D), resid_std),
             "proj_b": jnp.zeros((L, D)),
+        },
+    }
+    if cfg.n_experts:
+        E = cfg.n_experts
+        params["blocks"].update({
+            "gate": norm(keys[6], (L, D, E)),
+            "fc_in": norm(keys[4], (L, E, D, F)),
+            "fc_in_b": jnp.zeros((L, E, F)),
+            "fc_out": norm(keys[5], (L, E, F, D), resid_std),
+            "fc_out_b": jnp.zeros((L, E, D)),
+        })
+    else:
+        params["blocks"].update({
             "fc_in": norm(keys[4], (L, D, F)),
             "fc_in_b": jnp.zeros((L, F)),
             "fc_out": norm(keys[5], (L, F, D), resid_std),
             "fc_out_b": jnp.zeros((L, D)),
-        },
-    }
+        })
+    return params
 
 
 def param_shardings(mesh, cfg: GPTConfig) -> Dict:
@@ -105,7 +122,8 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
         return NamedSharding(mesh, P(*spec))
 
     rep = ns()
-    return {
+    has_ep = cfg.n_experts and "ep" in mesh.axis_names
+    shard = {
         "wte": ns(None, "tp"),
         "wpe": rep,
         "ln_f": {"scale": rep, "bias": rep},
@@ -116,12 +134,25 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
             "qkv_b": ns(None, "tp"),
             "proj": ns(None, "tp", None),
             "proj_b": rep,
+        },
+    }
+    if cfg.n_experts:
+        ep = "ep" if has_ep else None
+        shard["blocks"].update({
+            "gate": rep,
+            "fc_in": ns(None, ep, None, "tp"),
+            "fc_in_b": ns(None, ep, "tp"),
+            "fc_out": ns(None, ep, "tp", None),
+            "fc_out_b": ns(None, ep, None),
+        })
+    else:
+        shard["blocks"].update({
             "fc_in": ns(None, None, "tp"),
             "fc_in_b": ns(None, "tp"),
             "fc_out": ns(None, "tp", None),
             "fc_out_b": rep,
-        },
-    }
+        })
+    return shard
 
 
 # --------------------------------------------------------------------------
@@ -180,10 +211,40 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train):
 
 
 def _mlp(x, blk, cfg: GPTConfig):
+    if cfg.n_experts:
+        return _moe_mlp(x, blk, cfg)
     h = jnp.dot(x, blk["fc_in"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
     o = jnp.dot(h, blk["fc_out"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     return (o + blk["fc_out_b"]).astype(cfg.dtype)
+
+
+def _moe_mlp(x, blk, cfg: GPTConfig):
+    """Top-1 gated mixture-of-experts FFN with dense dispatch.
+
+    Every expert processes every token and the top-1 gate combines —
+    correct and cleanly shardable (the `E` einsum axis partitions over the
+    `ep` mesh axis; GSPMD reduces the combine), at the cost of E× FFN
+    FLOPs. A capacity-based sparse dispatch is the planned optimisation."""
+    gate_logits = jnp.dot(
+        x, blk["gate"].astype(cfg.dtype), preferred_element_type=jnp.float32
+    )  # (B, S, E)
+    probs = jax.nn.softmax(gate_logits, axis=-1)
+    top = probs.max(axis=-1)
+    sel = probs.argmax(axis=-1)
+    combine = jax.nn.one_hot(sel, cfg.n_experts, dtype=jnp.float32) * top[..., None]
+
+    h = jnp.einsum(
+        "bsd,edf->bsef", x, blk["fc_in"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
+    o = jnp.einsum(
+        "bsef,efd->bsed", h, blk["fc_out"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    o = (o + blk["fc_out_b"]).astype(cfg.dtype)
+    return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype))
 
 
 def _block(x, blk, cfg: GPTConfig, key, train: bool):
