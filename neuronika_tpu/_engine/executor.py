@@ -230,9 +230,12 @@ def _build_backward(tape: Sequence[Node], leaves: Sequence[Node]):
 def backward(root: Node, seed: float) -> None:
     tape, leaves = _plan(root)
     if not tape:
-        # Backward on a differentiable leaf: grad <- seed directly.
+        # Backward on a differentiable leaf: the root gradient is FILLED
+        # with the seed, not accumulated (vardiff.rs:133 grad_mut().fill).
         if root.differentiable:
-            root.accumulate_grad(jnp.full(root.shape, seed, root.dtype))
+            if not root.grad_alive:
+                raise RuntimeError(DEAD_GRADIENT_MSG)
+            root.grad = jnp.full(root.shape, seed, root.dtype)
         return
     for n in tape:
         if not n.computed:
@@ -257,7 +260,12 @@ def backward(root: Node, seed: float) -> None:
 
     targets = [tape[j] for j in diff_tape_idx] + [leaves[i] for i in diff_leaf_idx]
     for node, g in zip(targets, grads):
-        node.accumulate_grad(g)
+        if node is root:
+            # the root gradient is seeded by FILL, not accumulation
+            # (vardiff.rs:133)
+            node.grad = g
+        else:
+            node.accumulate_grad(g)
 
 
 # --------------------------------------------------------------------------

@@ -178,3 +178,21 @@ def test_chunks():
 def test_item():
     x = nk.full((1,), 3.5)
     assert x.item() == pytest.approx(3.5)
+
+
+def test_root_gradient_filled_not_accumulated():
+    """backward(seed) FILLS the root's own gradient (vardiff.rs:133) while
+    ancestors accumulate across calls."""
+    w = nk.full((2,), 3.0).requires_grad()
+    y = (w * w).sum()
+    y.forward()
+    y.backward(1.0)
+    y.backward(1.0)
+    assert_close(y.grad(), 1.0)                    # filled, not 2.0
+    assert_close(w.grad(), np.full((2,), 12.0))    # accumulated
+
+    # leaf backward also fills
+    leaf = nk.ones((3,)).requires_grad()
+    leaf.backward(2.0)
+    leaf.backward(2.0)
+    assert_close(leaf.grad(), np.full((3,), 2.0))
