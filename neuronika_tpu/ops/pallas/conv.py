@@ -86,3 +86,67 @@ def conv2d_direct(x, w, dilation=(1, 1), *, block_h: int = 8,
         interpret=interpret,
     )(x, w)
     return out[:, :, :Hout, :]
+
+
+# --------------------------------------------------------------------------
+# backward on the Pallas tier, by kernel composition (stride 1)
+#
+# The reference's conv backwards are col2im scatter + per-channel GEMMs
+# (node/convolution/mod.rs:146-294). On the direct-conv formulation both
+# cotangents are themselves convolutions, so the SAME kernel serves all
+# three passes:
+#   d(input)  = conv( pad(g, d·(k−1)),  flip_spatial(swap_io(w)), dilation d )
+#   d(kernel) = corr( x,  g )  — batch becomes the contraction axis, i.e.
+#               conv with N and C transposed (dilation 1 case).
+
+
+def conv2d_direct_input_grad(g, w, dilation=(1, 1), *, interpret=False):
+    """d(input) for stride-1 VALID conv: full-correlation with the
+    spatially flipped, io-swapped kernel."""
+    dh, dw_ = dilation
+    kh, kw = w.shape[2], w.shape[3]
+    gpad = jnp.pad(
+        g, ((0, 0), (0, 0), (dh * (kh - 1),) * 2, (dw_ * (kw - 1),) * 2)
+    )
+    w_t = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # (Ci, Co, kh, kw)
+    return conv2d_direct(gpad, w_t, dilation, interpret=interpret)
+
+
+def conv2d_direct_kernel_grad(x, g, *, interpret=False):
+    """d(kernel) for stride-1, dilation-1 VALID conv: correlate input with
+    the out-gradient, contracting over the batch."""
+    xt = x.transpose(1, 0, 2, 3)  # (Ci, N, H, W)
+    gt = g.transpose(1, 0, 2, 3)  # (Co, N, Ho, Wo) as the "kernel"
+    dw = conv2d_direct(xt, gt, (1, 1), interpret=interpret)
+    return dw.transpose(1, 0, 2, 3)  # (Co, Ci, kh, kw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_pallas(x, w, dilation=(1, 1), interpret: bool = False):
+    """Stride-1 VALID Conv2d where forward AND both backward passes run on
+    the direct Pallas kernel (dilation-1 for the kernel gradient; other
+    configurations use the XLA path in ops.functional)."""
+    return conv2d_direct(x, w, dilation, interpret=interpret)
+
+
+def _conv2d_pallas_fwd(x, w, dilation, interpret):
+    return conv2d_direct(x, w, dilation, interpret=interpret), (x, w)
+
+
+def _conv2d_pallas_bwd(dilation, interpret, res, g):
+    x, w = res
+    dx = conv2d_direct_input_grad(g, w, dilation, interpret=interpret)
+    if dilation == (1, 1):
+        dw = conv2d_direct_kernel_grad(x, g, interpret=interpret)
+    else:
+        # dilated kernel-grad needs strided output sampling — use the XLA
+        # conv's transpose (same math as ops.functional's conv vjp)
+        from ..functional import _conv_fwd
+
+        dw = jax.linear_transpose(
+            lambda k: _conv_fwd(((1, 1), dilation, 1), k, x), w
+        )(g)[0]
+    return dx, dw
+
+
+conv2d_pallas.defvjp(_conv2d_pallas_fwd, _conv2d_pallas_bwd)

@@ -157,3 +157,28 @@ def test_fused_ce_block_validation():
     t = jnp.zeros((100,), jnp.int32)
     with pytest.raises(ValueError, match="divisible"):
         fused_linear_cross_entropy(x, w, t, 64, 256, True)
+
+
+def _lax_conv_loss(x, w, dil):
+    from neuronika_tpu.ops.functional import OPS
+
+    return (OPS["convolution"].fwd(((1, 1), dil, 1), w, x) * 0.5).sum()
+
+
+@pytest.mark.parametrize("dil", [(1, 1), (2, 2)])
+def test_pallas_conv_backward_composition(dil):
+    """Conv cotangents computed on the direct Pallas kernel (input-grad as
+    a flipped-kernel conv; kernel-grad as a batch-contracting correlation)
+    match jax.grad of the XLA conv."""
+    from neuronika_tpu.ops.pallas.conv import conv2d_pallas
+
+    x = jnp.asarray(np.random.randn(2, 3, 11, 11), jnp.float32)
+    w = jnp.asarray(np.random.randn(4, 3, 3, 3), jnp.float32)
+
+    def f(x, w):
+        return (conv2d_pallas(x, w, dil, True) * 0.5).sum()
+
+    ours = jax.grad(f, argnums=(0, 1))(x, w)
+    oracle = jax.grad(lambda a, b: _lax_conv_loss(a, b, dil), argnums=(0, 1))(x, w)
+    assert_close(ours[0], oracle[0], tol=1e-4)
+    assert_close(ours[1], oracle[1], tol=1e-4)
