@@ -410,7 +410,7 @@ def _conv_dn(nd: int):
     return lax.ConvDimensionNumbers(lhs, rhs, lhs)
 
 
-def _conv_fwd(e, kernel, inp):
+def _conv_fwd_lax(e, kernel, inp):
     stride, dilation, groups = e
     nd = len(stride)
     return lax.conv_general_dilated(
@@ -425,6 +425,24 @@ def _conv_fwd(e, kernel, inp):
     ).astype(inp.dtype)
 
 
+def _conv_fwd(e, kernel, inp):
+    stride, dilation, groups = e
+    # Pallas direct-conv path (2-d, stride 1, groups 1) behind the flag;
+    # the cotangents below always transpose the lax form (same math).
+    if (
+        _use_pallas()
+        and len(stride) == 2
+        and stride == (1, 1)
+        and groups == 1
+    ):
+        from ..config import config
+        from .pallas.conv import conv2d_direct
+
+        return conv2d_direct(inp, kernel, dilation,
+                             interpret=config.pallas_interpret)
+    return _conv_fwd_lax(e, kernel, inp)
+
+
 def _conv_vjp(e, p, o, g):
     # Convolution is bilinear; the input/kernel cotangents are the standard
     # transposed convolutions (reference: ConvolutionBackwardInput /
@@ -434,10 +452,10 @@ def _conv_vjp(e, p, o, g):
     kernel, inp = p
 
     def conv_k(k):
-        return _conv_fwd(e, k, inp)
+        return _conv_fwd_lax(e, k, inp)
 
     def conv_x(x):
-        return _conv_fwd(e, kernel, x)
+        return _conv_fwd_lax(e, kernel, x)
 
     dk = jax.linear_transpose(conv_k, kernel)(g)[0]
     dx = jax.linear_transpose(conv_x, inp)(g)[0]

@@ -182,3 +182,29 @@ def test_pallas_conv_backward_composition(dil):
     oracle = jax.grad(lambda a, b: _lax_conv_loss(a, b, dil), argnums=(0, 1))(x, w)
     assert_close(ours[0], oracle[0], tol=1e-4)
     assert_close(ours[1], oracle[1], tol=1e-4)
+
+
+def test_ops_pallas_conv_gate():
+    """config.use_pallas routes stride-1 conv2d through the direct kernel
+    with identical numbers fwd+bwd."""
+    import neuronika_tpu as nk
+    from neuronika_tpu.config import enable_pallas
+
+    kv = np.random.randn(4, 3, 3, 3).astype(np.float32)
+    xv = np.random.randn(2, 3, 8, 8).astype(np.float32)
+
+    def run():
+        k = nk.from_ndarray(kv).requires_grad()
+        loss = k.convolution(nk.from_ndarray(xv), (1, 1), (1, 1)).pow(2).mean()
+        loss.forward()
+        loss.backward(1.0)
+        return np.asarray(loss.data()).copy(), np.asarray(k.grad()).copy()
+
+    base_loss, base_grad = run()
+    try:
+        enable_pallas(True, interpret=True)
+        pl_loss, pl_grad = run()
+    finally:
+        enable_pallas(False)
+    assert_close(pl_loss, base_loss, tol=1e-5)
+    assert_close(pl_grad, base_grad, tol=1e-4)
