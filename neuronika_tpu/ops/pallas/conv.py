@@ -11,9 +11,12 @@ row slabs sliced straight out of a VMEM-resident sample — no patch
 materialisation at all.
 
 Scope: NCHW, stride 1, arbitrary dilation, groups=1, one sample's plane in
-VMEM at a time (the general stride/groups path stays on
-`lax.conv_general_dilated`, XLA's own MXU conv — ops.functional._conv_fwd).
-Verified against that path in tests; exposed for experimentation.
+VMEM at a time. Status: **interpreter-validated prototype** — Mosaic
+currently rejects the unaligned (Ci, bh, Wout)→(Ci, bh·Wout) shape cast the
+tap-matmul needs, so on real TPUs the production conv path remains
+`lax.conv_general_dilated` (XLA's own MXU conv, ops.functional._conv_fwd),
+which is also the fallback for stride/groups. The kernel documents the
+direct-conv design and is exercised against the XLA path in tests.
 """
 
 from __future__ import annotations
@@ -30,21 +33,26 @@ from jax.experimental.pallas import tpu as pltpu
 def _conv2d_kernel(x_ref, w_ref, o_ref, *, kh, kw, dh, dw, wout, bh):
     # x_ref: (1, Ci, Hpad, W) full sample; w_ref: (Co, Ci, kh, kw)
     # o_ref: (1, Co, bh, Wout) rows [qi*bh, qi*bh + bh)
+    #
+    # The tap loop is UNROLLED (kh·kw is small and static) so every slice
+    # offset along the sublane/lane dims is a static constant — Mosaic can
+    # lower those as register shifts, whereas dynamic lane-dim offsets must
+    # be provably 128-aligned.
     ci = x_ref.shape[1]
     co = o_ref.shape[1]
     qi = pl.program_id(1)
-    row0 = qi * bh
+    row0 = pl.multiple_of(qi * bh, bh)
 
-    def body(t, acc):
-        i = t // kw
-        j = t % kw
-        xs = x_ref[0, :, pl.ds(row0 + i * dh, bh), pl.ds(j * dw, wout)]
-        ws = w_ref[:, :, i, j]  # (Co, Ci)
-        flat = xs.reshape(ci, bh * wout)
-        return acc + jnp.dot(ws, flat, preferred_element_type=jnp.float32)
+    # one dynamic (row-block) slice; taps then use static offsets within it
+    window = x_ref[0, :, pl.ds(row0, bh + dh * (kh - 1)), :]
 
-    acc0 = jnp.zeros((co, bh * wout), jnp.float32)
-    acc = lax.fori_loop(0, kh * kw, body, acc0)
+    acc = jnp.zeros((co, bh * wout), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            xs = window[:, i * dh:i * dh + bh, j * dw:j * dw + wout]
+            ws = w_ref[:, :, i, j]  # (Co, Ci)
+            flat = xs.reshape(ci, bh * wout)
+            acc = acc + jnp.dot(ws, flat, preferred_element_type=jnp.float32)
     o_ref[0] = acc.reshape(co, bh, wout).astype(o_ref.dtype)
 
 
