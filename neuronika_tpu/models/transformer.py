@@ -180,7 +180,7 @@ def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
     return on_tpu() and S >= 128 and S % 128 == 0
 
 
-def _attention(x, blk, cfg: GPTConfig, dropout_key, train):
+def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     B, S, D = x.shape
     H = cfg.n_head
     hd = D // H
@@ -191,10 +191,29 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train):
     k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     if _use_flash(cfg, S, train):
+        from ..config import config as _cfg
         from ..ops.pallas.attention import flash_attention
 
         bq = bk = min(cfg.flash_block, S)
-        out = flash_attention(q, k, v, True, None, bq, bk, False)
+        interp = _cfg.pallas_interpret
+        if mesh is not None:
+            # Pallas calls are not GSPMD-partitionable; shard_map maps the
+            # kernel over the (dp, tp)-sharded batch/head axes — attention
+            # is independent per (batch, head), so no collectives.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as _P
+
+            spec = _P("dp", "tp", None, None)
+            fa = shard_map(
+                lambda q_, k_, v_: flash_attention(
+                    q_, k_, v_, True, None, bq, bk, interp
+                ),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_rep=False,
+            )
+            out = fa(q, k, v)
+        else:
+            out = flash_attention(q, k, v, True, None, bq, bk, interp)
     else:
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         att = att / math.sqrt(hd)
@@ -247,17 +266,18 @@ def _moe_mlp(x, blk, cfg: GPTConfig):
     return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype))
 
 
-def _block(x, blk, cfg: GPTConfig, key, train: bool):
-    x = x + _attention(_layer_norm(x, blk["ln1"]), blk, cfg, key, train)
+def _block(x, blk, cfg: GPTConfig, key, train: bool, mesh=None):
+    x = x + _attention(_layer_norm(x, blk["ln1"]), blk, cfg, key, train, mesh)
     x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     return x
 
 
 def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
-                  key=None):
+                  key=None, mesh=None):
     """tokens (B, S) int32 -> final hidden states (B, S, D). Layers run
     under one `lax.scan` over the stacked block params
-    (compile-once-per-depth)."""
+    (compile-once-per-depth). `mesh` activates shard_map'd kernels in the
+    pjit path."""
     B, S = tokens.shape
     x = (params["wte"][tokens] + params["wpe"][:S]).astype(cfg.dtype)
     if key is None:
@@ -266,19 +286,20 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
 
     block = _block
     if cfg.remat and train:
-        block = jax.checkpoint(_block, static_argnums=(2, 4))
+        block = jax.checkpoint(_block, static_argnums=(2, 4, 5))
 
     def scan_body(x, layer):
         blk, k = layer
-        return block(x, blk, cfg, k, train), None
+        return block(x, blk, cfg, k, train, mesh), None
 
     x, _ = lax.scan(scan_body, x, (params["blocks"], keys))
     return _layer_norm(x, params["ln_f"])
 
 
-def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None):
+def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None,
+            mesh=None):
     """tokens (B, S) int32 -> logits (B, S, V)."""
-    x = hidden_states(params, tokens, cfg, train=train, key=key)
+    x = hidden_states(params, tokens, cfg, train=train, key=key, mesh=mesh)
     return jnp.dot(
         x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
     )
@@ -290,9 +311,10 @@ def _use_fused_ce(cfg: GPTConfig, rows: int) -> bool:
     return rows % 256 == 0 and cfg.vocab_size % 1024 == 0
 
 
-def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None):
+def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
+            mesh=None):
     B, S = tokens.shape
-    if _use_fused_ce(cfg, B * S):
+    if mesh is None and _use_fused_ce(cfg, B * S):
         from ..ops.pallas.cross_entropy import fused_linear_cross_entropy
 
         x = hidden_states(params, tokens, cfg, train=train, key=key)
@@ -301,7 +323,7 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None):
             params["wte"].astype(cfg.dtype),
             targets.reshape(B * S),
         )
-    logits = forward(params, tokens, cfg, train=train, key=key)
+    logits = forward(params, tokens, cfg, train=train, key=key, mesh=mesh)
     # CE via gather + logsumexp — never materialises one-hot/log-softmax
     # tensors of shape (B, S, V) beyond the logits themselves.
     logits32 = logits.astype(jnp.float32)
@@ -336,19 +358,22 @@ def make_sharded_train_step(mesh, cfg: GPTConfig):
     """pjit variant: dp-sharded batch, tp-sharded weights; XLA inserts the
     psum/all-gather collectives over ICI from the shardings.
 
-    The Pallas flash kernel is not GSPMD-partitionable, so attention uses
-    the XLA composite here (same math); wrapping the kernel in `shard_map`
-    over the head-sharded layout is the planned multi-chip fast path."""
-    if cfg.flash != "off" or cfg.fused_ce != "off":
-        cfg = dataclasses.replace(cfg, flash="off", fused_ce="off")
+    Pallas calls are not GSPMD-partitionable, so the flash kernel runs
+    under `shard_map` over the (dp, tp)-sharded batch/head axes (attention
+    is per-(batch, head) independent — no collectives); the fused-CE kernel
+    stays off in the sharded path."""
+    if cfg.fused_ce != "off":
+        cfg = dataclasses.replace(cfg, fused_ce="off")
     shard = param_shardings(mesh, cfg)
     opt_shard = {"m": shard, "v": shard, "step": NamedSharding(mesh, P())}
     data_shard = NamedSharding(mesh, P("dp", None))
     rep = NamedSharding(mesh, P())
 
+    use_mesh = mesh if _use_flash(cfg, cfg.max_seq, True) else None
+
     def step(params, opt_state, tokens, targets, lr, key):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, tokens, targets, cfg, train=True, key=key
+            params, tokens, targets, cfg, train=True, key=key, mesh=use_mesh
         )
         params, opt_state = adam_update(params, grads, opt_state, lr)
         return params, opt_state, loss

@@ -119,3 +119,40 @@ def test_define_by_run_with_sharded_leaves():
 
     assert_close(loss.data(), loss2.data(), tol=1e-5)
     assert_close(w.grad(), w2.grad(), tol=1e-5)
+
+
+def test_sharded_flash_attention_via_shard_map():
+    """The sharded train step maps the Pallas flash kernel over the
+    (dp, tp) axes with shard_map; result matches the unsharded step
+    (interpret-mode kernels on the CPU mesh)."""
+    import jax.numpy as jnp
+
+    from neuronika_tpu.config import config
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=4, d_model=32,
+                      d_ff=64, max_seq=128, dtype=jnp.float32,
+                      flash="on", remat=True, flash_block=128)
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    toks = jax.random.randint(jax.random.key(1), (8, 128), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    config.pallas_interpret = True
+    try:
+        params = T.init_params(jax.random.key(0), cfg)
+        opt = T.adam_init(params)
+        sh_step = T.make_sharded_train_step(mesh, cfg)
+        p_a, o_a, loss_a = sh_step(
+            jax.tree.map(jnp.copy, params), opt, toks, tgts,
+            jnp.float32(1e-3), jax.random.key(2),
+        )
+
+        step = T.make_train_step(cfg)
+        p_b, o_b, loss_b = step(
+            jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+            jnp.float32(1e-3), jax.random.key(2),
+        )
+    finally:
+        config.pallas_interpret = False
+
+    assert_close(loss_a, loss_b, tol=1e-4)
+    assert_close(p_a["blocks"]["qkv"], p_b["blocks"]["qkv"], tol=1e-4)
