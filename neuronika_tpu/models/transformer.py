@@ -65,6 +65,11 @@ class GPTConfig:
     # the expert axis shardable over an "ep" mesh axis (dense dispatch —
     # a capability/sharding tier, not a FLOPs-optimal MoE).
     n_experts: int = 0
+    # sequence parallelism (sharded path only): constrain residual-stream
+    # activations to P(dp, tp, None) — sequence sharded over tp — around
+    # the norms/residuals; GSPMD inserts the Megatron-style all-gathers
+    # before the attention/MLP matmuls. Cuts activation memory per chip.
+    seq_parallel: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -266,8 +271,18 @@ def _moe_mlp(x, blk, cfg: GPTConfig):
     return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype))
 
 
+def _seq_shard(x, cfg: GPTConfig, mesh):
+    if mesh is None or not cfg.seq_parallel or "tp" not in mesh.axis_names:
+        return x
+    return lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("dp", "tp", None))
+    )
+
+
 def _block(x, blk, cfg: GPTConfig, key, train: bool, mesh=None):
+    x = _seq_shard(x, cfg, mesh)
     x = x + _attention(_layer_norm(x, blk["ln1"]), blk, cfg, key, train, mesh)
+    x = _seq_shard(x, cfg, mesh)
     x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     return x
 
@@ -369,7 +384,9 @@ def make_sharded_train_step(mesh, cfg: GPTConfig):
     data_shard = NamedSharding(mesh, P("dp", None))
     rep = NamedSharding(mesh, P())
 
-    use_mesh = mesh if _use_flash(cfg, cfg.max_seq, True) else None
+    use_mesh = (
+        mesh if (_use_flash(cfg, cfg.max_seq, True) or cfg.seq_parallel) else None
+    )
 
     def step(params, opt_state, tokens, targets, lr, key):
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -156,3 +156,29 @@ def test_sharded_flash_attention_via_shard_map():
 
     assert_close(loss_a, loss_b, tol=1e-4)
     assert_close(p_a["blocks"]["qkv"], p_b["blocks"]["qkv"], tol=1e-4)
+
+
+def test_sequence_parallel_matches_unsharded():
+    import jax.numpy as jnp
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32,
+                      flash="off", seq_parallel=True)
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    sh_step = T.make_sharded_train_step(mesh, cfg)
+    p_a, _, loss_a = sh_step(
+        jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+        jnp.float32(1e-3), jax.random.key(2),
+    )
+    base_cfg = T.GPTConfig(**{**cfg.__dict__, "seq_parallel": False})
+    step = T.make_train_step(base_cfg)
+    p_b, _, loss_b = step(
+        jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+        jnp.float32(1e-3), jax.random.key(2),
+    )
+    assert_close(loss_a, loss_b, tol=1e-4)
+    assert_close(p_a["blocks"]["qkv"], p_b["blocks"]["qkv"], tol=1e-4)
