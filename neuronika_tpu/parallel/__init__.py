@@ -4,6 +4,7 @@ See `mesh.py` for why this exists (the reference's only parallelism is
 rayon-over-batch; here that maps to dp sharding over ICI) and
 `models/transformer.py` for the tp layout the flagship uses.
 """
+from .pipeline import pipeline_forward  # noqa: F401
 from .mesh import (  # noqa: F401
     DataParallel,
     data_parallel_sharding,
@@ -14,5 +15,5 @@ from .mesh import (  # noqa: F401
 
 __all__ = [
     "DataParallel", "data_parallel_sharding", "make_mesh",
-    "replicated", "shard_batch",
+    "replicated", "shard_batch", "pipeline_forward",
 ]
