@@ -20,9 +20,11 @@ TPU-first structure:
   softmax·V fallback elsewhere (and whenever attention-dropout is active).
 * **Rematerialisation**: `cfg.remat` wraps the block in `jax.checkpoint`,
   trading ~⅓ more FLOPs for activation memory → larger batches.
-* **dp×tp pjit shardings** (Megatron column/row split: QKV and MLP-in
-  column-parallel, attn-proj and MLP-out row-parallel; GSPMD inserts one
-  all-reduce per sub-layer).
+* **Scale-out**: dp batch sharding; tp Megatron column/row splits (QKV and
+  MLP-in column-parallel, attn-proj and MLP-out row-parallel — one GSPMD
+  all-reduce per sub-layer); optional sp (sequence-sharded activations,
+  `seq_parallel`); ep expert-parallel MoE (`n_experts`); GPipe pp lives in
+  `parallel/pipeline.py`. The flash kernel runs under tp via shard_map.
 """
 
 from __future__ import annotations
