@@ -11,10 +11,12 @@ fraction (P-1)/(T+P-1)).
 `stage_fn(stage_params, x) -> x` where `stage_params` is a pytree whose
 leaves carry a leading `n_stages` axis (sharded over `pp`).
 
-This is the round-1 pipeline tier: forward-mode (inference / evaluation)
-with exact equality to sequential execution verified in tests; joint
-training through the pipeline (1F1B + gradient accumulation) is the
-follow-up.
+Training works by differentiating straight through the schedule:
+`jax.grad` of a loss on `pipeline_forward`'s output reverses the fill/drain
+loop (ppermute transposes to the opposite ring direction), which is exactly
+the backward pipeline; gradients match sequential execution to float
+precision (tests). A 1F1B schedule (smaller activation footprint than this
+full-forward-then-backward form) is a later optimisation.
 """
 
 from __future__ import annotations

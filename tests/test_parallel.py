@@ -231,3 +231,39 @@ def test_pipeline_transformer_blocks():
         return T._block(x, blk, cfg, jax.random.key(0), False), None
     ref, _ = jax.lax.scan(body, ref, params["blocks"])
     assert_close(out.reshape(8, 16, 32), ref, tol=1e-5)
+
+
+def test_pipeline_training_gradients_match_sequential():
+    """jax.grad differentiates straight through the pipeline schedule —
+    gradients equal sequential execution."""
+    import jax.numpy as jnp
+
+    from neuronika_tpu.parallel.pipeline import pipeline_forward
+
+    stages, D = 4, 16
+    mesh = parallel.make_mesh([("pp", stages)], devices=jax.devices()[:stages])
+    params = {
+        "w": jax.random.normal(jax.random.key(0), (stages, D, D)) * 0.3,
+        "b": jax.random.normal(jax.random.key(1), (stages, D)) * 0.1,
+    }
+    micro = jax.random.normal(jax.random.key(2), (6, 8, D))
+    tgt = jax.random.normal(jax.random.key(3), (6, 8, D))
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    pf = pipeline_forward(stage_fn, mesh)
+
+    def pipe_loss(params):
+        return ((pf(params, micro) - tgt) ** 2).mean()
+
+    def seq_loss(params):
+        x = micro
+        for s in range(stages):
+            x = jnp.tanh(x @ params["w"][s] + params["b"][s])
+        return ((x - tgt) ** 2).mean()
+
+    g1 = jax.grad(pipe_loss)(params)
+    g2 = jax.grad(seq_loss)(params)
+    assert_close(g1["w"], g2["w"], tol=1e-6)
+    assert_close(g1["b"], g2["b"], tol=1e-6)
