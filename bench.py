@@ -126,9 +126,9 @@ def main() -> None:
     if on_tpu:
         candidates = [
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512),
+             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash512+remat"),
+            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512),
              32, 1024, 20, "d768 L8 H6 S1024 B32 bf16 flash512+remat"),
-            (T.GPTConfig(**base, flash="auto", remat=True), 16, 1024, 20,
-             "d768 L8 H6 S1024 B16 bf16 flash+remat"),
             (T.GPTConfig(**base, flash="off", remat=False), 8, 1024, 20,
              "d768 L8 H6 S1024 B8 bf16 xla-attn"),
         ]
