@@ -67,6 +67,11 @@ class GPTConfig:
     # the expert axis shardable over an "ep" mesh axis (dense dispatch —
     # a capability/sharding tier, not a FLOPs-optimal MoE).
     n_experts: int = 0
+    # MoE dispatch: "dense" routes every token through every expert and
+    # gates the combine (simple, shardable); "sparse" is Switch-style
+    # capacity-based dispatch (each expert computes only its capacity).
+    moe_impl: str = "dense"
+    moe_capacity: float = 2.0
     # sequence parallelism (sharded path only): constrain residual-stream
     # activations to P(dp, tp, None) — sequence sharded over tp — around
     # the norms/residuals; GSPMD inserts the Megatron-style all-gathers
@@ -246,18 +251,27 @@ def _mlp(x, blk, cfg: GPTConfig):
 
 
 def _moe_mlp(x, blk, cfg: GPTConfig):
+    if cfg.moe_impl == "sparse":
+        return _moe_mlp_sparse(x, blk, cfg)
+    return _moe_mlp_dense(x, blk, cfg)
+
+
+def _moe_gate(x, blk, cfg: GPTConfig):
+    gate_logits = jnp.dot(
+        x, blk["gate"].astype(cfg.dtype), preferred_element_type=jnp.float32
+    )  # (B, S, E)
+    probs = jax.nn.softmax(gate_logits, axis=-1)
+    return probs.max(axis=-1), probs.argmax(axis=-1)
+
+
+def _moe_mlp_dense(x, blk, cfg: GPTConfig):
     """Top-1 gated mixture-of-experts FFN with dense dispatch.
 
     Every expert processes every token and the top-1 gate combines —
     correct and cleanly shardable (the `E` einsum axis partitions over the
     `ep` mesh axis; GSPMD reduces the combine), at the cost of E× FFN
-    FLOPs. A capacity-based sparse dispatch is the planned optimisation."""
-    gate_logits = jnp.dot(
-        x, blk["gate"].astype(cfg.dtype), preferred_element_type=jnp.float32
-    )  # (B, S, E)
-    probs = jax.nn.softmax(gate_logits, axis=-1)
-    top = probs.max(axis=-1)
-    sel = probs.argmax(axis=-1)
+    FLOPs. `moe_impl="sparse"` below is the capacity-based alternative."""
+    top, sel = _moe_gate(x, blk, cfg)
     combine = jax.nn.one_hot(sel, cfg.n_experts, dtype=jnp.float32) * top[..., None]
 
     h = jnp.einsum(
@@ -271,6 +285,50 @@ def _moe_mlp(x, blk, cfg: GPTConfig):
     )
     o = (o + blk["fc_out_b"]).astype(cfg.dtype)
     return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype))
+
+
+def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
+    """Switch-style top-1 MoE with capacity-based einsum dispatch.
+
+    Tokens are routed to their top expert up to a per-expert capacity
+    C = ceil(capacity_factor · tokens / E); overflow tokens pass through
+    the residual untouched (their combine weight is zero). Each expert
+    computes only C tokens — E× fewer FFN FLOPs than the dense dispatch."""
+    B, S, D = x.shape
+    E = cfg.n_experts
+    N = B * S
+    C = max(int(math.ceil(cfg.moe_capacity * N / E)), 1)
+
+    xf = x.reshape(N, D)
+    top, sel = _moe_gate(xf[None], {**blk}, cfg)
+    top, sel = top[0], sel[0]                       # (N,)
+    onehot = jax.nn.one_hot(sel, E, dtype=jnp.float32)      # (N, E)
+    # rank of each token within its expert (0-based)
+    pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (N, E)
+    keep = (pos < C) & (onehot > 0)
+    pos = jnp.where(keep, pos, 0.0).astype(jnp.int32)
+    # dispatch (N, E, C): token n -> slot (e, c)
+    slot = jax.nn.one_hot(pos, C, dtype=jnp.float32) * keep[..., None]
+    expert_in = jnp.einsum(
+        "nec,nd->ecd", slot.astype(cfg.dtype), xf.astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(cfg.dtype)                              # (E, C, D)
+    h = jnp.einsum(
+        "ecd,edf->ecf", expert_in, blk["fc_in"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.gelu((h + blk["fc_in_b"][:, None, :]).astype(cfg.dtype))
+    o = jnp.einsum(
+        "ecf,efd->ecd", h, blk["fc_out"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    o = (o + blk["fc_out_b"][:, None, :]).astype(cfg.dtype)  # (E, C, D)
+    combine = slot * top[:, None, None]                      # (N, E, C)
+    y = jnp.einsum(
+        "nec,ecd->nd", combine.astype(cfg.dtype), o,
+        preferred_element_type=jnp.float32,
+    ).astype(cfg.dtype)
+    return y.reshape(B, S, D)
 
 
 def _seq_shard(x, cfg: GPTConfig, mesh):

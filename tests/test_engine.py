@@ -196,3 +196,21 @@ def test_root_gradient_filled_not_accumulated():
     leaf.backward(2.0)
     leaf.backward(2.0)
     assert_close(leaf.grad(), np.full((3,), 2.0))
+
+
+def test_global_seed_determinism():
+    """nk.seed makes rand factories and dropout draws reproducible."""
+    nk.seed(123)
+    a1 = np.asarray(nk.rand((4, 4)).data())
+    d1 = nk.ones((32, 32)).dropout(0.5, nk.StatusCell(True))
+    d1.forward()
+    m1 = np.asarray(d1.data())
+
+    nk.seed(123)
+    a2 = np.asarray(nk.rand((4, 4)).data())
+    d2 = nk.ones((32, 32)).dropout(0.5, nk.StatusCell(True))
+    d2.forward()
+    m2 = np.asarray(d2.data())
+
+    assert_close(a1, a2)
+    assert_close(m1, m2)

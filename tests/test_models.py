@@ -211,3 +211,36 @@ def test_moe_sharded_over_ep_axis():
     params, opt, loss = step(params, opt, toks, tgts, jnp.float32(1e-3),
                              jax.random.key(2))
     assert np.isfinite(float(loss))
+
+
+def test_sparse_moe_matches_dense_at_full_capacity():
+    """Switch-style capacity dispatch with capacity >= tokens equals the
+    dense-dispatch MoE exactly (same routing, same math)."""
+    base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32, d_ff=64,
+                max_seq=16, dtype=jnp.float32, n_experts=4)
+    cfg_d = T.GPTConfig(**base, moe_impl="dense")
+    cfg_s = T.GPTConfig(**base, moe_impl="sparse", moe_capacity=8.0)
+    params = T.init_params(jax.random.key(0), cfg_d)
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+    out_d = T.forward(params, toks, cfg_d)
+    out_s = T.forward(params, toks, cfg_s)
+    assert_close(out_d, out_s, tol=1e-4)
+
+
+def test_sparse_moe_trains_with_overflow():
+    """Tight capacity (tokens dropped to the residual) still trains."""
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32,
+                      n_experts=4, moe_impl="sparse", moe_capacity=1.0)
+    params = T.init_params(jax.random.key(0), cfg)
+    step = T.make_train_step(cfg)
+    opt = T.adam_init(params)
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    losses = []
+    for i in range(8):
+        params, opt, loss = step(params, opt, toks, tgts,
+                                 jnp.float32(1e-2), jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
