@@ -72,6 +72,9 @@ class GPTConfig:
     # capacity-based dispatch (each expert computes only its capacity).
     moe_impl: str = "dense"
     moe_capacity: float = 2.0
+    # Switch load-balancing auxiliary loss weight (0 disables); encourages
+    # uniform expert utilisation: aux = E * sum_e f_e * P_e
+    moe_aux_weight: float = 0.0
     # sequence parallelism (sharded path only): constrain residual-stream
     # activations to P(dp, tp, None) — sequence sharded over tp — around
     # the norms/residuals; GSPMD inserts the Megatron-style all-gathers
@@ -242,12 +245,13 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
 
 
 def _mlp(x, blk, cfg: GPTConfig):
+    """Returns (out, moe_aux_loss) — aux is 0 for the dense MLP."""
     if cfg.n_experts:
         return _moe_mlp(x, blk, cfg)
     h = jnp.dot(x, blk["fc_in"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
     o = jnp.dot(h, blk["fc_out"].astype(cfg.dtype), preferred_element_type=jnp.float32)
-    return (o + blk["fc_out_b"]).astype(cfg.dtype)
+    return (o + blk["fc_out_b"]).astype(cfg.dtype), jnp.zeros((), jnp.float32)
 
 
 def _moe_mlp(x, blk, cfg: GPTConfig):
@@ -261,7 +265,16 @@ def _moe_gate(x, blk, cfg: GPTConfig):
         x, blk["gate"].astype(cfg.dtype), preferred_element_type=jnp.float32
     )  # (B, S, E)
     probs = jax.nn.softmax(gate_logits, axis=-1)
-    return probs.max(axis=-1), probs.argmax(axis=-1)
+    return probs.max(axis=-1), probs.argmax(axis=-1), probs
+
+
+def _moe_aux_loss(sel, probs, n_experts: int):
+    """Switch load-balancing loss: E · Σ_e f_e·P_e (uniform routing → 1)."""
+    f = jax.nn.one_hot(sel, n_experts, dtype=jnp.float32).reshape(
+        -1, n_experts
+    ).mean(0)
+    p = probs.reshape(-1, n_experts).mean(0)
+    return n_experts * jnp.sum(f * p)
 
 
 def _moe_mlp_dense(x, blk, cfg: GPTConfig):
@@ -271,7 +284,8 @@ def _moe_mlp_dense(x, blk, cfg: GPTConfig):
     correct and cleanly shardable (the `E` einsum axis partitions over the
     `ep` mesh axis; GSPMD reduces the combine), at the cost of E× FFN
     FLOPs. `moe_impl="sparse"` below is the capacity-based alternative."""
-    top, sel = _moe_gate(x, blk, cfg)
+    top, sel, probs = _moe_gate(x, blk, cfg)
+    aux = _moe_aux_loss(sel, probs, cfg.n_experts)
     combine = jax.nn.one_hot(sel, cfg.n_experts, dtype=jnp.float32) * top[..., None]
 
     h = jnp.einsum(
@@ -284,7 +298,7 @@ def _moe_mlp_dense(x, blk, cfg: GPTConfig):
         preferred_element_type=jnp.float32,
     )
     o = (o + blk["fc_out_b"]).astype(cfg.dtype)
-    return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype))
+    return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype)), aux
 
 
 def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
@@ -300,8 +314,9 @@ def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
     C = max(int(math.ceil(cfg.moe_capacity * N / E)), 1)
 
     xf = x.reshape(N, D)
-    top, sel = _moe_gate(xf[None], {**blk}, cfg)
-    top, sel = top[0], sel[0]                       # (N,)
+    top, sel, probs = _moe_gate(xf[None], {**blk}, cfg)
+    top, sel, probs = top[0], sel[0], probs[0]      # (N,) / (N, E)
+    aux = _moe_aux_loss(sel, probs, E)
     onehot = jax.nn.one_hot(sel, E, dtype=jnp.float32)      # (N, E)
     # rank of each token within its expert (0-based)
     pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (N, E)
@@ -328,7 +343,7 @@ def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
         "nec,ecd->nd", combine.astype(cfg.dtype), o,
         preferred_element_type=jnp.float32,
     ).astype(cfg.dtype)
-    return y.reshape(B, S, D)
+    return y.reshape(B, S, D), aux
 
 
 def _seq_shard(x, cfg: GPTConfig, mesh):
@@ -343,8 +358,8 @@ def _block(x, blk, cfg: GPTConfig, key, train: bool, mesh=None):
     x = _seq_shard(x, cfg, mesh)
     x = x + _attention(_layer_norm(x, blk["ln1"]), blk, cfg, key, train, mesh)
     x = _seq_shard(x, cfg, mesh)
-    x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
-    return x
+    m, aux = _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    return x + m, aux
 
 
 def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
@@ -365,16 +380,17 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
 
     def scan_body(x, layer):
         blk, k = layer
-        return block(x, blk, cfg, k, train, mesh), None
+        x, aux = block(x, blk, cfg, k, train, mesh)
+        return x, aux
 
-    x, _ = lax.scan(scan_body, x, (params["blocks"], keys))
-    return _layer_norm(x, params["ln_f"])
+    x, aux = lax.scan(scan_body, x, (params["blocks"], keys))
+    return _layer_norm(x, params["ln_f"]), aux.sum()
 
 
 def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None,
             mesh=None):
     """tokens (B, S) int32 -> logits (B, S, V)."""
-    x = hidden_states(params, tokens, cfg, train=train, key=key, mesh=mesh)
+    x, _ = hidden_states(params, tokens, cfg, train=train, key=key, mesh=mesh)
     return jnp.dot(
         x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
     )
@@ -392,19 +408,23 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
     if mesh is None and _use_fused_ce(cfg, B * S):
         from ..ops.pallas.cross_entropy import fused_linear_cross_entropy
 
-        x = hidden_states(params, tokens, cfg, train=train, key=key)
-        return fused_linear_cross_entropy(
+        x, aux = hidden_states(params, tokens, cfg, train=train, key=key)
+        ce = fused_linear_cross_entropy(
             x.reshape(B * S, cfg.d_model),
             params["wte"].astype(cfg.dtype),
             targets.reshape(B * S),
         )
-    logits = forward(params, tokens, cfg, train=train, key=key, mesh=mesh)
+        return ce + cfg.moe_aux_weight * aux
+    x, aux = hidden_states(params, tokens, cfg, train=train, key=key, mesh=mesh)
+    logits = jnp.dot(
+        x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
+    )
     # CE via gather + logsumexp — never materialises one-hot/log-softmax
     # tensors of shape (B, S, V) beyond the logits themselves.
     logits32 = logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(logits32, axis=-1)
     tgt = jnp.take_along_axis(logits32, targets[..., None], axis=-1)[..., 0]
-    return (lse - tgt).mean()
+    return (lse - tgt).mean() + cfg.moe_aux_weight * aux
 
 
 # --------------------------------------------------------------------------
@@ -512,7 +532,8 @@ def _decode_block(x, blk, layer_kv, pos, cfg: GPTConfig):
     ctx = jnp.dot(ctx, blk["proj"].astype(cfg.dtype),
                   preferred_element_type=jnp.float32)
     x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
-    x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    m, _ = _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = x + m
     return x, {"k": ck, "v": cv}
 
 

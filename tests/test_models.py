@@ -244,3 +244,25 @@ def test_sparse_moe_trains_with_overflow():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_moe_aux_loss_plumbing():
+    """moe_aux_weight adds the Switch load-balance term to the loss."""
+    base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32, d_ff=64,
+                max_seq=16, dtype=jnp.float32, n_experts=4)
+    params = T.init_params(jax.random.key(0), T.GPTConfig(**base))
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    l0 = float(T.loss_fn(params, toks, tgts, T.GPTConfig(**base, moe_aux_weight=0.0)))
+    l1 = float(T.loss_fn(params, toks, tgts, T.GPTConfig(**base, moe_aux_weight=0.1)))
+    # aux >= 1 for any routing, so the weighted loss strictly increases
+    assert l1 > l0 + 0.1 * 0.9 * 2  # ~weight * aux(>~1) * n_layers
+
+
+def test_dense_mlp_aux_is_zero():
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+    _, aux = T.hidden_states(params, toks, cfg)
+    assert float(aux) == 0.0

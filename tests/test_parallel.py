@@ -220,7 +220,7 @@ def test_pipeline_transformer_blocks():
     mesh = parallel.make_mesh([("pp", 4)], devices=jax.devices()[:4])
 
     def stage_fn(blk, x):
-        return T._block(x, blk, cfg, jax.random.key(0), False)
+        return T._block(x, blk, cfg, jax.random.key(0), False)[0]
 
     micro = jax.random.normal(jax.random.key(1), (4, 2, 16, 32))
     out = pipeline_forward(stage_fn, mesh)(params["blocks"], micro)
@@ -228,7 +228,7 @@ def test_pipeline_transformer_blocks():
     # sequential oracle via the scan in hidden_states' core
     ref = micro.reshape(8, 16, 32)
     def body(x, blk):
-        return T._block(x, blk, cfg, jax.random.key(0), False), None
+        return T._block(x, blk, cfg, jax.random.key(0), False)[0], None
     ref, _ = jax.lax.scan(body, ref, params["blocks"])
     assert_close(out.reshape(8, 16, 32), ref, tol=1e-5)
 
