@@ -39,6 +39,7 @@ __all__ = [
     "Zero", "Constant", "Reflective", "Replicative",
     "nn", "optim", "data", "parallel", "models", "utils", "device",
     "Device", "devices", "default_device", "to_device", "device_of",
+    "Param", "Learnable",
 ]
 
 
@@ -161,3 +162,9 @@ def stack(lhs, rhs, axis: int):
 # submodules re-exported for `nk.nn.Linear`-style access
 from . import nn, optim, data, parallel, models, utils, device  # noqa: E402
 from .device import Device, default_device, device_of, devices, to_device  # noqa: E402
+
+# Pre-rewrite facade aliases (the reference's quickstart imports
+# `neuronika::{Param, Learnable, ...}` at the root, quickstart.rs:4-6):
+# a learnable parameter IS a differentiable variable here.
+Param = VarDiff
+Learnable = VarDiff
