@@ -492,6 +492,88 @@ def flops_per_token(cfg: GPTConfig, seq: int) -> float:
     return 3.0 * (2.0 * p_matmul + 2.0 * attn)
 
 
+def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
+    """Pipeline-parallel training step over a `pp` mesh axis.
+
+    The stacked block params are split into `n_stages = mesh.shape['pp']`
+    stages (leading axis sharded over `pp`); microbatches flow through the
+    GPipe schedule in `parallel.pipeline.pipeline_forward`, and `jax.grad`
+    differentiates straight through it (the reversed schedule IS the
+    backward pipeline). Embedding/head run replicated. Batch must divide
+    into `n_micro` microbatches.
+
+    Returns (step_fn, reshape_params) where `reshape_params` converts
+    standard `init_params` output into the staged layout."""
+    from ..parallel.pipeline import pipeline_forward
+
+    n_stages = mesh.shape["pp"]
+    if cfg.n_layer % n_stages:
+        raise ValueError("n_layer must be divisible by the pp stage count")
+    per_stage = cfg.n_layer // n_stages
+
+    def reshape_params(params):
+        staged = dict(params)
+        staged["blocks"] = jax.tree.map(
+            lambda l: l.reshape(n_stages, per_stage, *l.shape[1:]),
+            params["blocks"],
+        )
+        return staged
+
+    def stage_fn(stage_blocks, x):
+        # run this stage's layers sequentially (aux losses dropped in the
+        # pipelined path; use moe_aux_weight=0 here)
+        def body(x, blk):
+            y, _ = _block(x, blk, cfg, jax.random.key(0), False)
+            return y, None
+
+        y, _ = lax.scan(body, x, stage_blocks)
+        return y
+
+    pipe = pipeline_forward(stage_fn, mesh)
+
+    def loss_fn_pp(staged, tokens, targets):
+        B, S = tokens.shape
+        x = (staged["wte"][tokens] + staged["wpe"][:S]).astype(cfg.dtype)
+        micro = x.reshape(n_micro, B // n_micro, S, cfg.d_model)
+        y = pipe(staged["blocks"], micro).reshape(B, S, cfg.d_model)
+        y = _layer_norm(y, staged["ln_f"])
+        logits32 = jnp.dot(
+            y, staged["wte"].T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits32, axis=-1)
+        tgt = jnp.take_along_axis(logits32, targets[..., None], axis=-1)[..., 0]
+        return (lse - tgt).mean()
+
+    def step(staged, opt_state, tokens, targets, lr):
+        loss, grads = jax.value_and_grad(loss_fn_pp)(staged, tokens, targets)
+        staged, opt_state = adam_update(staged, grads, opt_state, lr)
+        return staged, opt_state, loss
+
+    blocks_spec = jax.tree.map(lambda _: NamedSharding(mesh, P("pp")), {"x": 0})
+    rep = NamedSharding(mesh, P())
+
+    def shardings_of(staged):
+        return {
+            "wte": rep, "wpe": rep,
+            "ln_f": jax.tree.map(lambda _: rep, staged["ln_f"]),
+            "blocks": jax.tree.map(
+                lambda _: NamedSharding(mesh, P("pp")), staged["blocks"]
+            ),
+        }
+
+    def jit_step(staged, opt_state, tokens, targets, lr):
+        shard = shardings_of(staged)
+        opt_shard = {"m": shard, "v": shard, "step": rep}
+        return jax.jit(
+            step,
+            in_shardings=(shard, opt_shard, rep, rep, rep),
+            out_shardings=(shard, opt_shard, rep),
+        )(staged, opt_state, tokens, targets, lr)
+
+    return jit_step, reshape_params
+
+
 # --------------------------------------------------------------------------
 # serving: KV-cache incremental decoding
 

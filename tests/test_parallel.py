@@ -267,3 +267,30 @@ def test_pipeline_training_gradients_match_sequential():
     g2 = jax.grad(seq_loss)(params)
     assert_close(g1["w"], g2["w"], tol=1e-6)
     assert_close(g1["b"], g2["b"], tol=1e-6)
+
+
+def test_pipelined_train_step_matches_standard():
+    """Full pp training step (GPipe schedule + Adam) equals the standard
+    single-program step."""
+    import jax.numpy as jnp
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=4, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32, flash="off",
+                      remat=False)
+    mesh = parallel.make_mesh([("pp", 4)], devices=jax.devices()[:4])
+    params = T.init_params(jax.random.key(0), cfg)
+    step_pp, reshape = T.make_pipelined_train_step(mesh, cfg, n_micro=4)
+    staged = reshape(jax.tree.map(jnp.copy, params))
+    opt_pp = T.adam_init(staged)
+    toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    staged, opt_pp, loss_pp = step_pp(staged, opt_pp, toks, tgts,
+                                      jnp.float32(1e-3))
+
+    step = T.make_train_step(cfg)
+    p2, _, loss_ref = step(jax.tree.map(jnp.copy, params),
+                           T.adam_init(params), toks, tgts,
+                           jnp.float32(1e-3), jax.random.key(0))
+    assert_close(loss_pp, loss_ref, tol=1e-5)
+    qkv_pp = staged["blocks"]["qkv"].reshape(4, 32, 96)
+    assert_close(qkv_pp, p2["blocks"]["qkv"], tol=1e-5)
