@@ -32,7 +32,7 @@ import numpy as np
 
 __all__ = [
     "DataLoader", "LabeledDataLoader", "Dataset", "LabeledDataset",
-    "Batch", "LabeledBatch", "KFold", "LabeledKFold",
+    "Batch", "LabeledBatch", "KFold", "LabeledKFold", "prefetch_to_device",
 ]
 
 
@@ -366,3 +366,35 @@ def _try_native_csv(path: str, delimiter: str, has_headers: bool):
         return _native.load_csv(path, delimiter, has_headers)
     except Exception:
         return None
+
+
+def prefetch_to_device(iterator, size: int = 2, device=None):
+    """Wrap a host batch iterator with device prefetch: batches are moved
+    to the accelerator `size` steps ahead so H2D transfer overlaps compute
+    (the TPU-idiomatic input pipeline; the reference's loader is purely
+    synchronous host-side).
+
+    Works with plain arrays or (records, labels) tuples from `Batch`/
+    `LabeledBatch`."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def place(batch):
+        return jax.tree.map(lambda a: jax.device_put(a, device), batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(place(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(place(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -133,3 +133,24 @@ def test_labeled_split():
     ds = data.DataLoader.default().with_labels([3]).from_reader(CSV_LABELED, 3, 1)
     a, b = ds.split([3, 1])
     assert a.len() == 3 and b.len() == 1
+
+
+def test_from_csv_file_roundtrip(tmp_path):
+    """File-based loading (exercises the native C++ fast path when built,
+    pure-Python parser otherwise)."""
+    path = str(tmp_path / "data.csv")
+    with open(path, "w") as f:
+        f.write("a,b,c\n1,2,3\n4,5,6\n7,8,9\n")
+    ds = data.DataLoader.default().from_csv(path, 3)
+    assert_close(ds.records(), np.arange(1.0, 10.0).reshape(3, 3))
+
+
+def test_prefetch_to_device():
+    ds = data.DataLoader.default().from_reader(CSV, 3)
+    batches = list(data.prefetch_to_device(ds.batch(2), size=2))
+    assert len(batches) == 2
+    assert_close(np.concatenate([np.asarray(b) for b in batches]), ds.records())
+    # labeled tuples survive
+    lds = data.DataLoader.default().with_labels([3]).from_reader(CSV_LABELED, 3, 1)
+    for x, y in data.prefetch_to_device(lds.batch(2)):
+        assert np.asarray(x).shape[0] == np.asarray(y).shape[0]
