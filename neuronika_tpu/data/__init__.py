@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import csv as _csv
 import io
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 

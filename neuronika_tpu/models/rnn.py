@@ -8,7 +8,7 @@ length (bucketable by the caller), then pure cache hits."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

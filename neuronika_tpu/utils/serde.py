@@ -19,7 +19,7 @@ Optimizer state is intentionally NOT serialized, matching the reference
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Union
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
