@@ -3,8 +3,9 @@ from . import gradcheck as gradcheck_mod  # noqa: F401
 from . import profiler, serde  # noqa: F401
 from .gradcheck import gradcheck  # noqa: F401
 from .serde import (  # noqa: F401
-    dumps, load_layer, load_npz, load_pytree, load_state_dict, loads,
-    save_layer, save_npz, save_pytree, state_dict, var_from_dict, var_to_dict,
+    dumps, load_layer, load_npz, load_optimizer, load_pytree,
+    load_state_dict, loads, save_layer, save_npz, save_optimizer,
+    save_pytree, state_dict, var_from_dict, var_to_dict,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "serde", "dumps", "loads", "var_to_dict", "var_from_dict",
     "save_layer", "load_layer", "state_dict", "load_state_dict",
     "save_npz", "load_npz", "save_pytree", "load_pytree",
+    "save_optimizer", "load_optimizer",
 ]

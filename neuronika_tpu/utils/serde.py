@@ -12,8 +12,9 @@ formats:
 * NPZ — the practical binary path for real checkpoints (save_npz/load_npz),
   plus `save_pytree`/`load_pytree` for functional-model params.
 
-Optimizer state is intentionally NOT serialized, matching the reference
-(SURVEY.md §5 checkpoint row).
+Matching the reference, model serde never includes optimizer state
+(SURVEY.md §5 checkpoint row); `save_optimizer`/`load_optimizer` exist as an
+explicit opt-in extension for real training resume.
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ __all__ = [
     "var_to_dict", "var_from_dict", "dumps", "loads",
     "save_layer", "load_layer", "state_dict", "load_state_dict",
     "save_npz", "load_npz", "save_pytree", "load_pytree",
+    "save_optimizer", "load_optimizer",
 ]
 
 
