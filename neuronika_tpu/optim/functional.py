@@ -161,3 +161,38 @@ def rmsprop_update(params, grads, state, lr, alpha: float = 0.99,
     else:
         new = jax.tree.map(lambda p, g, d: p - g / d * lr, params, grads, denom)
     return new, new_state
+
+
+# ------------------------------------------------------------------ extras
+
+
+def global_norm(tree) -> "jax.Array":
+    """L2 norm over all leaves of a gradient pytree."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale the whole gradient pytree so its global L2 norm is at most
+    `max_norm` (the standard transformer-training guard; extension beyond
+    the reference)."""
+    norm = global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads), norm
+
+
+def warmup_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
+                           final_scale: float = 0.1):
+    """step -> lr: linear warmup then cosine decay to final_scale·base_lr."""
+    import math as _math
+
+    def lr_at(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / max(warmup_steps, 1)
+        t = jnp.clip(
+            (step - warmup_steps) / max(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        cos = base_lr * (final_scale + (1 - final_scale) * 0.5 * (1 + jnp.cos(_math.pi * t)))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return lr_at

@@ -263,3 +263,29 @@ def test_scheduler_does_not_recompile_step():
         p.node.grad = nk.ones(3).data()
         opt.step()
     assert opt._compiled is compiled  # lr is traced, not baked
+
+
+def test_clip_by_global_norm():
+    import jax.numpy as jnp
+
+    from neuronika_tpu.optim.functional import clip_by_global_norm, global_norm
+
+    grads = {"a": jnp.ones((3,)) * 3.0, "b": jnp.ones((4,)) * 4.0}
+    n = float(global_norm(grads))
+    assert n == pytest.approx(np.sqrt(9 * 3 + 16 * 4))
+    clipped, norm = clip_by_global_norm(grads, 1.0)
+    assert float(global_norm(clipped)) == pytest.approx(1.0, rel=1e-5)
+    # below the limit: untouched
+    same, _ = clip_by_global_norm(grads, 1e6)
+    assert_close(same["a"], grads["a"])
+
+
+def test_warmup_cosine_schedule():
+    from neuronika_tpu.optim.functional import warmup_cosine_schedule
+
+    lr_at = warmup_cosine_schedule(1.0, warmup_steps=10, total_steps=110)
+    assert float(lr_at(0)) == 0.0
+    assert float(lr_at(5)) == pytest.approx(0.5)
+    assert float(lr_at(10)) == pytest.approx(1.0)
+    assert float(lr_at(110)) == pytest.approx(0.1, abs=1e-6)
+    assert float(lr_at(60)) == pytest.approx(0.55, abs=1e-6)
