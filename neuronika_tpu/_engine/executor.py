@@ -31,6 +31,21 @@ from .node import DEAD_GRADIENT_MSG, FORWARD_NOT_CALLED_MSG, Node
 _FWD_CACHE: Dict[Tuple, "jax.stages.Wrapped"] = {}
 _BWD_CACHE: Dict[Tuple, "jax.stages.Wrapped"] = {}
 
+try:  # native tape walker (csrc/tape_walker.cpp); Python path is the oracle
+    from . import _native_tape  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover - extension not built
+    _native_tape = None
+
+
+def _plan_and_sign(root: "Node"):
+    """(tape, leaves, signature) — one native pass when the extension is
+    built, else the Python walk + signature."""
+    if _native_tape is not None:
+        tape, leaves, sig = _native_tape.plan_and_sign(root)
+        return tuple(tape), leaves, sig
+    tape, leaves = _plan(root)
+    return tape, leaves, _signature(tape, leaves)
+
 
 def cache_stats() -> Tuple[int, int]:
     return len(_FWD_CACHE), len(_BWD_CACHE)
@@ -132,10 +147,9 @@ def _build_forward(tape: Sequence[Node], leaves: Sequence[Node]):
 def forward(root: Node) -> None:
     """Compute every node in the graph rooted at `root`, storing results in
     the node cells."""
-    tape, leaves = _plan(root)
+    tape, leaves, sig = _plan_and_sign(root)
     if not tape:
         return
-    sig = _signature(tape, leaves)
     entry = _FWD_CACHE.get(sig)
     if entry is None:
         entry = _build_forward(tape, leaves)
@@ -228,7 +242,7 @@ def _build_backward(tape: Sequence[Node], leaves: Sequence[Node]):
 
 
 def backward(root: Node, seed: float) -> None:
-    tape, leaves = _plan(root)
+    tape, leaves, sig = _plan_and_sign(root)
     if not tape:
         # Backward on a differentiable leaf: the root gradient is FILLED
         # with the seed, not accumulated (vardiff.rs:133 grad_mut().fill).
@@ -246,7 +260,6 @@ def backward(root: Node, seed: float) -> None:
         if l.differentiable and not l.grad_alive:
             raise RuntimeError(DEAD_GRADIENT_MSG)
 
-    sig = _signature(tape, leaves)
     entry = _BWD_CACHE.get(sig)
     if entry is None:
         entry = _build_backward(tape, leaves)
@@ -360,7 +373,7 @@ def fused_train_step(root: Node, optimizer, seed: float = 1.0) -> float:
     """Run one fused (fwd + bwd + update) step on the graph rooted at
     `root`, updating the optimizer's registered parameters in place.
     Returns the loss value."""
-    tape, leaves = _plan(root)
+    tape, leaves, base_sig = _plan_and_sign(root)
     if not tape:
         raise ValueError("fused step requires a non-leaf loss variable")
     leaf_index = {l.id: i for i, l in enumerate(leaves)}
@@ -374,7 +387,7 @@ def fused_train_step(root: Node, optimizer, seed: float = 1.0) -> float:
                 "for a fused step"
             )
 
-    sig = (_signature(tape, leaves), tuple(param_pos))
+    sig = (base_sig, tuple(param_pos))
     cache = optimizer._fused_cache
     entry = cache.get(sig)
     if entry is None:

@@ -18,5 +18,10 @@ setup(
             sources=["csrc/csv_loader.cpp"],
             extra_compile_args=["-O3", "-std=c++17", "-march=native"],
         ),
+        Extension(
+            "neuronika_tpu._engine._native_tape",
+            sources=["csrc/tape_walker.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )

@@ -214,3 +214,30 @@ def test_global_seed_determinism():
 
     assert_close(a1, a2)
     assert_close(m1, m2)
+
+
+def test_native_tape_walker_matches_python():
+    """The C++ tape walker (when built) must produce identical tape order,
+    leaf order, and structural signature to the Python implementation."""
+    import neuronika_tpu._engine.executor as ex
+
+    if ex._native_tape is None:
+        pytest.skip("native tape walker not built")
+    nk.seed(0)
+    x = nk.rand((4, 3)).requires_grad()
+    w = nk.rand((5, 3)).requires_grad()
+    status = nk.StatusCell(True)
+    y = (x.mm_t(w) + 1.0).relu().dropout(0.3, status).softmax(1).sum()
+    t1, l1, s1 = ex._plan_and_sign(y.node)
+    t2, l2 = ex._plan(y.node)
+    s2 = ex._signature(t2, l2)
+    assert [n.id for n in t1] == [n.id for n in t2]
+    assert [n.id for n in l1] == [n.id for n in l2]
+    assert s1 == s2 and hash(s1) == hash(s2)
+    # diamond + status=False variant
+    status.set(False)
+    m = x * x
+    z = (m + m).sum()
+    ta, la, sa = ex._plan_and_sign(z.node)
+    tb, lb = ex._plan(z.node)
+    assert sa == ex._signature(tb, lb)
