@@ -44,6 +44,9 @@ class GPTConfig:
     vocab_size: int = 256
     n_layer: int = 4
     n_head: int = 4
+    # grouped-query attention: number of KV heads (0 -> = n_head, i.e.
+    # standard MHA). Shrinks the KV cache by n_head/n_kv_head for serving.
+    n_kv_head: int = 0
     d_model: int = 256
     d_ff: int = 1024
     max_seq: int = 256
@@ -86,6 +89,15 @@ class GPTConfig:
 # params (per-layer tensors are STACKED with a leading n_layer axis)
 
 
+def _kv_heads(cfg: GPTConfig) -> int:
+    return cfg.n_kv_head or cfg.n_head
+
+
+def _qkv_width(cfg: GPTConfig) -> int:
+    hd = cfg.d_model // cfg.n_head
+    return cfg.d_model + 2 * _kv_heads(cfg) * hd
+
+
 def init_params(key, cfg: GPTConfig) -> Dict:
     """GPT-2 style init: N(0, 0.02), residual projections scaled by
     1/sqrt(2*n_layer)."""
@@ -93,6 +105,7 @@ def init_params(key, cfg: GPTConfig) -> Dict:
     std = 0.02
     resid_std = std / math.sqrt(2.0 * cfg.n_layer)
     L, D, F = cfg.n_layer, cfg.d_model, cfg.d_ff
+    W = _qkv_width(cfg)
 
     def norm(k, shape, s=std):
         return (s * jax.random.normal(k, shape)).astype(jnp.float32)
@@ -104,8 +117,8 @@ def init_params(key, cfg: GPTConfig) -> Dict:
         "blocks": {
             "ln1": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
             "ln2": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
-            "qkv": norm(keys[2], (L, D, 3 * D)),
-            "qkv_b": jnp.zeros((L, 3 * D)),
+            "qkv": norm(keys[2], (L, D, W)),
+            "qkv_b": jnp.zeros((L, W)),
             "proj": norm(keys[3], (L, D, D), resid_std),
             "proj_b": jnp.zeros((L, D)),
         },
@@ -195,16 +208,31 @@ def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
     return on_tpu() and S >= 128 and S % 128 == 0
 
 
+def _split_qkv(qkv, cfg: GPTConfig, B, S):
+    """(B, S, D + 2·KV·hd) -> q (B,H,S,hd), k/v (B,KV,S,hd), KV heads
+    repeated up to H for compute (GQA)."""
+    H = cfg.n_head
+    KV = _kv_heads(cfg)
+    hd = cfg.d_model // H
+    q, k, v = jnp.split(
+        qkv, [cfg.d_model, cfg.d_model + KV * hd], axis=-1
+    )
+    q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, KV, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, KV, hd).transpose(0, 2, 1, 3)
+    if KV != H:
+        k = jnp.repeat(k, H // KV, axis=1)
+        v = jnp.repeat(v, H // KV, axis=1)
+    return q, k, v
+
+
 def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     B, S, D = x.shape
     H = cfg.n_head
     hd = D // H
     qkv = jnp.dot(x, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    q, k, v = _split_qkv(qkv, cfg, B, S)
     if _use_flash(cfg, S, train):
         from ..config import config as _cfg
         from ..ops.pallas.attention import flash_attention
@@ -579,9 +607,10 @@ def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
 
 
 def init_kv_cache(cfg: GPTConfig, batch: int):
-    """Per-layer K/V ring buffers (L, B, H, max_seq, hd) + position."""
+    """Per-layer K/V ring buffers (L, B, KV, max_seq, hd) + position —
+    with GQA the cache is n_head/n_kv_head times smaller."""
     hd = cfg.d_model // cfg.n_head
-    shape = (cfg.n_layer, batch, cfg.n_head, cfg.max_seq, hd)
+    shape = (cfg.n_layer, batch, _kv_heads(cfg), cfg.max_seq, hd)
     return {
         "k": jnp.zeros(shape, cfg.dtype),
         "v": jnp.zeros(shape, cfg.dtype),
@@ -594,21 +623,26 @@ def _decode_block(x, blk, layer_kv, pos, cfg: GPTConfig):
     B = x.shape[0]
     H = cfg.n_head
     hd = cfg.d_model // H
+    KV = _kv_heads(cfg)
     h = _layer_norm(x, blk["ln1"])
     qkv = jnp.dot(h, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = jnp.split(qkv, [cfg.d_model, cfg.d_model + KV * hd], axis=-1)
     q = q.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)      # (B,H,1,hd)
-    k = k.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, 1, KV, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, 1, KV, hd).transpose(0, 2, 1, 3)
     ck = lax.dynamic_update_slice(layer_kv["k"], k, (0, 0, pos, 0))
     cv = lax.dynamic_update_slice(layer_kv["v"], v, (0, 0, pos, 0))
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, ck,
+    ckh, cvh = ck, cv
+    if KV != H:
+        ckh = jnp.repeat(ck, H // KV, axis=1)
+        cvh = jnp.repeat(cv, H // KV, axis=1)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, ckh,
                      preferred_element_type=jnp.float32) / math.sqrt(hd)
     idx = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)
     att = jnp.where(idx <= pos, att, -1e30)
     att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, cv,
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, cvh,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, cfg.d_model)
     ctx = jnp.dot(ctx, blk["proj"].astype(cfg.dtype),

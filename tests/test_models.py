@@ -266,3 +266,45 @@ def test_dense_mlp_aux_is_zero():
     toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
     _, aux = T.hidden_states(params, toks, cfg)
     assert float(aux) == 0.0
+
+
+def test_gqa_matches_mha_when_equal_heads():
+    base = dict(vocab_size=32, n_layer=2, d_model=32, d_ff=64, max_seq=16,
+                dtype=jnp.float32)
+    cfg_mha = T.GPTConfig(**base, n_head=4)
+    cfg_gqa = T.GPTConfig(**base, n_head=4, n_kv_head=4)
+    params = T.init_params(jax.random.key(0), cfg_mha)
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+    assert_close(T.forward(params, toks, cfg_mha),
+                 T.forward(params, toks, cfg_gqa), tol=1e-6)
+
+
+def test_gqa_decode_matches_full_forward():
+    cfg = T.GPTConfig(vocab_size=24, n_layer=2, n_head=4, n_kv_head=2,
+                      d_model=32, d_ff=64, max_seq=10, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (2, 6), 0, 24)
+    full = T.forward(params, toks, cfg)
+    decode = T.make_decode_step(cfg)
+    cache = T.init_kv_cache(cfg, 2)
+    # GQA cache is half the MHA size
+    assert cache["k"].shape[2] == 2
+    for t in range(6):
+        logits, cache = decode(params, cache, toks[:, t])
+        assert_close(logits, full[:, t], tol=1e-4)
+
+
+def test_gqa_trains():
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=4, n_kv_head=1,
+                      d_model=32, d_ff=64, max_seq=16, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    step = T.make_train_step(cfg)
+    opt = T.adam_init(params)
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    losses = []
+    for i in range(8):
+        params, opt, loss = step(params, opt, toks, tgts,
+                                 jnp.float32(1e-2), jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
