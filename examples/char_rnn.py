@@ -28,13 +28,13 @@ def main():
     stoi = {c: i for i, c in enumerate(chars)}
     ids = np.array([stoi[c] for c in TEXT], dtype=np.int64)
 
-    rnn = models.CharRNN(vocab=len(chars), hidden=64, cell="lstm")
-    opt = optim.Adam(5e-3)
+    rnn = models.CharRNN(vocab=len(chars), hidden=96, cell="lstm")
+    opt = optim.Adam(1e-2)
     opt.register_all(rnn.parameters())
 
     rng = np.random.default_rng(0)
     lengths = [8, 12, 16]  # variable-length batches — 3 compiles total
-    for step in range(60):
+    for step in range(240):
         T = lengths[step % len(lengths)]
         starts = rng.integers(0, len(ids) - T - 1, size=8)
         batch = np.stack([ids[s:s + T] for s in starts])
@@ -44,13 +44,13 @@ def main():
         loss.backward(1.0)
         opt.step()
         opt.zero_grad()
-        if step % 20 == 0:
+        if step % 80 == 0:
             print(f"step {step}: loss {loss.item():.3f}")
 
     # greedy sampling
     out = [stoi["t"]]
-    h = nk.zeros((1, 64))
-    c = nk.zeros((1, 64))
+    h = nk.zeros((1, 96))
+    c = nk.zeros((1, 96))
     for _ in range(40):
         x = nk.from_ndarray(one_hot(np.array([[out[-1]]]), len(chars))[:, 0])
         c, h = rnn.cell.forward((c, h), x)
