@@ -293,7 +293,7 @@ def backward(root: Node, seed: float) -> None:
 # are not populated.
 
 
-def _build_fused(tape, leaves, param_pos, optimizer):
+def _build_fused(tape, leaves, param_pos, optimizer, donate=False):
     slotted = list(leaves) + list(tape)
     slot = {n.id: i for i, n in enumerate(slotted)}
     rng_nodes = [n for n in tape if n.rng]
@@ -323,9 +323,16 @@ def _build_fused(tape, leaves, param_pos, optimizer):
     update = optimizer._update
     n_leaves = len(leaves)
     param_ids = [leaves[i].id for i in param_pos]
+    param_set = set(param_pos)
+    nonparam_pos = [i for i in range(n_leaves) if i not in param_set]
     root_shape, root_dtype = root.shape, root.dtype
 
-    def run(leaf_vals, keys, seed, states, hyper, step):
+    def run(nonparam_vals, param_vals, keys, seed, states, hyper, step):
+        leaf_vals = [None] * n_leaves
+        for i, v in zip(nonparam_pos, nonparam_vals):
+            leaf_vals[i] = v
+        for i, v in zip(param_pos, param_vals):
+            leaf_vals[i] = v
         env = list(leaf_vals)
         for fn, extra, parents, kidx, train in fwd_steps:
             args = [env[p] for p in parents]
@@ -366,13 +373,19 @@ def _build_fused(tape, leaves, param_pos, optimizer):
             new_states.append(ns)
         return loss, new_datas, new_states
 
-    return jax.jit(run), None
+    donate_argnums = (1, 4) if donate else ()
+    return jax.jit(run, donate_argnums=donate_argnums), (nonparam_pos, param_pos)
 
 
-def fused_train_step(root: Node, optimizer, seed: float = 1.0) -> float:
+def fused_train_step(root: Node, optimizer, seed: float = 1.0,
+                     donate: bool = False) -> float:
     """Run one fused (fwd + bwd + update) step on the graph rooted at
     `root`, updating the optimizer's registered parameters in place.
-    Returns the loss value."""
+    Returns the loss value.
+
+    `donate=True` donates the parameter and optimizer-state buffers to the
+    program (true in-place updates, halves their HBM footprint) — any array
+    snapshot of a parameter taken BEFORE the step becomes invalid."""
     tape, leaves, base_sig = _plan_and_sign(root)
     if not tape:
         raise ValueError("fused step requires a non-leaf loss variable")
@@ -387,22 +400,26 @@ def fused_train_step(root: Node, optimizer, seed: float = 1.0) -> float:
                 "for a fused step"
             )
 
-    sig = (base_sig, tuple(param_pos))
+    sig = (base_sig, tuple(param_pos), donate)
     cache = optimizer._fused_cache
     entry = cache.get(sig)
     if entry is None:
-        entry = _build_fused(tape, leaves, param_pos, optimizer)
+        entry = _build_fused(tape, leaves, param_pos, optimizer, donate)
         cache[sig] = entry
-    fn, _ = entry
+    fn, (nonparam_pos, _) = entry
 
     keys = [config.next_key() for _ in range(sum(1 for n in tape if n.rng))]
     leaf_vals = [l.get_value() for l in leaves]
+    nonparam_vals = [leaf_vals[i] for i in nonparam_pos]
+    param_vals = [leaf_vals[i] for i in param_pos]
     optimizer._step_count += 1
     hyper = tuple(jnp.asarray(h, jnp.float32) for h in optimizer._hyper())
     step = jnp.asarray(optimizer._step_count, jnp.float32)
     states = optimizer._state
     seed_arr = jnp.asarray(seed, root.dtype)
-    loss, new_datas, new_states = fn(leaf_vals, keys, seed_arr, states, hyper, step)
+    loss, new_datas, new_states = fn(
+        nonparam_vals, param_vals, keys, seed_arr, states, hyper, step
+    )
 
     for p, d in zip(optimizer._params, new_datas):
         p.node.value = d

@@ -157,16 +157,20 @@ class Optimizer:
         for p in self._params:
             p.node.zero_grad()
 
-    def train_step(self, loss, seed: float = 1.0) -> float:
+    def train_step(self, loss, seed: float = 1.0, donate: bool = False) -> float:
         """Fused step: stage forward + backward + this optimizer's update
         into ONE XLA program (trace-cached on the loss graph's structure).
         Equivalent to `loss.forward(); loss.backward(seed); self.step();
         self.zero_grad()` but interior values/gradients never touch HBM —
         the TPU-first fast path for static training loops. Returns the
-        loss value."""
+        loss value.
+        With ``donate=True`` the parameter/optimizer-state buffers are
+        donated to the program (in-place update; prior snapshots of the
+        raw arrays become invalid).
+        """
         from .._engine import executor
 
-        return executor.fused_train_step(loss.node, self, seed)
+        return executor.fused_train_step(loss.node, self, seed, donate)
 
     def _build(self):
         penalty = self.penalty

@@ -96,3 +96,26 @@ def test_fused_with_dropout_and_conv():
         loss = out.pow(2).mean()
         losses.append(opt.train_step(loss))
     assert losses[-1] < losses[0]
+
+
+def test_fused_with_donation_matches():
+    """donate=True produces identical results (in-place buffers)."""
+    X, Y = _make_data()
+    nk.seed(11)
+    lin_a = nn.Linear(4, 2)
+    lin_b = nn.Linear(4, 2)
+    lin_b.weight.assign(np.asarray(lin_a.weight.data()))
+    lin_b.bias.assign(np.asarray(lin_a.bias.data()))
+    opt_a, opt_b = optim.Adam(0.01), optim.Adam(0.01)
+    opt_a.register_all(lin_a.parameters())
+    opt_b.register_all(lin_b.parameters())
+    for _ in range(4):
+        la = opt_a.train_step(
+            lin_a.forward(nk.from_ndarray(X)).mse(nk.from_ndarray(Y), nk.Reduction.Mean)
+        )
+        lb = opt_b.train_step(
+            lin_b.forward(nk.from_ndarray(X)).mse(nk.from_ndarray(Y), nk.Reduction.Mean),
+            donate=True,
+        )
+        assert_close(la, lb, tol=1e-6)
+        assert_close(lin_a.weight.data(), lin_b.weight.data(), tol=1e-6)
