@@ -261,8 +261,11 @@ class Adam(Optimizer):
         return (self._lr, self.beta1, self.beta2, self.eps)
 
     def _init_state(self, variable):
-        z = jnp.zeros(variable.shape, variable.dtype)
-        return {"exp_avg": z, "exp_avg_sq": z}
+        # distinct buffers: donation forbids aliased arguments
+        def z():
+            return jnp.zeros(variable.shape, variable.dtype)
+
+        return {"exp_avg": z(), "exp_avg_sq": z()}
 
     def _update(self, data, grad, state, hyper, step):
         lr, b1, b2, eps = hyper
@@ -279,8 +282,10 @@ class AMSGrad(Adam):
     (amsgrad/mod.rs; unexported in the reference snapshot — a bug we fix)."""
 
     def _init_state(self, variable):
-        z = jnp.zeros(variable.shape, variable.dtype)
-        return {"exp_avg": z, "exp_avg_sq": z, "max_exp_avg_sq": z}
+        def z():
+            return jnp.zeros(variable.shape, variable.dtype)
+
+        return {"exp_avg": z(), "exp_avg_sq": z(), "max_exp_avg_sq": z()}
 
     def _update(self, data, grad, state, hyper, step):
         lr, b1, b2, eps = hyper
@@ -334,12 +339,14 @@ class RMSProp(Optimizer):
         return (self._lr, self.alpha, self.momentum or 0.0, self.eps)
 
     def _init_state(self, variable):
-        z = jnp.zeros(variable.shape, variable.dtype)
-        s = {"square_avg": z}
+        def z():
+            return jnp.zeros(variable.shape, variable.dtype)
+
+        s = {"square_avg": z()}
         if self.centered:
-            s["grad_avg"] = z
+            s["grad_avg"] = z()
         if self.momentum is not None:
-            s["buffer"] = z
+            s["buffer"] = z()
         return s
 
     def _update(self, data, grad, state, hyper, step):
