@@ -65,16 +65,18 @@ def _bench_quickstart_mlp(steps: int = 50) -> float:
     X = np.random.rand(64, 3).astype("float32")
     Y = np.random.rand(64, 1).astype("float32")
 
-    def one_step():
+    def one_step(block=False):
         loss = mlp.forward(nk.from_ndarray(X)).mse(
             nk.from_ndarray(Y), nk.Reduction.Mean
         )
-        return opt.train_step(loss)
+        opt.train_step(loss, block=block)
+        return loss
 
-    one_step()  # compile
+    one_step(block=True)  # compile
     t0 = time.perf_counter()
     for _ in range(steps):
-        one_step()
+        loss = one_step()
+    loss.item()  # drain the pipelined steps
     return steps / (time.perf_counter() - t0)
 
 

@@ -378,7 +378,7 @@ def _build_fused(tape, leaves, param_pos, optimizer, donate=False):
 
 
 def fused_train_step(root: Node, optimizer, seed: float = 1.0,
-                     donate: bool = False) -> float:
+                     donate: bool = False, block: bool = True):
     """Run one fused (fwd + bwd + update) step on the graph rooted at
     `root`, updating the optimizer's registered parameters in place.
     Returns the loss value.
@@ -428,4 +428,7 @@ def fused_train_step(root: Node, optimizer, seed: float = 1.0,
     optimizer._state = list(new_states)
     root.value = loss
     root.computed = True
+    if not block:
+        # async dispatch: read the loss later via root.item()/.data()
+        return None
     return float(loss)

@@ -157,7 +157,8 @@ class Optimizer:
         for p in self._params:
             p.node.zero_grad()
 
-    def train_step(self, loss, seed: float = 1.0, donate: bool = False) -> float:
+    def train_step(self, loss, seed: float = 1.0, donate: bool = False,
+                   block: bool = True):
         """Fused step: stage forward + backward + this optimizer's update
         into ONE XLA program (trace-cached on the loss graph's structure).
         Equivalent to `loss.forward(); loss.backward(seed); self.step();
@@ -166,11 +167,13 @@ class Optimizer:
         loss value.
         With ``donate=True`` the parameter/optimizer-state buffers are
         donated to the program (in-place update; prior snapshots of the
-        raw arrays become invalid).
+        raw arrays become invalid). With ``block=False`` the call returns
+        None without waiting for the device — read `loss.item()` later
+        (keeps a training loop fully pipelined on remote devices).
         """
         from .._engine import executor
 
-        return executor.fused_train_step(loss.node, self, seed, donate)
+        return executor.fused_train_step(loss.node, self, seed, donate, block)
 
     def _build(self):
         penalty = self.penalty
