@@ -27,13 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ._engine.node import Node
-from .config import config, seed
+from .config import config, enable_pallas, on_tpu, seed
 from .variable import Reduction, StatusCell, Var, VarDiff, _apply, _to_operand
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Var", "VarDiff", "Reduction", "StatusCell", "seed",
+    "enable_pallas", "on_tpu",
     "from_ndarray", "zeros", "ones", "full", "rand", "eye",
     "linspace", "logspace", "geomspace", "range", "cat", "stack",
     "Zero", "Constant", "Reflective", "Replicative",

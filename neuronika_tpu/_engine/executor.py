@@ -20,6 +20,7 @@ Gradient semantics reproduced from the reference:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -28,8 +29,33 @@ import jax.numpy as jnp
 from ..config import config
 from .node import DEAD_GRADIENT_MSG, FORWARD_NOT_CALLED_MSG, Node
 
-_FWD_CACHE: Dict[Tuple, "jax.stages.Wrapped"] = {}
-_BWD_CACHE: Dict[Tuple, "jax.stages.Wrapped"] = {}
+
+class LRUCache(OrderedDict):
+    """Bounded trace cache: long-lived define-by-run sessions that keep
+    producing *new graph structures* must not grow compiled-program caches
+    monotonically. Evicts least-recently-used entries past `maxsize`
+    (dropping a jitted function also releases its XLA executable)."""
+
+    def __init__(self, maxsize: int) -> None:
+        super().__init__()
+        self.maxsize = int(maxsize)
+
+    def get(self, key, default=None):
+        try:
+            self.move_to_end(key)
+        except KeyError:
+            return default
+        return super().__getitem__(key)
+
+    def __setitem__(self, key, value) -> None:
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
+
+
+_FWD_CACHE: "LRUCache" = LRUCache(256)
+_BWD_CACHE: "LRUCache" = LRUCache(256)
 
 try:  # native tape walker (csrc/tape_walker.cpp); Python path is the oracle
     from . import _native_tape  # type: ignore[attr-defined]
@@ -400,7 +426,11 @@ def fused_train_step(root: Node, optimizer, seed: float = 1.0,
                 "for a fused step"
             )
 
-    sig = (base_sig, tuple(param_pos), donate)
+    # Key on the pallas flags too: enable_pallas() clears the module-level
+    # trace caches but cannot see per-optimizer caches, so the kernel tier
+    # must be part of the signature for the toggle to apply to fused steps.
+    sig = (base_sig, tuple(param_pos), donate,
+           config.use_pallas, config.pallas_interpret)
     cache = optimizer._fused_cache
     entry = cache.get(sig)
     if entry is None:

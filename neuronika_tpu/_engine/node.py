@@ -123,48 +123,8 @@ class Node:
         return f"Node(id={self.id}, op={self.op}, shape={self.shape})"
 
 
-class History:
-    """Ordered, identity-deduplicated set of nodes (the tape).
-
-    Mirrors reference `History` (history.rs:9-125): ``merge`` unions two
-    tapes, ``insert`` appends, and ``buffer`` materialises a topologically
-    ordered list (ids are monotone and parents precede children, so sorting
-    by id is a valid topological order). The buffer is cached and
-    invalidated on insert, like the reference's Vec cache
-    (history.rs:82-88).
-    """
-
-    __slots__ = ("nodes", "_buffer")
-
-    def __init__(self) -> None:
-        self.nodes: dict[int, Node] = {}
-        self._buffer: Optional[Tuple[Node, ...]] = None
-
-    @classmethod
-    def of(cls, *nodes: Node) -> "History":
-        h = cls()
-        for n in nodes:
-            h.nodes[n.id] = n
-        return h
-
-    def merge(self, other: "History") -> None:
-        if other.nodes:
-            self.nodes.update(other.nodes)
-            self._buffer = None
-
-    def insert(self, node: Node) -> None:
-        self.nodes[node.id] = node
-        self._buffer = None
-
-    def copy(self) -> "History":
-        h = History()
-        h.nodes = dict(self.nodes)
-        return h
-
-    def buffer(self) -> Tuple[Node, ...]:
-        if self._buffer is None:
-            self._buffer = tuple(self.nodes[i] for i in sorted(self.nodes))
-        return self._buffer
-
-    def __len__(self) -> int:
-        return len(self.nodes)
+# NOTE: the reference's standalone `History` container (history.rs:9-125) has
+# no separate counterpart here: its guarantees (dedup-by-identity, topological
+# order, merge-on-binary-ops) fall out of the monotone node ids plus the
+# executor's ancestor walk (`executor._plan`), which materialises the tape
+# directly from the `parents` edges.

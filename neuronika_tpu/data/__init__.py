@@ -32,7 +32,8 @@ import numpy as np
 
 __all__ = [
     "DataLoader", "LabeledDataLoader", "Dataset", "LabeledDataset",
-    "Batch", "LabeledBatch", "KFold", "LabeledKFold", "prefetch_to_device",
+    "Batch", "LabeledBatch", "KFold", "LabeledKFold", "SetKFold",
+    "prefetch_to_device",
 ]
 
 
@@ -314,23 +315,44 @@ class LabeledBatch:
         return n // self._size if self._drop_last else -(-n // self._size)
 
 
+class SetKFold:
+    """Fold-view over one tensor: fold i yields (train, test) along axis 0.
+
+    Exact reference math (lib.rs:685-720): ``step = 1 + (len-1)//k`` (ceil
+    division), fold i covers ``[step*i, min(len, step*i+step))`` — trailing
+    folds may be short or (for k > ceil(len/step)) empty."""
+
+    def __init__(self, source: np.ndarray, k: int) -> None:
+        if k < 2:
+            raise ValueError("error: folds must be > 2.")
+        n = source.shape[0]
+        assert n != 0, "no record provided"
+        self._source = source
+        self._step = 1 + (n - 1) // int(k)
+        self._axis_len = n
+
+    def compute_fold(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        start = self._step * i
+        stop = min(self._axis_len, start + self._step)
+        test = self._source[start:stop]
+        train = np.concatenate(
+            [self._source[:start], self._source[stop:]], axis=0
+        )
+        return train, test
+
+
 class KFold:
     """Consecutive-fold cross validation: fold i yields (train, test)
-    (reference lib.rs:685-720, 809-838)."""
+    (reference lib.rs:809-838, delegating to SetKFold)."""
 
     def __init__(self, records: np.ndarray, k: int) -> None:
         if k < 2 or k > records.shape[0]:
             raise ValueError("k must be between 2 and the dataset length")
-        self._records = records
+        self._records = SetKFold(records, k)
         self._k = int(k)
 
     def compute_fold(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        n = self._records.shape[0]
-        fold = n // self._k
-        lo, hi = i * fold, (i + 1) * fold if i < self._k - 1 else n
-        test = self._records[lo:hi]
-        train = np.concatenate([self._records[:lo], self._records[hi:]], axis=0)
-        return train, test
+        return self._records.compute_fold(i)
 
     def __iter__(self):
         for i in range(self._k):
@@ -341,6 +363,8 @@ class LabeledKFold:
     """K-fold over paired records/labels (reference lib.rs:722-767)."""
 
     def __init__(self, records: np.ndarray, labels: np.ndarray, k: int) -> None:
+        if records.shape[0] != labels.shape[0]:
+            raise ValueError("records and labels must have equal length")
         self._records = KFold(records, k)
         self._labels = KFold(labels, k)
         self._k = int(k)

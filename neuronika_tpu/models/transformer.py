@@ -397,7 +397,16 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
     (compile-once-per-depth). `mesh` activates shard_map'd kernels in the
     pjit path."""
     B, S = tokens.shape
-    x = (params["wte"][tokens] + params["wpe"][:S]).astype(cfg.dtype)
+    # wte is tp-sharded on d_model (Megatron layout); under sp the gather
+    # output must be S-sharded with d_model full, and GSPMD cannot reshard
+    # D-sharded -> S-sharded efficiently (involuntary full remat warning).
+    # Instead: all-gather wte first (one small V x D collective), so the
+    # lookup is born replicated and the sp constraint is a local slice.
+    wte = params["wte"]
+    if mesh is not None and cfg.seq_parallel and "tp" in mesh.axis_names:
+        wte = lax.with_sharding_constraint(wte, NamedSharding(mesh, P()))
+    x = _seq_shard(wte[tokens], cfg, mesh)
+    x = (x + params["wpe"][:S]).astype(cfg.dtype)
     if key is None:
         key = jax.random.key(0)
     keys = jax.random.split(key, cfg.n_layer)
@@ -492,9 +501,12 @@ def make_sharded_train_step(mesh, cfg: GPTConfig):
     data_shard = NamedSharding(mesh, P("dp", None))
     rep = NamedSharding(mesh, P())
 
-    use_mesh = (
-        mesh if (_use_flash(cfg, cfg.max_seq, True) or cfg.seq_parallel) else None
-    )
+    # Always thread the mesh through: _attention re-decides flash from the
+    # *actual* S at trace time, and a Pallas call traced without shard_map
+    # inside this GSPMD program would not partition. With the mesh present
+    # the flash branch always goes through shard_map, and the non-flash /
+    # non-sp paths simply ignore it.
+    use_mesh = mesh
 
     def step(params, opt_state, tokens, targets, lr, key):
         loss, grads = jax.value_and_grad(loss_fn)(

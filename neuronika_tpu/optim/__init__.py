@@ -100,7 +100,9 @@ class Optimizer:
         self._state: List[Dict[str, jax.Array]] = []
         self._step_count = 0
         self._compiled = None
-        self._fused_cache: Dict = {}
+        from .._engine.executor import LRUCache
+
+        self._fused_cache: Dict = LRUCache(32)
 
     # -------------------------------------------------------------- lr api
     def get_lr(self) -> float:

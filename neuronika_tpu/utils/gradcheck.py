@@ -41,14 +41,17 @@ def gradcheck(
 
     for idx, base in enumerate(inputs):
         num = np.zeros_like(base, dtype=np.float64)
-        flat = base.reshape(-1)
-        for j in range(flat.size):
-            bumped = [a.copy() for a in inputs]
-            bumped[idx].reshape(-1)[j] = flat[j] + eps
+        for j in range(base.size):
+            # np.ndarray.copy() is C-contiguous, but index via unravel_index
+            # anyway: reshape(-1) on a non-contiguous view returns a copy and
+            # would make the bump a silent no-op.
+            pos = np.unravel_index(j, base.shape)
+            bumped = [np.ascontiguousarray(a) for a in inputs]
+            bumped[idx][pos] = base[pos] + eps
             up = eval_at(bumped)
-            bumped[idx].reshape(-1)[j] = flat[j] - eps
+            bumped[idx][pos] = base[pos] - eps
             down = eval_at(bumped)
-            num.reshape(-1)[j] = (up - down) / (2 * eps)
+            num[pos] = (up - down) / (2 * eps)
         np.testing.assert_allclose(
             analytic[idx], num, rtol=rtol, atol=atol,
             err_msg=f"gradcheck failed for input {idx}",

@@ -98,12 +98,21 @@ def load_state_dict(model: Dict, state: Dict) -> None:
 # binary checkpoints
 
 
+def _npz_path(path: str) -> str:
+    # np.savez appends '.npz' to a suffixless path; normalise on both ends
+    # so save_npz('ckpt') / load_npz('ckpt') round-trips.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_npz(path: str, variables: Dict[str, Var]) -> None:
-    np.savez(path, **{k: np.asarray(v.data()) for k, v in variables.items()})
+    np.savez(
+        _npz_path(path),
+        **{k: np.asarray(v.data()) for k, v in variables.items()},
+    )
 
 
 def load_npz(path: str, variables: Dict[str, Var]) -> None:
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         for k, v in variables.items():
             v.assign(data[k])
 
@@ -115,13 +124,13 @@ def save_optimizer(path: str, optimizer) -> None:
     for i, state in enumerate(optimizer._state):
         for k, v in state.items():
             flat[f"{i}.{k}"] = np.asarray(v)
-    np.savez(path, **flat)
+    np.savez(_npz_path(path), **flat)
 
 
 def load_optimizer(path: str, optimizer) -> None:
     """Restore state saved by `save_optimizer` into a compatible optimizer
     (same algorithm, same registration order)."""
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         optimizer._step_count = int(data["__step__"])
         new_state = []
         for i, state in enumerate(optimizer._state):

@@ -70,7 +70,9 @@ def _to_operand(x: Any, dtype=None) -> "Var":
     return Var(Node("leaf", arr.shape, arr.dtype))._with_value(arr)
 
 
-_SHAPE_MEMO: dict = {}
+from ._engine.executor import LRUCache as _LRUCache  # noqa: E402
+
+_SHAPE_MEMO: dict = _LRUCache(8192)
 
 
 def _infer_shape(op, extra, parents):

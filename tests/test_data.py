@@ -129,6 +129,21 @@ def test_labeled_kfold():
     assert te_r.shape[0] == te_l.shape[0] == 2
 
 
+def test_set_kfold_reference_math():
+    # reference SetKFold (lib.rs:685-720): step = 1 + (len-1)//k, fold i =
+    # [step*i, min(len, step*i+step)) — len=10, k=3 gives folds 4,4,2.
+    src = np.arange(20.0).reshape(10, 2).astype(np.float32)
+    kf = data.SetKFold(src, 3)
+    tr, te = kf.compute_fold(0)
+    assert te.shape == (4, 2) and tr.shape == (6, 2)
+    assert_close(te, src[:4])
+    tr, te = kf.compute_fold(2)
+    assert te.shape == (2, 2) and tr.shape == (8, 2)
+    assert_close(te, src[8:])
+    with pytest.raises(ValueError):
+        data.SetKFold(src, 1)
+
+
 def test_labeled_split():
     ds = data.DataLoader.default().with_labels([3]).from_reader(CSV_LABELED, 3, 1)
     a, b = ds.split([3, 1])

@@ -64,6 +64,27 @@ def test_npz_roundtrip(tmp_path):
     assert_close(lin2.weight.data(), lin.weight.data())
 
 
+def test_npz_roundtrip_suffixless_path(tmp_path):
+    # np.savez appends '.npz' to a bare path; save/load must both normalise
+    # (ADVICE r1: save_npz('ckpt')/load_npz('ckpt') used to FileNotFoundError)
+    lin = nn.Linear(4, 4)
+    path = str(tmp_path / "ckpt")
+    utils.save_npz(path, {"w": lin.weight, "b": lin.bias})
+    lin2 = nn.Linear(4, 4)
+    utils.load_npz(path, {"w": lin2.weight, "b": lin2.bias})
+    assert_close(lin2.weight.data(), lin.weight.data())
+
+
+def test_gradcheck_noncontiguous_input():
+    # reshape(-1) on a transposed (non-contiguous) array returns a copy,
+    # which used to make the finite-difference bump a silent no-op
+    from neuronika_tpu.utils.gradcheck import gradcheck
+
+    base = np.asfortranarray(np.random.rand(3, 4).astype(np.float32))
+    assert not base.flags["C_CONTIGUOUS"]
+    gradcheck(lambda v: (v * v).sum(), [base])
+
+
 def test_pytree_roundtrip(tmp_path):
     import jax
 
