@@ -80,6 +80,97 @@ def _bench_quickstart_mlp(steps: int = 50) -> float:
     return steps / (time.perf_counter() - t0)
 
 
+def _measure_rtt():
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    float(tiny(z))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(tiny(z))
+        rtts.append(time.perf_counter() - t0)
+    return sorted(rtts)[len(rtts) // 2]
+
+
+def _timed(fn, rtt, *args, reps=6):
+    """Median synced call time minus tunnel RTT; fn(*args) returns a
+    scalar. Inputs are passed as ARGUMENTS — a zero-arg jitted closure is
+    constant-folded by XLA and would time the result cache."""
+    float(fn(*args))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return max(sorted(ts)[len(ts) // 2] - rtt, 1e-7)
+
+
+def _kernel_rooflines(peak: float) -> dict:
+    """Roofline fractions for the hot kernels (VERDICT r1 #3: these belong
+    in the driver-captured artifact, not in docstrings). Verified-sync
+    timing: float() fetch of a scalar reduction minus the tunnel RTT."""
+    out = {}
+    rtt = _measure_rtt()
+    try:
+        from neuronika_tpu.ops.pallas.matmul import matmul as pmm
+
+        M = N = K = 4096
+        a = jax.random.normal(jax.random.key(0), (M, K), jnp.bfloat16)
+        b = jax.random.normal(jax.random.key(1), (K, N), jnp.bfloat16)
+        f = jax.jit(lambda a, b: pmm(
+            a, b, bm=512, bn=1024, bk=512).astype(jnp.float32).sum())
+        out["matmul_mfu"] = round(
+            2 * M * N * K / _timed(f, rtt, a, b) / peak, 4)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+    try:
+        from neuronika_tpu.ops.pallas.attention import flash_attention
+
+        B, H, S, D = 4, 8, 2048, 128
+        q, k, v = (
+            jax.random.normal(jax.random.key(i), (B, H, S, D), jnp.bfloat16)
+            for i in range(3)
+        )
+        fl = 2 * B * H * S * S * D  # causal
+        f = jax.jit(lambda q, k, v: flash_attention(
+            q, k, v, True, None, 512, 512).astype(jnp.float32).sum())
+        out["flash_fwd_mfu"] = round(fl / _timed(f, rtt, q, k, v) / peak, 4)
+        g = jax.grad(
+            lambda q, k, v: flash_attention(
+                q, k, v, True, None, 512, 512).astype(jnp.float32).sum(),
+            argnums=(0, 1, 2))
+        fb = jax.jit(lambda q, k, v: sum(t.astype(jnp.float32).sum()
+                                         for t in g(q, k, v)))
+        out["flash_fwdbwd_mfu"] = round(
+            (fl * 9 // 2) / _timed(fb, rtt, q, k, v) / peak, 4)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+    try:
+        from jax import lax
+
+        B, C, HW = 64, 256, 56
+        x = jax.random.normal(jax.random.key(0), (B, C, HW, HW), jnp.bfloat16)
+        w = jax.random.normal(jax.random.key(1), (C, C, 3, 3), jnp.bfloat16)
+
+        def conv(x, w):
+            return lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+        fl = 2 * B * C * C * 9 * HW * HW
+        f = jax.jit(lambda x, w: conv(x, w).astype(jnp.float32).sum())
+        out["conv2d_fwd_mfu"] = round(fl / _timed(f, rtt, x, w) / peak, 4)
+        g = jax.grad(lambda x, w: conv(x, w).astype(jnp.float32).sum(),
+                     argnums=(0, 1))
+        fb = jax.jit(lambda x, w: sum(t.astype(jnp.float32).sum()
+                                      for t in g(x, w)))
+        out["conv2d_fwdbwd_mfu"] = round(
+            3 * fl / _timed(fb, rtt, x, w) / peak, 4)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+    return out
+
+
 def _run_config(T, cfg, B, S, steps):
     key = jax.random.key(0)
     params = T.init_params(key, cfg)
@@ -171,6 +262,8 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         mlp_sps = None
 
+    rooflines = _kernel_rooflines(_device_peak()) if on_tpu else {}
+
     print(
         json.dumps(
             {
@@ -183,6 +276,7 @@ def main() -> None:
                     "step_ms": round(dt * 1e3, 2),
                     "rtt_ms": round(rtt * 1e3, 2),
                     "quickstart_mlp_steps_per_sec": mlp_sps,
+                    "kernel_rooflines": rooflines or None,
                     "loss": lv,
                     "device": str(jax.devices()[0]),
                     "config": label,

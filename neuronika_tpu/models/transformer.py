@@ -58,6 +58,18 @@ class GPTConfig:
     flash: str = "auto"
     # checkpoint the block during training (memory for FLOPs)
     remat: bool = True
+    # what the per-block jax.checkpoint SAVES (everything else is
+    # recomputed in the backward pass):
+    #   "full"       — nothing beyond the block inputs (max recompute,
+    #                  min memory; the classic full-block remat)
+    #   "flash"      — the flash-attention residuals (q/k/v/out/lse), so
+    #                  the backward never re-runs the forward flash kernel
+    #   "names"      — "flash" + the matmul *inputs* (ln1/ln2 outputs,
+    #                  pre-GeLU, GeLU output): backward recomputes only
+    #                  cheap elementwise/norm ops, no matmul re-runs
+    #   "dots"       — XLA policy: save all non-batched dot outputs
+    #   "flash_dots" — union of "dots" and the flash residuals
+    remat_policy: str = "full"
     # flash-attention block sizes (clamped to S)
     flash_block: int = 256
     # fused linear+cross-entropy Pallas kernel for the LM head. Avoids
@@ -72,7 +84,10 @@ class GPTConfig:
     n_experts: int = 0
     # MoE dispatch: "dense" routes every token through every expert and
     # gates the combine (simple, shardable); "sparse" is Switch-style
-    # capacity-based dispatch (each expert computes only its capacity).
+    # capacity-based dispatch via one-hot einsums (each expert computes
+    # only its capacity; dispatch itself costs O(N·E·C)); "sort" is the
+    # same routing via argsort + scatter/gather — O(N log N + N·D)
+    # dispatch, the FLOPs-credible form at scale.
     moe_impl: str = "dense"
     moe_capacity: float = 2.0
     # Switch load-balancing auxiliary loss weight (0 disables); encourages
@@ -199,8 +214,6 @@ def _layer_norm(x, p, eps=1e-5):
 def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
     if cfg.flash == "off":
         return False
-    if train and cfg.dropout > 0.0:
-        return False  # attention-dropout only on the composite path
     if cfg.flash == "on":
         return True
     from ..config import on_tpu
@@ -230,15 +243,30 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     B, S, D = x.shape
     H = cfg.n_head
     hd = D // H
+    from jax.ad_checkpoint import checkpoint_name
+
     qkv = jnp.dot(x, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
     q, k, v = _split_qkv(qkv, cfg, B, S)
+    # tagged so the "names" remat policy keeps them: the flash backward's
+    # primals then come from storage instead of a qkv-matmul re-run
+    q = checkpoint_name(q, "attn_q")
+    k = checkpoint_name(k, "attn_k")
+    v = checkpoint_name(v, "attn_v")
     if _use_flash(cfg, S, train):
         from ..config import config as _cfg
-        from ..ops.pallas.attention import flash_attention
+        from ..ops.pallas.attention import (
+            flash_attention,
+            flash_attention_dropout,
+        )
 
         bq = bk = min(cfg.flash_block, S)
         interp = _cfg.pallas_interpret
+        drop = cfg.dropout if train else 0.0
+        seed = (
+            jax.random.randint(dropout_key, (), 0, 1 << 30).astype(jnp.float32)
+            if drop > 0.0 else None
+        )
         if mesh is not None:
             # Pallas calls are not GSPMD-partitionable; shard_map maps the
             # kernel over the (dp, tp)-sharded batch/head axes — attention
@@ -247,14 +275,35 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             from jax.sharding import PartitionSpec as _P
 
             spec = _P("dp", "tp", None, None)
-            fa = shard_map(
-                lambda q_, k_, v_: flash_attention(
-                    q_, k_, v_, True, None, bq, bk, interp
-                ),
-                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                check_rep=False,
+            if drop > 0.0:
+                def _fa_drop(q_, k_, v_, s_):
+                    # decorrelate masks across shards: local (b, h) indices
+                    # repeat per shard, so mix the mesh position in
+                    s_ = s_ + (lax.axis_index("dp") * 1000003
+                               + lax.axis_index("tp") * 7919)
+                    return flash_attention_dropout(
+                        q_, k_, v_, s_, True, None, bq, bk, interp, drop
+                    )
+
+                fa = shard_map(
+                    _fa_drop, mesh=mesh,
+                    in_specs=(spec, spec, spec, _P()), out_specs=spec,
+                    check_rep=False,
+                )
+                out = fa(q, k, v, seed)
+            else:
+                fa = shard_map(
+                    lambda q_, k_, v_: flash_attention(
+                        q_, k_, v_, True, None, bq, bk, interp
+                    ),
+                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                    check_rep=False,
+                )
+                out = fa(q, k, v)
+        elif drop > 0.0:
+            out = flash_attention_dropout(
+                q, k, v, seed, True, None, bq, bk, interp, drop
             )
-            out = fa(q, k, v)
         else:
             out = flash_attention(q, k, v, True, None, bq, bk, interp)
     else:
@@ -276,8 +325,11 @@ def _mlp(x, blk, cfg: GPTConfig):
     """Returns (out, moe_aux_loss) — aux is 0 for the dense MLP."""
     if cfg.n_experts:
         return _moe_mlp(x, blk, cfg)
+    from jax.ad_checkpoint import checkpoint_name
+
     h = jnp.dot(x, blk["fc_in"].astype(cfg.dtype), preferred_element_type=jnp.float32)
-    h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
+    h = checkpoint_name((h + blk["fc_in_b"]).astype(cfg.dtype), "ffn_pre")
+    h = checkpoint_name(jax.nn.gelu(h), "ffn_act")
     o = jnp.dot(h, blk["fc_out"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     return (o + blk["fc_out_b"]).astype(cfg.dtype), jnp.zeros((), jnp.float32)
 
@@ -285,6 +337,8 @@ def _mlp(x, blk, cfg: GPTConfig):
 def _moe_mlp(x, blk, cfg: GPTConfig):
     if cfg.moe_impl == "sparse":
         return _moe_mlp_sparse(x, blk, cfg)
+    if cfg.moe_impl == "sort":
+        return _moe_mlp_sort(x, blk, cfg)
     return _moe_mlp_dense(x, blk, cfg)
 
 
@@ -374,6 +428,62 @@ def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
     return y.reshape(B, S, D), aux
 
 
+def _moe_mlp_sort(x, blk, cfg: GPTConfig):
+    """Switch-style top-1 MoE with sort-based dispatch.
+
+    Replaces the O(N·E·C·D) one-hot dispatch/combine einsums of
+    `_moe_mlp_sparse` with an argsort + row scatter/gather:
+    O(N log N) for the sort plus O(N·D) data movement — the FLOPs-credible
+    dispatch at scale. Same routing semantics: top-1 expert, per-expert
+    capacity C = ceil(capacity_factor·N/E), overflow tokens (ranked by
+    original position within their expert — stable sort) are dropped and
+    pass through the residual with zero combine weight."""
+    B, S, D = x.shape
+    E = cfg.n_experts
+    N = B * S
+    C = max(int(math.ceil(cfg.moe_capacity * N / E)), 1)
+
+    xf = x.reshape(N, D)
+    top, sel, probs = _moe_gate(xf[None], {**blk}, cfg)
+    top, sel, probs = top[0], sel[0], probs[0]      # (N,) / (N, E)
+    aux = _moe_aux_loss(sel, probs, E)
+
+    # stable sort by expert id keeps original token order within an expert
+    # (identical keep-set to the cumsum ranking of the einsum path)
+    order = jnp.argsort(sel, stable=True)                    # (N,)
+    sel_sorted = sel[order]
+    # rank within expert: running index minus the expert's start offset
+    counts = jnp.bincount(sel, length=E)                     # (N,) -> (E,)
+    starts = jnp.cumsum(counts) - counts                     # (E,)
+    rank = jnp.arange(N) - starts[sel_sorted]                # (N,)
+    keep = rank < C
+    dst = jnp.where(keep, sel_sorted * C + rank, E * C)      # overflow slot
+
+    # dispatch: scatter token rows into (E*C [+1 trash], D) expert buffers
+    buf = jnp.zeros((E * C + 1, D), cfg.dtype)
+    expert_in = buf.at[dst].set(xf[order].astype(cfg.dtype))[:-1]
+    expert_in = expert_in.reshape(E, C, D)
+
+    h = jnp.einsum(
+        "ecd,edf->ecf", expert_in, blk["fc_in"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.gelu((h + blk["fc_in_b"][:, None, :]).astype(cfg.dtype))
+    o = jnp.einsum(
+        "ecf,efd->ecd", h, blk["fc_out"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    o = (o + blk["fc_out_b"][:, None, :]).astype(cfg.dtype)  # (E, C, D)
+
+    # combine: gather each surviving token's expert output back to its
+    # original position, weighted by the gate probability
+    o_flat = o.reshape(E * C, D)
+    gathered = jnp.where(keep[:, None], o_flat[jnp.minimum(dst, E * C - 1)], 0)
+    y = jnp.zeros((N, D), cfg.dtype).at[order].set(gathered.astype(cfg.dtype))
+    y = y * top[:, None].astype(cfg.dtype)
+    return y.reshape(B, S, D), aux
+
+
 def _seq_shard(x, cfg: GPTConfig, mesh):
     if mesh is None or not cfg.seq_parallel or "tp" not in mesh.axis_names:
         return x
@@ -382,11 +492,54 @@ def _seq_shard(x, cfg: GPTConfig, mesh):
     )
 
 
+_MATMUL_INPUT_NAMES = (
+    "ln1_out", "ln2_out", "ffn_pre", "ffn_act",
+    "attn_q", "attn_k", "attn_v",
+)
+
+
+def _save_kernel_outputs(prim, *_, **__) -> bool:
+    """Remat predicate: save the outputs of Pallas / custom-VJP calls.
+
+    `checkpoint_name` tags cannot reach a custom_vjp's residuals (the call
+    is opaque to partial-eval), but the saveable predicate IS consulted for
+    the call equation itself — saving its outputs keeps the flash
+    out/lse residuals alive so the backward never re-runs the forward
+    kernel (verified: grad jaxpr drops from 4 pallas_calls to 3)."""
+    return "pallas" in prim.name or "custom_vjp" in prim.name
+
+
+def _remat_policy(cfg: GPTConfig):
+    """Resolve cfg.remat_policy to a jax.checkpoint policy (None = save
+    nothing, i.e. classic full-block remat)."""
+    cp = jax.checkpoint_policies
+    if cfg.remat_policy == "full":
+        return None
+    if cfg.remat_policy == "flash":
+        return _save_kernel_outputs
+    if cfg.remat_policy == "names":
+        return cp.save_from_both_policies(
+            _save_kernel_outputs,
+            cp.save_only_these_names(*_MATMUL_INPUT_NAMES),
+        )
+    if cfg.remat_policy == "dots":
+        return cp.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy == "flash_dots":
+        return cp.save_from_both_policies(
+            cp.dots_with_no_batch_dims_saveable, _save_kernel_outputs
+        )
+    raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+
+
 def _block(x, blk, cfg: GPTConfig, key, train: bool, mesh=None):
+    from jax.ad_checkpoint import checkpoint_name
+
     x = _seq_shard(x, cfg, mesh)
-    x = x + _attention(_layer_norm(x, blk["ln1"]), blk, cfg, key, train, mesh)
+    h1 = checkpoint_name(_layer_norm(x, blk["ln1"]), "ln1_out")
+    x = x + _attention(h1, blk, cfg, key, train, mesh)
     x = _seq_shard(x, cfg, mesh)
-    m, aux = _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    h2 = checkpoint_name(_layer_norm(x, blk["ln2"]), "ln2_out")
+    m, aux = _mlp(h2, blk, cfg)
     return x + m, aux
 
 
@@ -413,7 +566,10 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
 
     block = _block
     if cfg.remat and train:
-        block = jax.checkpoint(_block, static_argnums=(2, 4, 5))
+        policy = _remat_policy(cfg)
+        block = jax.checkpoint(
+            _block, static_argnums=(2, 4, 5), policy=policy
+        )
 
     def scan_body(x, layer):
         blk, k = layer

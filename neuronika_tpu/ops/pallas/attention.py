@@ -7,9 +7,21 @@ the S×S matrix (flash-attention-2 schedule): one forward kernel, and two
 backward kernels (a dq pass over query blocks and a dk/dv pass over key
 blocks) driven by the saved log-sum-exp and the delta = Σ dO·O row term.
 
-All softmax math is f32 on the VPU; the q·kᵀ / p·v contractions hit the MXU
-with f32 accumulation. Falls back to the XLA composite off-TPU (tests run
-the kernels in interpreter mode).
+Performance notes (TPU v5e measurements drive these choices):
+* every MXU contraction takes **bf16 operands with f32 accumulation**
+  (`preferred_element_type=f32`) — upcasting q/k/v/p to f32 before the dot
+  would halve MXU throughput or worse; softmax/statistics math stays f32 on
+  the VPU.
+* the causal loop is split into a full-tiles range (no mask evaluated) and
+  the single diagonal tile range (iota mask) — the mask is a VPU cost paid
+  only where it changes the result.
+* the log-sum-exp residual is stored `(B, H, S, LSE_W)` with LSE_W = 8
+  lanes (the f32 sublane tile), not 128 — 16× less HBM for the残 residual
+  that selective rematerialisation keeps alive per layer.
+* under `jax.checkpoint`, the forward kernel is NOT re-run in the backward
+  pass when the remat policy saves pallas/custom_vjp outputs (the
+  primitive-name predicate in models/transformer._remat_policy) — the
+  out/lse residuals are then kept instead of recomputed.
 
 This is the "attention built from primitive ops" stretch config of
 BASELINE.md taken to speed-of-light; the reference has no attention op at
@@ -28,54 +40,101 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LSE_W = 8  # lane width of the stored log-sum-exp (f32 sublane tile)
+
+
+def _dot_bf16(a, b):
+    """MXU contraction: operands stay in their storage dtype (bf16 on the
+    perf path), accumulation in f32."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _tile_keep_mask(seed_ref, b, h, row_tile, col_tile, shape, rate,
+                    interpret=False):
+    """Deterministic per-tile dropout keep-mask.
+
+    Seeded by (seed, batch, head, absolute q-tile, absolute k-tile) so the
+    forward and both backward kernels regenerate the IDENTICAL mask for a
+    tile regardless of their own grid/loop orientation (the reference
+    stores the noise buffer, node/dropout/mod.rs:53-128; regenerating from
+    the on-core counter-based PRNG is the TPU-idiomatic equivalent).
+
+    Interpret mode (CPU tests) has no lowering for the Mosaic PRNG; a
+    jax.random emulation keeps fwd/bwd masks consistent there (the actual
+    bits differ from TPU — the distribution is what tests check)."""
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    if interpret:
+        key = jax.random.key(seed_ref[0])
+        for salt in (b, h, row_tile, col_tile):
+            key = jax.random.fold_in(key, salt)
+        bits = jax.random.bits(key, shape, jnp.uint32)
+    else:
+        pltpu.prng_seed(seed_ref[0], b, h, row_tile, col_tile)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= threshold  # keep with probability 1 - rate
 
 
 # --------------------------------------------------------------------------
 # forward kernel
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, causal):
+def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
+                block_k, causal, dropout, interpret=False):
     block_q = q_ref.shape[2]
     head_dim = q_ref.shape[3]
     seq = k_ref.shape[2]
-    qi = pl.program_id(2)
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, d)
+    q = q_ref[0, 0]  # (bq, d) — storage dtype feeds the MXU directly
 
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
 
-    if causal:
-        num_kv = ((qi + 1) * block_q + block_k - 1) // block_k
-    else:
-        num_kv = seq // block_k
-
-    def body(j, carry):
+    def tile(j, carry, masked):
         m, l, acc = carry
-        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        if causal:
-            rows = qi * block_q + jax.lax.broadcasted_iota(
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = _dot_bf16(q, kb.T) * scale  # f32 (bq, bk)
+        if masked:
+            rows = qi * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            cols = j * block_k + jax.lax.broadcasted_iota(
+            cols = j * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=1))
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m - m_new)
+        # softmax statistics (l, lse) are UNMASKED — dropout applies to the
+        # normalised probabilities, so masking only touches the p·v term
         l = l * alpha + p.sum(axis=1)
-        acc = acc * alpha[:, None] + jnp.dot(
-            p, vb, preferred_element_type=jnp.float32
-        )
+        if dropout > 0.0:
+            keep = _tile_keep_mask(seed_ref, b, h, qi, j,
+                                   (block_q, block_k), dropout, interpret)
+            p = jnp.where(keep, p, 0.0)
+        acc = acc * alpha[:, None] + _dot_bf16(p.astype(q_ref.dtype), vb)
         return m_new, l, acc
 
-    m, l, acc = lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / l[:, None]).astype(o_ref.dtype)
-    # lse is replicated across a 128-lane axis to satisfy TPU tiling
+    if causal:
+        # tiles strictly below the diagonal need no mask; tiles crossing it
+        # (block_q/block_k not nested ⇒ possibly several) evaluate the iota
+        # mask; tiles strictly above are skipped entirely.
+        n_full = (qi * block_q) // block_k
+        n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
+        carry = lax.fori_loop(
+            0, n_full, lambda j, c: tile(j, c, False), (m0, l0, acc0)
+        )
+        m, l, acc = lax.fori_loop(
+            n_full, n_edge, lambda j, c: tile(j, c, True), carry
+        )
+    else:
+        m, l, acc = lax.fori_loop(
+            0, seq // block_k, lambda j, c: tile(j, c, False), (m0, l0, acc0)
+        )
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+    o_ref[0, 0] = (acc * (inv_keep / l[:, None])).astype(o_ref.dtype)
     lse_ref[0, 0] = jnp.broadcast_to(
         (m + jnp.log(l))[:, None], lse_ref.shape[2:]
     )
@@ -85,80 +144,113 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, causal):
 # backward kernels
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale, block_k, causal):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
+                   dq_ref, *, scale, block_k, causal, dropout,
+                   interpret=False):
     block_q = q_ref.shape[2]
     seq = k_ref.shape[2]
-    qi = pl.program_id(2)
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, :1]      # (bq, 1), lane-replicated storage
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]      # (bq, 1)
     delta = delta_ref[0, 0][:, :1]
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
 
-    if causal:
-        num_kv = ((qi + 1) * block_q + block_k - 1) // block_k
-    else:
-        num_kv = seq // block_k
-
-    def body(j, dq):
-        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) * scale
-        if causal:
-            rows = qi * block_q + jax.lax.broadcasted_iota(
+    def tile(j, dq, masked):
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = _dot_bf16(q, kb.T) * scale
+        if masked:
+            rows = qi * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            cols = j * block_k + jax.lax.broadcasted_iota(
+            cols = j * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+        dp = _dot_bf16(do, vb.T)
+        if dropout > 0.0:
+            keep = _tile_keep_mask(seed_ref, b, h, qi, j,
+                                   (block_q, block_k), dropout, interpret)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta) * scale
-        return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32)
+        return dq + _dot_bf16(ds.astype(q_ref.dtype), kb)
 
-    dq0 = jnp.zeros_like(q)
-    dq_ref[0, 0] = lax.fori_loop(0, num_kv, body, dq0).astype(dq_ref.dtype)
+    dq0 = jnp.zeros((block_q, q_ref.shape[3]), jnp.float32)
+    if causal:
+        n_full = (qi * block_q) // block_k
+        n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
+        dq = lax.fori_loop(0, n_full, lambda j, d: tile(j, d, False), dq0)
+        dq = lax.fori_loop(n_full, n_edge, lambda j, d: tile(j, d, True), dq)
+    else:
+        dq = lax.fori_loop(
+            0, seq // block_k, lambda j, d: tile(j, d, False), dq0
+        )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_q, causal):
+                    seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
+                    dropout, interpret=False):
     block_k = k_ref.shape[2]
     seq = q_ref.shape[2]
-    kj = pl.program_id(2)
+    b, h, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
 
-    start = (kj * block_k) // block_q if causal else 0
-    num_q = seq // block_q
-
-    def body(i, carry):
+    def tile(i, carry, masked):
         dk, dv = carry
-        qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
-        s = jnp.dot(qb, k.T, preferred_element_type=jnp.float32) * scale
-        if causal:
-            rows = i * block_q + jax.lax.broadcasted_iota(
+        s = _dot_bf16(qb, k.T) * scale
+        if masked:
+            rows = i * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            cols = kj * block_k + jax.lax.broadcasted_iota(
+            cols = kj * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse)
-        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
-        dp = jnp.dot(dob, v.T, preferred_element_type=jnp.float32)
+        dp = _dot_bf16(dob, v.T)
+        if dropout > 0.0:
+            # same absolute (q-tile, k-tile) seed as fwd/dq -> same mask
+            keep = _tile_keep_mask(seed_ref, b, h, i, kj,
+                                   (block_q, block_k), dropout, interpret)
+            pv = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pv = p
+        dv = dv + _dot_bf16(pv.astype(q_ref.dtype).T, dob)
         ds = p * (dp - delta) * scale
-        dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32)
+        dk = dk + _dot_bf16(ds.astype(q_ref.dtype).T, qb)
         return dk, dv
 
-    dk0 = jnp.zeros_like(k)
-    dv0 = jnp.zeros_like(v)
-    dk, dv = lax.fori_loop(start, num_q, body, (dk0, dv0))
+    zeros = (
+        jnp.zeros((block_k, k_ref.shape[3]), jnp.float32),
+        jnp.zeros((block_k, v_ref.shape[3]), jnp.float32),
+    )
+    num_q = seq // block_q
+    if causal:
+        # query tiles strictly below this key tile's diagonal are masked to
+        # zero contribution — start at the first overlapping tile; tiles
+        # fully past the diagonal (q-block entirely ≥ k-block end) unmasked.
+        start = (kj * block_k) // block_q
+        n_edge = ((kj + 1) * block_k + block_q - 1) // block_q
+        carry = lax.fori_loop(
+            start, n_edge, lambda i, c: tile(i, c, True), zeros
+        )
+        dk, dv = lax.fori_loop(
+            n_edge, num_q, lambda i, c: tile(i, c, False), carry
+        )
+    else:
+        dk, dv = lax.fori_loop(0, num_q, lambda i, c: tile(i, c, False), zeros)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -175,7 +267,14 @@ def _block_sizes(seq: int, block_q: int, block_k: int):
     return bq, bk
 
 
-def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret):
+def _seed_arr(seed):
+    if seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape((1,))
+
+
+def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
+              dropout=0.0, seed=None):
     B, H, S, D = q.shape
     bq, bk = _block_sizes(S, block_q, block_k)
     grid = (B, H, S // bq)
@@ -183,17 +282,20 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret):
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0),
                              memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=bk, causal=causal),
+        functools.partial(_fwd_kernel, scale=scale, block_k=bk,
+                          causal=causal, dropout=dropout,
+                          interpret=interpret),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, S, LSE_W), jnp.float32),
         ),
         grid=grid,
-        in_specs=[row_spec, full_spec, full_spec],
+        in_specs=[row_spec, full_spec, full_spec, seed_spec],
         out_specs=(
             row_spec,
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, bq, LSE_W), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -205,16 +307,17 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret):
             transcendentals=B * H * S * S,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, _seed_arr(seed))
     return out, lse
 
 
-def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k, interpret):
+def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
+              interpret, dropout=0.0, seed=None):
     B, H, S, D = q.shape
     bq, bk = _block_sizes(S, block_q, block_k)
-    # delta = rowsum(dO * O), lane-replicated like lse
+    # delta = rowsum(dO * O), stored like lse
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1, keepdims=True)
-    delta = jnp.broadcast_to(delta, (B, H, S, 128))
+    delta = jnp.broadcast_to(delta, (B, H, S, LSE_W))
 
     row_q = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
@@ -222,37 +325,55 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec_q = pl.BlockSpec((1, 1, bq, 128), lambda b, h, i: (b, h, i, 0),
+    vec_q = pl.BlockSpec((1, 1, bq, LSE_W), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
-    vec_full = pl.BlockSpec((1, 1, S, 128), lambda b, h, i: (b, h, 0, 0),
+    vec_full = pl.BlockSpec((1, 1, S, LSE_W), lambda b, h, i: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    seed_a = _seed_arr(seed)
+
+    flops_bwd = 7 * B * H * S * S * D // (2 if causal else 1)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, causal=causal),
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk,
+                          causal=causal, dropout=dropout,
+                          interpret=interpret),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(B, H, S // bq),
-        in_specs=[row_q, full, full, row_q, vec_q, vec_q],
+        in_specs=[row_q, full, full, row_q, vec_q, vec_q, seed_spec],
         out_specs=row_q,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_bwd // 7,
+            bytes_accessed=5 * B * H * S * D * q.dtype.itemsize,
+            transcendentals=B * H * S * S // (2 if causal else 1),
+        ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, delta, seed_a)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq, causal=causal),
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq,
+                          causal=causal, dropout=dropout,
+                          interpret=interpret),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         grid=(B, H, S // bk),
-        in_specs=[full, row_k, row_k, full, vec_full, vec_full],
+        in_specs=[full, row_k, row_k, full, vec_full, vec_full, seed_spec],
         out_specs=(row_k, row_k),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * flops_bwd // 7,
+            bytes_accessed=5 * B * H * S * D * q.dtype.itemsize,
+            transcendentals=B * H * S * S // (2 if causal else 1),
+        ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, delta, seed_a)
     return dq, dk, dv
 
 
@@ -278,6 +399,11 @@ def _resolve_scale(scale, q):
 
 
 def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    # NOTE on rematerialisation: `checkpoint_name` tags placed in here are
+    # invisible to jax.checkpoint policies (the custom_vjp call is opaque to
+    # partial-eval). Saving these residuals instead works through a
+    # *primitive-name* policy that saves the outputs of the custom_vjp /
+    # pallas_call equation itself — see models/transformer._remat_policy.
     s = _resolve_scale(scale, q)
     out, lse = _fwd_call(q, k, v, s, causal, block_q, block_k, interpret)
     return out, (q, k, v, out, lse)
@@ -292,6 +418,44 @@ def _flash_bwd(causal, scale, block_q, block_k, interpret, res, do):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def flash_attention_dropout(q, k, v, seed, causal: bool = True,
+                            scale: float = None,  # noqa: RUF013
+                            block_q: int = 256, block_k: int = 256,
+                            interpret: bool = False, rate: float = 0.1):
+    """Flash attention with attention-dropout INSIDE the kernel.
+
+    `seed`: f32 scalar array (trace-stable across steps — no retrace per
+    step); the per-tile keep masks are regenerated deterministically from
+    (seed, batch, head, q-tile, k-tile) by the on-core PRNG in both the
+    forward and backward kernels, so no mask tensor ever exists in HBM.
+    Dropout applies to the *normalised* probabilities with 1/(1-rate)
+    scaling, matching the composite softmax-dropout path in distribution."""
+    out, _ = _fwd_call(q, k, v, _resolve_scale(scale, q), causal,
+                       block_q, block_k, interpret, rate, seed)
+    return out
+
+
+def _flashdrop_fwd(q, k, v, seed, causal, scale, block_q, block_k,
+                   interpret, rate):
+    s = _resolve_scale(scale, q)
+    out, lse = _fwd_call(q, k, v, s, causal, block_q, block_k, interpret,
+                         rate, seed)
+    return out, (q, k, v, out, lse, seed)
+
+
+def _flashdrop_bwd(causal, scale, block_q, block_k, interpret, rate, res,
+                   do):
+    q, k, v, out, lse, seed = res
+    s = _resolve_scale(scale, q)
+    dq, dk, dv = _bwd_call(q, k, v, out, lse, do, s, causal, block_q,
+                           block_k, interpret, rate, seed)
+    return dq, dk, dv, jnp.zeros_like(seed)
+
+
+flash_attention_dropout.defvjp(_flashdrop_fwd, _flashdrop_bwd)
 
 
 def reference_attention(q, k, v, causal: bool = True, scale: float = None):  # noqa: RUF013

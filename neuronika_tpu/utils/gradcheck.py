@@ -42,11 +42,12 @@ def gradcheck(
     for idx, base in enumerate(inputs):
         num = np.zeros_like(base, dtype=np.float64)
         for j in range(base.size):
-            # np.ndarray.copy() is C-contiguous, but index via unravel_index
-            # anyway: reshape(-1) on a non-contiguous view returns a copy and
-            # would make the bump a silent no-op.
+            # Always copy (np.ascontiguousarray aliases when already
+            # contiguous) and index via unravel_index: reshape(-1) on a
+            # non-contiguous view returns a copy and would make the bump a
+            # silent no-op.
             pos = np.unravel_index(j, base.shape)
-            bumped = [np.ascontiguousarray(a) for a in inputs]
+            bumped = [np.array(a, order="C", copy=True) for a in inputs]
             bumped[idx][pos] = base[pos] + eps
             up = eval_at(bumped)
             bumped[idx][pos] = base[pos] - eps

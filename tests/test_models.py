@@ -246,6 +246,54 @@ def test_sparse_moe_trains_with_overflow():
     assert all(np.isfinite(l) for l in losses)
 
 
+def test_sort_moe_matches_sparse_exactly():
+    """Sort-based dispatch == capacity-einsum dispatch (same routing, same
+    keep-set under overflow — stable sort preserves original token order
+    within each expert, like the cumsum ranking)."""
+    base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32, d_ff=64,
+                max_seq=16, dtype=jnp.float32, n_experts=4)
+    params = T.init_params(jax.random.key(0), T.GPTConfig(**base))
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+    for cap in (8.0, 1.0, 0.25):  # full capacity and two overflow regimes
+        cfg_s = T.GPTConfig(**base, moe_impl="sparse", moe_capacity=cap)
+        cfg_o = T.GPTConfig(**base, moe_impl="sort", moe_capacity=cap)
+        assert_close(T.forward(params, toks, cfg_s),
+                     T.forward(params, toks, cfg_o), tol=1e-5)
+
+
+def test_sort_moe_grads_match_sparse():
+    base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32, d_ff=64,
+                max_seq=16, dtype=jnp.float32, n_experts=4)
+    params = T.init_params(jax.random.key(0), T.GPTConfig(**base))
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    def grads(impl):
+        cfg = T.GPTConfig(**base, moe_impl=impl, moe_capacity=1.0)
+        return jax.grad(lambda p: T.loss_fn(p, toks, tgts, cfg))(params)
+
+    gs, go = grads("sparse"), grads("sort")
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(go)):
+        assert_close(a, b, tol=1e-5)
+
+
+def test_sort_moe_trains_and_shards_over_ep():
+    from neuronika_tpu import parallel
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32,
+                      n_experts=4, moe_impl="sort", moe_capacity=1.25)
+    mesh = parallel.make_mesh([("dp", 2), ("tp", 2), ("ep", 2)])
+    params = T.init_params(jax.random.key(0), cfg)
+    opt = T.adam_init(params)
+    step = T.make_sharded_train_step(mesh, cfg)
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    params, opt, loss = step(params, opt, toks, tgts, jnp.float32(1e-3),
+                             jax.random.key(2))
+    assert np.isfinite(float(loss))
+
+
 def test_moe_aux_loss_plumbing():
     """moe_aux_weight adds the Switch load-balance term to the loss."""
     base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32, d_ff=64,

@@ -208,3 +208,97 @@ def test_ops_pallas_conv_gate():
         enable_pallas(False)
     assert_close(pl_loss, base_loss, tol=1e-5)
     assert_close(pl_grad, base_grad, tol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# attention dropout inside the flash kernel (kernel-side PRNG)
+
+
+def test_flash_dropout_rate0_identity():
+    from neuronika_tpu.ops.pallas.attention import flash_attention_dropout
+
+    q, k, v = (jax.random.normal(jax.random.key(i), (1, 2, 256, 64))
+               for i in range(3))
+    plain = flash_attention(q, k, v, True, None, 128, 128, True)
+    d0 = flash_attention_dropout(q, k, v, jnp.float32(5.0), True, None,
+                                 128, 128, True, 0.0)
+    assert_close(d0, plain, tol=1e-6)
+
+
+def test_flash_dropout_deterministic_and_seeded():
+    from neuronika_tpu.ops.pallas.attention import flash_attention_dropout
+
+    q, k, v = (jax.random.normal(jax.random.key(i), (1, 2, 256, 64))
+               for i in range(3))
+    a = flash_attention_dropout(q, k, v, jnp.float32(1.0), True, None,
+                                128, 128, True, 0.3)
+    b = flash_attention_dropout(q, k, v, jnp.float32(1.0), True, None,
+                                128, 128, True, 0.3)
+    c = flash_attention_dropout(q, k, v, jnp.float32(2.0), True, None,
+                                128, 128, True, 0.3)
+    assert_close(a, b, tol=0)
+    assert float(jnp.abs(a - c).max()) > 1e-4
+
+
+def test_flash_dropout_unbiased_in_distribution():
+    """E_seed[dropout attention] == plain attention (the 1/(1-p) scaling
+    makes dropout unbiased); matches the composite path in distribution."""
+    from neuronika_tpu.ops.pallas.attention import flash_attention_dropout
+
+    q, k, v = (jax.random.normal(jax.random.key(i), (1, 2, 256, 64))
+               for i in range(3))
+    plain = flash_attention(q, k, v, True, None, 128, 128, True)
+    outs = jnp.stack([
+        flash_attention_dropout(q, k, v, jnp.float32(13 * i + 1), True,
+                                None, 128, 128, True, 0.3)
+        for i in range(32)
+    ])
+    rel = float(jnp.abs(outs.mean(0) - plain).mean()) / float(
+        jnp.abs(plain).mean())
+    assert rel < 0.25, rel
+
+
+def test_flash_dropout_custom_vjp_matches_fd():
+    """Backward kernels regenerate the SAME masks as forward — the custom
+    VJP of the (deterministic, seeded) function matches finite
+    differences."""
+    from jax.test_util import check_grads
+
+    from neuronika_tpu.ops.pallas.attention import flash_attention_dropout
+
+    q, k, v = (jax.random.normal(jax.random.key(i), (1, 1, 128, 32))
+               for i in range(3))
+
+    def f(q, k, v):
+        return flash_attention_dropout(
+            q, k, v, jnp.float32(42.0), True, None, 128, 128, True, 0.3
+        ).sum()
+
+    check_grads(f, (q, k, v), order=1, modes=("rev",), atol=2e-2, rtol=2e-2)
+
+
+def test_transformer_trains_with_flash_dropout():
+    """cfg.dropout > 0 no longer silently disables the flash kernel."""
+    from neuronika_tpu.config import config
+    from neuronika_tpu.models import transformer as T
+
+    old = config.pallas_interpret
+    config.pallas_interpret = True
+    try:
+        cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=64,
+                          d_ff=128, max_seq=128, dtype=jnp.float32,
+                          flash="on", dropout=0.2, remat=False)
+        params = T.init_params(jax.random.key(0), cfg)
+        step = T.make_train_step(cfg)
+        opt = T.adam_init(params)
+        toks = jax.random.randint(jax.random.key(1), (2, 128), 0, 32)
+        tgts = jnp.roll(toks, -1, axis=1)
+        losses = []
+        for i in range(5):
+            params, opt, loss = step(params, opt, toks, tgts,
+                                     jnp.float32(1e-2), jax.random.key(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(l) for l in losses)
+    finally:
+        config.pallas_interpret = old

@@ -269,6 +269,87 @@ def test_pipeline_training_gradients_match_sequential():
     assert_close(g1["b"], g2["b"], tol=1e-6)
 
 
+def test_1f1b_matches_sequential_with_aux():
+    """The 1F1B interleaved schedule computes the same loss and exact
+    gradients (stage params, loss params, microbatch inputs) as sequential
+    execution, including the auxiliary-loss path."""
+    from neuronika_tpu.parallel.pipeline import pipeline_train_1f1b
+
+    stages, D, M, mb = 4, 16, 6, 8
+    w_aux = 0.05
+    mesh = parallel.make_mesh([("pp", stages)], devices=jax.devices()[:stages])
+    params = {
+        "w": jax.random.normal(jax.random.key(0), (stages, D, D)) * 0.3,
+        "b": jax.random.normal(jax.random.key(1), (stages, D)) * 0.1,
+    }
+    lparams = {"head": jax.random.normal(jax.random.key(4), (D, D)) * 0.2}
+    micro = jax.random.normal(jax.random.key(2), (M, mb, D))
+    tgt = jax.random.normal(jax.random.key(3), (M, mb, D))
+
+    def stage_fn(p, x):
+        y = jnp.tanh(x @ p["w"] + p["b"])
+        return y, (x ** 2).mean()          # aux: depends on x AND ripples
+
+    def loss_fn(y, t, lp):
+        return ((y @ lp["head"] - t) ** 2).mean()
+
+    pipe = pipeline_train_1f1b(stage_fn, loss_fn, mesh, aux_weight=w_aux)
+    loss_pp, gs_pp, gl_pp, dm_pp = pipe(params, lparams, micro, tgt)
+
+    def seq_obj(params, lparams, micro):
+        def per_micro(x, t):
+            aux = 0.0
+            for s in range(stages):
+                loc = jax.tree.map(lambda l: l[s], params)
+                x, a = stage_fn(loc, x)
+                aux = aux + a
+            return loss_fn(x, t, lparams), aux
+        ls, auxs = jax.vmap(per_micro)(micro, tgt)
+        return ls.mean() + w_aux * auxs.mean()
+
+    loss_ref, (gs, gl, dm) = jax.value_and_grad(seq_obj, argnums=(0, 1, 2))(
+        params, lparams, micro
+    )
+    assert_close(loss_pp, loss_ref, tol=1e-5)
+    assert_close(gs_pp["w"], gs["w"], tol=1e-5)
+    assert_close(gs_pp["b"], gs["b"], tol=1e-5)
+    assert_close(gl_pp["head"], gl["head"], tol=1e-5)
+    assert_close(dm_pp, dm, tol=1e-5)
+
+
+def test_1f1b_two_stage_odd_micro():
+    """Non-divisible shapes: P=2 stages, M=3 microbatches."""
+    from neuronika_tpu.parallel.pipeline import pipeline_train_1f1b
+
+    stages, D, M, mb = 2, 8, 3, 4
+    mesh = parallel.make_mesh([("pp", stages)], devices=jax.devices()[:stages])
+    params = {"w": jax.random.normal(jax.random.key(0), (stages, D, D)) * 0.3}
+    lparams = {"head": jnp.eye(D)}
+    micro = jax.random.normal(jax.random.key(2), (M, mb, D))
+    tgt = jax.random.normal(jax.random.key(3), (M, mb, D))
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"]), jnp.zeros((), jnp.float32)
+
+    def loss_fn(y, t, lp):
+        return ((y @ lp["head"] - t) ** 2).mean()
+
+    pipe = pipeline_train_1f1b(stage_fn, loss_fn, mesh)
+    loss_pp, gs_pp, _, _ = pipe(params, lparams, micro, tgt)
+
+    def seq_obj(params):
+        def per_micro(x, t):
+            for s in range(stages):
+                x = jnp.tanh(x @ params["w"][s])
+            return loss_fn(x, t, lparams)
+        return jax.vmap(per_micro)(micro, tgt).mean()
+
+    loss_ref = seq_obj(params)
+    gs = jax.grad(seq_obj)(params)
+    assert_close(loss_pp, loss_ref, tol=1e-5)
+    assert_close(gs_pp["w"], gs["w"], tol=1e-5)
+
+
 def test_pipelined_train_step_matches_standard():
     """Full pp training step (GPipe schedule + Adam) equals the standard
     single-program step."""
