@@ -92,23 +92,45 @@ def _measure_rtt():
     return sorted(rtts)[len(rtts) // 2]
 
 
-def _timed(fn, rtt, *args, reps=6):
-    """Median synced call time minus tunnel RTT; fn(*args) returns a
-    scalar. Inputs are passed as ARGUMENTS — a zero-arg jitted closure is
-    constant-folded by XLA and would time the result cache."""
-    float(fn(*args))  # compile
-    ts = []
+def _timed_chain(step_fn, x0, rtt, iters=32, reps=5):
+    """Per-iteration time of a self-chaining kernel: y = step_fn(x) with
+    y.shape == x.shape (pytrees ok), run inside ONE jitted fori_loop (the
+    sequential dependency defeats both XLA constant-folding and overlap).
+    Two-length difference method: RTT and all per-call constants cancel
+    exactly (subtracting a separately measured RTT leaves ±10 ms tunnel
+    jitter that poisons sub-ms kernels). `rtt` is unused, kept for
+    signature stability."""
+    from jax import lax
+
+    def loop(n):
+        return jax.jit(lambda x: lax.fori_loop(
+            0, n, lambda i, x: step_fn(x), x))
+
+    f1, f4 = loop(iters), loop(4 * iters)
+
+    def run(f, x):
+        leaf = jax.tree.leaves(f(x))[0]
+        return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
+    run(f1, x0)
+    run(f4, x0)  # compile both
+    t1s, t4s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return max(sorted(ts)[len(ts) // 2] - rtt, 1e-7)
+        run(f1, x0)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(f4, x0)
+        t4s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    t4 = sorted(t4s)[len(t4s) // 2]
+    return max(t4 - t1, 1e-9) / (3 * iters)
 
 
 def _kernel_rooflines(peak: float) -> dict:
     """Roofline fractions for the hot kernels (VERDICT r1 #3: these belong
-    in the driver-captured artifact, not in docstrings). Verified-sync
-    timing: float() fetch of a scalar reduction minus the tunnel RTT."""
+    in the driver-captured artifact, not in docstrings). Loop-amortised
+    verified-sync timing (see _timed_chain)."""
     out = {}
     rtt = _measure_rtt()
     try:
@@ -116,11 +138,11 @@ def _kernel_rooflines(peak: float) -> dict:
 
         M = N = K = 4096
         a = jax.random.normal(jax.random.key(0), (M, K), jnp.bfloat16)
-        b = jax.random.normal(jax.random.key(1), (K, N), jnp.bfloat16)
-        f = jax.jit(lambda a, b: pmm(
-            a, b, bm=512, bn=1024, bk=512).astype(jnp.float32).sum())
-        out["matmul_mfu"] = round(
-            2 * M * N * K / _timed(f, rtt, a, b) / peak, 4)
+        b = jax.random.normal(jax.random.key(1), (K, N),
+                              jnp.bfloat16) / (K ** 0.5)
+        dt = _timed_chain(lambda x: pmm(
+            x, b, bm=512, bn=1024, bk=512).astype(jnp.bfloat16), a, rtt)
+        out["matmul_mfu"] = round(2 * M * N * K / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     try:
@@ -132,17 +154,20 @@ def _kernel_rooflines(peak: float) -> dict:
             for i in range(3)
         )
         fl = 2 * B * H * S * S * D  # causal
-        f = jax.jit(lambda q, k, v: flash_attention(
-            q, k, v, True, None, 512, 512).astype(jnp.float32).sum())
-        out["flash_fwd_mfu"] = round(fl / _timed(f, rtt, q, k, v) / peak, 4)
+        dt = _timed_chain(
+            lambda x: flash_attention(x, k, v, True, None, 512, 512), q, rtt)
+        out["flash_fwd_mfu"] = round(fl / dt / peak, 4)
         g = jax.grad(
             lambda q, k, v: flash_attention(
                 q, k, v, True, None, 512, 512).astype(jnp.float32).sum(),
             argnums=(0, 1, 2))
-        fb = jax.jit(lambda q, k, v: sum(t.astype(jnp.float32).sum()
-                                         for t in g(q, k, v)))
-        out["flash_fwdbwd_mfu"] = round(
-            (fl * 9 // 2) / _timed(fb, rtt, q, k, v) / peak, 4)
+
+        def chain(x):
+            dq, dk, dv = g(x, k, v)  # consume ALL grads (else DCE)
+            return jnp.tanh(dq + dk + dv).astype(jnp.bfloat16)
+
+        dt = _timed_chain(chain, q, rtt, iters=16)
+        out["flash_fwdbwd_mfu"] = round((fl * 9 // 2) / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     try:
@@ -150,7 +175,8 @@ def _kernel_rooflines(peak: float) -> dict:
 
         B, C, HW = 64, 256, 56
         x = jax.random.normal(jax.random.key(0), (B, C, HW, HW), jnp.bfloat16)
-        w = jax.random.normal(jax.random.key(1), (C, C, 3, 3), jnp.bfloat16)
+        w = jax.random.normal(jax.random.key(1), (C, C, 3, 3),
+                              jnp.bfloat16) / (C * 9) ** 0.5
 
         def conv(x, w):
             return lax.conv_general_dilated(
@@ -158,14 +184,35 @@ def _kernel_rooflines(peak: float) -> dict:
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
         fl = 2 * B * C * C * 9 * HW * HW
-        f = jax.jit(lambda x, w: conv(x, w).astype(jnp.float32).sum())
-        out["conv2d_fwd_mfu"] = round(fl / _timed(f, rtt, x, w) / peak, 4)
+        dt = _timed_chain(lambda x: conv(x, w), x, rtt)
+        out["conv2d_fwd_mfu"] = round(fl / dt / peak, 4)
         g = jax.grad(lambda x, w: conv(x, w).astype(jnp.float32).sum(),
                      argnums=(0, 1))
-        fb = jax.jit(lambda x, w: sum(t.astype(jnp.float32).sum()
-                                      for t in g(x, w)))
-        out["conv2d_fwdbwd_mfu"] = round(
-            3 * fl / _timed(fb, rtt, x, w) / peak, 4)
+
+        def chain(x):
+            dx, dw = g(x, w)
+            return jnp.tanh(dx + dw.mean()).astype(jnp.bfloat16)
+
+        dt = _timed_chain(chain, x, rtt, iters=16)
+        out["conv2d_fwdbwd_mfu"] = round(3 * fl / dt / peak, 4)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+    try:
+        from neuronika_tpu.ops.pallas.conv import conv2d_direct_nhwc
+
+        B, C, HW = 64, 256, 56
+        xh = jax.random.normal(jax.random.key(0), (B, HW, HW, C),
+                               jnp.bfloat16)
+        wh = jax.random.normal(jax.random.key(1), (3, 3, C, C),
+                               jnp.bfloat16) / (C * 9) ** 0.5
+        flv = 2 * B * C * C * 9 * (HW - 2) * (HW - 2)
+
+        def chain(x):
+            y = conv2d_direct_nhwc(x, wh)  # VALID: (HW-2)^2
+            return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+        dt = _timed_chain(chain, xh, rtt)
+        out["pallas_conv2d_fwd_mfu"] = round(flv / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     return out
@@ -217,11 +264,17 @@ def main() -> None:
         max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
     )
     if on_tpu:
+        # r2 sweep winner: packed-qkv flash @ block 1024, flash-residual
+        # remat policy (tools/sweep_r2.py: 0.552 MFU / 221.7k tok/s)
         candidates = [
+            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=1024,
+                         remat_policy="flash"),
+             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash1024+rematflash"),
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512),
              64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash512+remat"),
-            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512),
-             32, 1024, 20, "d768 L8 H6 S1024 B32 bf16 flash512+remat"),
+            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512,
+                         remat_policy="names"),
+             32, 1024, 20, "d768 L8 H6 S1024 B32 bf16 flash512+names"),
             (T.GPTConfig(**base, flash="off", remat=False), 8, 1024, 20,
              "d768 L8 H6 S1024 B8 bf16 xla-attn"),
         ]

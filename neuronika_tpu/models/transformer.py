@@ -247,13 +247,38 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
 
     qkv = jnp.dot(x, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+    use_flash = _use_flash(cfg, S, train)
+    if use_flash and mesh is None:
+        # layout-native path: the packed-qkv kernels read head blocks
+        # straight from this tensor — no split / transpose / GQA-repeat
+        # copies (the body is bandwidth-bound; those copies were ~18% of
+        # its HBM traffic). Tagged for the "names" remat policy.
+        from ..config import config as _cfg
+        from ..ops.pallas.attention import flash_attention_qkv
+
+        qkv = checkpoint_name(qkv, "attn_qkv")
+        drop = cfg.dropout if train else 0.0
+        # the in-kernel dropout mask adds a (bq, bk) u32 tile to scoped
+        # VMEM — at block 1024 that exceeds the 16M limit (measured 19.5M)
+        bq = bk = min(cfg.flash_block, S, 512 if drop > 0.0 else 1 << 30)
+        seed = (
+            jax.random.randint(dropout_key, (), 0, 1 << 30).astype(jnp.float32)
+            if drop > 0.0 else None
+        )
+        out = flash_attention_qkv(
+            qkv, seed, H, _kv_heads(cfg), True, None, bq, bk,
+            _cfg.pallas_interpret, drop,
+        )
+        out = jnp.dot(out, blk["proj"].astype(cfg.dtype),
+                      preferred_element_type=jnp.float32)
+        return (out + blk["proj_b"]).astype(cfg.dtype)
     q, k, v = _split_qkv(qkv, cfg, B, S)
     # tagged so the "names" remat policy keeps them: the flash backward's
     # primals then come from storage instead of a qkv-matmul re-run
     q = checkpoint_name(q, "attn_q")
     k = checkpoint_name(k, "attn_k")
     v = checkpoint_name(v, "attn_v")
-    if _use_flash(cfg, S, train):
+    if use_flash:
         from ..config import config as _cfg
         from ..ops.pallas.attention import (
             flash_attention,
@@ -493,8 +518,12 @@ def _seq_shard(x, cfg: GPTConfig, mesh):
 
 
 _MATMUL_INPUT_NAMES = (
-    "ln1_out", "ln2_out", "ffn_pre", "ffn_act",
-    "attn_q", "attn_k", "attn_v",
+    # ffn_act (GeLU output) is deliberately NOT saved: it is recomputable
+    # from the saved ffn_pre in one cheap VPU pass, and at d_ff=4·d_model
+    # it is the single biggest activation (dropping it saved 3.2 GB at the
+    # flagship B64 config — the difference between OOM and fitting).
+    "ln1_out", "ln2_out", "ffn_pre",
+    "attn_q", "attn_k", "attn_v", "attn_qkv",
 )
 
 
@@ -747,6 +776,102 @@ def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
         return staged, opt_state, loss
 
     blocks_spec = jax.tree.map(lambda _: NamedSharding(mesh, P("pp")), {"x": 0})
+    rep = NamedSharding(mesh, P())
+
+    def shardings_of(staged):
+        return {
+            "wte": rep, "wpe": rep,
+            "ln_f": jax.tree.map(lambda _: rep, staged["ln_f"]),
+            "blocks": jax.tree.map(
+                lambda _: NamedSharding(mesh, P("pp")), staged["blocks"]
+            ),
+        }
+
+    def jit_step(staged, opt_state, tokens, targets, lr):
+        shard = shardings_of(staged)
+        opt_shard = {"m": shard, "v": shard, "step": rep}
+        return jax.jit(
+            step,
+            in_shardings=(shard, opt_shard, rep, rep, rep),
+            out_shardings=(shard, opt_shard, rep),
+        )(staged, opt_state, tokens, targets, lr)
+
+    return jit_step, reshape_params
+
+
+def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
+    """Pipeline-parallel training step with the 1F1B interleaved schedule
+    (parallel.pipeline.pipeline_train_1f1b): activation footprint
+    O(stages) instead of O(microbatches), MoE aux losses flow, and the
+    embedding/head (tied wte) gradients chain through the returned
+    microbatch-input cotangents.
+
+    Returns (step_fn, reshape_params) like make_pipelined_train_step."""
+    from ..parallel.pipeline import pipeline_train_1f1b
+
+    n_stages = mesh.shape["pp"]
+    if cfg.n_layer % n_stages:
+        raise ValueError("n_layer must be divisible by the pp stage count")
+    per_stage = cfg.n_layer // n_stages
+
+    def reshape_params(params):
+        staged = dict(params)
+        staged["blocks"] = jax.tree.map(
+            lambda l: l.reshape(n_stages, per_stage, *l.shape[1:]),
+            params["blocks"],
+        )
+        return staged
+
+    def stage_fn(stage_blocks, x):
+        def body(carry, blk):
+            x, aux = carry
+            y, a = _block(x, blk, cfg, jax.random.key(0), False)
+            return (y, aux + a), None
+
+        (y, aux), _ = lax.scan(body, (x, jnp.zeros((), jnp.float32)),
+                               stage_blocks)
+        return y, aux
+
+    def loss_fn_micro(y, tgt, lp):
+        y = _layer_norm(y, lp["ln_f"])
+        logits32 = jnp.dot(
+            y, lp["wte"].T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits32, axis=-1)
+        t = jnp.take_along_axis(logits32, tgt[..., None], axis=-1)[..., 0]
+        return (lse - t).mean()
+
+    pipe = pipeline_train_1f1b(stage_fn, loss_fn_micro, mesh,
+                               aux_weight=cfg.moe_aux_weight)
+
+    def loss_and_grads(staged, tokens, targets):
+        B, S = tokens.shape
+        lp = {"wte": staged["wte"], "ln_f": staged["ln_f"]}
+
+        def embed(wte, wpe):
+            x = (wte[tokens] + wpe[:S]).astype(cfg.dtype)
+            return x.reshape(n_micro, B // n_micro, S, cfg.d_model)
+
+        micro_x, embed_vjp = jax.vjp(embed, staged["wte"], staged["wpe"])
+        micro_t = targets.reshape(n_micro, B // n_micro, S)
+        loss, gblocks, gloss, dmicro = pipe(
+            staged["blocks"], lp, micro_x, micro_t
+        )
+        d_wte_embed, d_wpe = embed_vjp(dmicro.astype(micro_x.dtype))
+        grads = {
+            "blocks": gblocks,
+            "wte": gloss["wte"] + d_wte_embed,
+            "wpe": d_wpe,
+            "ln_f": gloss["ln_f"],
+        }
+        return loss, grads
+
+    def step(staged, opt_state, tokens, targets, lr):
+        loss, grads = loss_and_grads(staged, tokens, targets)
+        staged, opt_state = adam_update(staged, grads, opt_state, lr)
+        return staged, opt_state, loss
+
     rep = NamedSharding(mesh, P())
 
     def shardings_of(staged):

@@ -427,20 +427,18 @@ def _conv_fwd_lax(e, kernel, inp):
 
 def _conv_fwd(e, kernel, inp):
     stride, dilation, groups = e
-    # Pallas direct-conv path (2-d, stride 1, groups 1) behind the flag.
-    # Interpreter mode only: Mosaic can't lower the kernel's unaligned
-    # reshape yet, and XLA's conv IS the MXU-optimal path on hardware.
-    # The cotangents below always transpose the lax form (same math).
+    # Pallas direct-conv path (2-d, stride 1, groups 1) behind the flag:
+    # the NHWC tap-matmul kernel (ops/pallas/conv.py) compiles on Mosaic
+    # (the r1 NCHW variant's lane-merging reshape did not), so the flag now
+    # genuinely switches tiers on hardware too. XLA's conv remains the
+    # default production path. Cotangents below always transpose the lax
+    # form (same math either way).
     if (
         _use_pallas()
         and len(stride) == 2
         and stride == (1, 1)
         and groups == 1
     ):
-        from ..config import config as _cfg
-
-        if not _cfg.pallas_interpret:
-            return _conv_fwd_lax(e, kernel, inp)
         from ..config import config
         from .pallas.conv import conv2d_direct
 

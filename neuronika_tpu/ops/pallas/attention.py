@@ -41,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LSE_W = 8  # lane width of the stored log-sum-exp (f32 sublane tile)
+# Softmax runs in the exp2 domain: the VPU's native exponent is base-2, so
+# exp(x) is computed as exp2(x·log2(e)) anyway — folding log2(e) into the
+# static scale removes one multiply per element from every softmax pass
+# (the kernels are VPU-bound at head_dim 128, so elementwise passes are the
+# critical path, not the MXU dots). The stored lse is base-2; it never
+# leaves these kernels.
+LOG2E = 1.4426950408889634
 
 
 def _dot_bf16(a, b):
@@ -63,13 +70,16 @@ def _tile_keep_mask(seed_ref, b, h, row_tile, col_tile, shape, rate,
     jax.random emulation keeps fwd/bwd masks consistent there (the actual
     bits differ from TPU — the distribution is what tests check)."""
     threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    # Mosaic's prng_seed accepts at most TWO seed values — mix the tile
+    # coordinates into one int32 (injective for b<96, h<99, row<99 tiles;
+    # far beyond practical shapes).
+    mix = (b * jnp.int32(1000003) + h * jnp.int32(10007)
+           + row_tile * jnp.int32(101) + col_tile)
     if interpret:
-        key = jax.random.key(seed_ref[0])
-        for salt in (b, h, row_tile, col_tile):
-            key = jax.random.fold_in(key, salt)
+        key = jax.random.fold_in(jax.random.key(seed_ref[0]), mix)
         bits = jax.random.bits(key, shape, jnp.uint32)
     else:
-        pltpu.prng_seed(seed_ref[0], b, h, row_tile, col_tile)
+        pltpu.prng_seed(seed_ref[0], mix)
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits >= threshold  # keep with probability 1 - rate
 
@@ -95,7 +105,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
         m, l, acc = carry
         kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        s = _dot_bf16(q, kb.T) * scale  # f32 (bq, bk)
+        s = _dot_bf16(q, kb.T) * (scale * LOG2E)  # f32 (bq, bk)
         if masked:
             rows = qi * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -105,8 +115,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=1))
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new[:, None])
+        alpha = jnp.exp2(m - m_new)
         # softmax statistics (l, lse) are UNMASKED — dropout applies to the
         # normalised probabilities, so masking only touches the p·v term
         l = l * alpha + p.sum(axis=1)
@@ -136,7 +146,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
     o_ref[0, 0] = (acc * (inv_keep / l[:, None])).astype(o_ref.dtype)
     lse_ref[0, 0] = jnp.broadcast_to(
-        (m + jnp.log(l))[:, None], lse_ref.shape[2:]
+        (m + jnp.log2(l))[:, None], lse_ref.shape[2:]
     )
 
 
@@ -160,7 +170,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
     def tile(j, dq, masked):
         kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        s = _dot_bf16(q, kb.T) * scale
+        s = _dot_bf16(q, kb.T) * (scale * LOG2E)
         if masked:
             rows = qi * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -169,7 +179,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)
         dp = _dot_bf16(do, vb.T)
         if dropout > 0.0:
             keep = _tile_keep_mask(seed_ref, b, h, qi, j,
@@ -195,6 +205,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
                     dropout, interpret=False):
     block_k = k_ref.shape[2]
+    hd = k_ref.shape[3]
     seq = q_ref.shape[2]
     b, h, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -208,7 +219,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
-        s = _dot_bf16(qb, k.T) * scale
+        s = _dot_bf16(qb, k.T) * (scale * LOG2E)
         if masked:
             rows = i * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -217,7 +228,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)
         dp = _dot_bf16(dob, v.T)
         if dropout > 0.0:
             # same absolute (q-tile, k-tile) seed as fwd/dq -> same mask
@@ -233,8 +244,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return dk, dv
 
     zeros = (
-        jnp.zeros((block_k, k_ref.shape[3]), jnp.float32),
-        jnp.zeros((block_k, v_ref.shape[3]), jnp.float32),
+        jnp.zeros((block_k, hd), jnp.float32),
+        jnp.zeros((block_k, hd), jnp.float32),
     )
     num_q = seq // block_q
     if causal:
@@ -470,3 +481,367 @@ def reference_attention(q, k, v, causal: bool = True, scale: float = None):  # n
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", att, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# layout-native ("packed qkv") kernels
+#
+# The transformer's qkv projection emits ONE (B, S, W) tensor with
+# W = H·hd + 2·KV·hd. The BHSD kernels above require splitting it into
+# q/k/v and transposing to (B, H, S, hd) — at d768/S1024 those copies are
+# ~18% of the body's HBM traffic (measured: the body forward is
+# bandwidth-bound at 0.50 MFU). These kernels instead read head blocks
+# STRAIGHT out of the packed tensor via BlockSpec index maps (viewing it
+# as (B, S, W//hd, hd)): zero dispatch copies, zero GQA repeats (several
+# q-heads map onto one kv block), and the backward writes d_qkv parts in
+# the same layout (one concat re-packs them for the projection VJP).
+
+
+def _fwd_kernel_qkv(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *,
+                    scale, block_k, causal, dropout, interpret=False):
+    # Rank-3 refs (Mosaic tiling: last two dims are (sublane, lane); head
+    # blocks are hd-wide lane slices at 128-aligned offsets):
+    # q_ref (1,bq,hd) · k/v_ref (1,S,hd) · o_ref (1,bq,hd) ·
+    # lse_ref (1,1,bq,LSE_W); same math as _fwd_kernel (BHSD twin).
+    block_q = q_ref.shape[1]
+    head_dim = q_ref.shape[2]
+    seq = k_ref.shape[1]
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    q = q_ref[0]
+
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
+
+    def tile(j, carry, masked):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = _dot_bf16(q, kb.T) * (scale * LOG2E)
+        if masked:
+            rows = qi * block_q + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = j * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=1))
+        p = jnp.exp2(s - m_new[:, None])
+        alpha = jnp.exp2(m - m_new)
+        l = l * alpha + p.sum(axis=1)
+        if dropout > 0.0:
+            keep = _tile_keep_mask(seed_ref, b, h, qi, j,
+                                   (block_q, block_k), dropout, interpret)
+            p = jnp.where(keep, p, 0.0)
+        acc = acc * alpha[:, None] + _dot_bf16(p.astype(q_ref.dtype), vb)
+        return m_new, l, acc
+
+    if causal:
+        n_full = (qi * block_q) // block_k
+        n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
+        carry = lax.fori_loop(
+            0, n_full, lambda j, c: tile(j, c, False), (m0, l0, acc0))
+        m, l, acc = lax.fori_loop(
+            n_full, n_edge, lambda j, c: tile(j, c, True), carry)
+    else:
+        m, l, acc = lax.fori_loop(
+            0, seq // block_k, lambda j, c: tile(j, c, False), (m0, l0, acc0))
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+    o_ref[0] = (acc * (inv_keep / l[:, None])).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(
+        (m + jnp.log2(l))[:, None], lse_ref.shape[2:])
+
+
+def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       seed_ref, dq_ref, *, scale, block_k, causal, dropout,
+                       interpret=False):
+    block_q = q_ref.shape[1]
+    seq = k_ref.shape[1]
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+
+    def tile(j, dq, masked):
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = _dot_bf16(q, kb.T) * (scale * LOG2E)
+        if masked:
+            rows = qi * block_q + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = j * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp2(s - lse)
+        dp = _dot_bf16(do, vb.T)
+        if dropout > 0.0:
+            keep = _tile_keep_mask(seed_ref, b, h, qi, j,
+                                   (block_q, block_k), dropout, interpret)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = p * (dp - delta) * scale
+        return dq + _dot_bf16(ds.astype(q_ref.dtype), kb)
+
+    dq0 = jnp.zeros((block_q, q_ref.shape[2]), jnp.float32)
+    if causal:
+        n_full = (qi * block_q) // block_k
+        n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
+        dq = lax.fori_loop(0, n_full, lambda j, d: tile(j, d, False), dq0)
+        dq = lax.fori_loop(n_full, n_edge, lambda j, d: tile(j, d, True), dq)
+    else:
+        dq = lax.fori_loop(
+            0, seq // block_k, lambda j, d: tile(j, d, False), dq0)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
+                        dropout, group, interpret=False):
+    # grid (B, KV, kblocks); q/do refs carry the kv-group's `group` q-heads
+    # as lane-concatenated slices (1, S, G*hd); lse/delta (1, G, S, LSE_W);
+    # dk/dv out (1, bk, hd).
+    block_k = k_ref.shape[1]
+    hd = k_ref.shape[2]
+    seq = q_ref.shape[1]
+    b, g, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+
+    def tile(i, carry, member, masked):
+        dk, dv = carry
+        qb = q_ref[0, pl.ds(i * block_q, block_q),
+                   member * hd:(member + 1) * hd]
+        dob = do_ref[0, pl.ds(i * block_q, block_q),
+                     member * hd:(member + 1) * hd]
+        lse = lse_ref[0, member, pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[0, member, pl.ds(i * block_q, block_q), :1]
+        s = _dot_bf16(qb, k.T) * (scale * LOG2E)
+        if masked:
+            rows = i * block_q + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = kj * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp2(s - lse)
+        dp = _dot_bf16(dob, v.T)
+        if dropout > 0.0:
+            # global q-head index for mask consistency with fwd/dq
+            h = g * group + member
+            keep = _tile_keep_mask(seed_ref, b, h, i, kj,
+                                   (block_q, block_k), dropout, interpret)
+            pv = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pv = p
+        dv = dv + _dot_bf16(pv.astype(q_ref.dtype).T, dob)
+        ds = p * (dp - delta) * scale
+        dk = dk + _dot_bf16(ds.astype(q_ref.dtype).T, qb)
+        return dk, dv
+
+    zeros = (
+        jnp.zeros((block_k, hd), jnp.float32),
+        jnp.zeros((block_k, hd), jnp.float32),
+    )
+    num_q = seq // block_q
+    carry = zeros
+    for member in range(group):  # static unroll over the kv-group
+        if causal:
+            start = (kj * block_k) // block_q
+            n_edge = ((kj + 1) * block_k + block_q - 1) // block_q
+            carry = lax.fori_loop(
+                start, n_edge,
+                lambda i, c, m=member: tile(i, c, m, True), carry)
+            carry = lax.fori_loop(
+                n_edge, num_q,
+                lambda i, c, m=member: tile(i, c, m, False), carry)
+        else:
+            carry = lax.fori_loop(
+                0, num_q, lambda i, c, m=member: tile(i, c, m, False), carry)
+    dk, dv = carry
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _qkv_geometry(qkv, n_head, n_kv_head):
+    B, S, W = qkv.shape
+    KV = n_kv_head or n_head
+    hd = W // (n_head + 2 * KV)
+    if hd * (n_head + 2 * KV) != W:
+        raise ValueError(f"packed width {W} does not factor into "
+                         f"H={n_head}, KV={KV} heads")
+    return B, S, W, KV, hd
+
+
+def _fwd_call_qkv(qkv, n_head, n_kv_head, scale, causal, block_q, block_k,
+                  interpret, dropout=0.0, seed=None):
+    B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    H, G = n_head, n_head // (n_kv_head or n_head)
+    bq, bk = _block_sizes(S, block_q, block_k)
+    grid = (B, H, S // bq)
+    kv_of = lambda h: H + h // G  # hd-chunk index of q-head h's kv head
+
+    q_spec = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, h),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kv_of(h)),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, KV + kv_of(h)),
+                          memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_qkv, scale=scale, block_k=bk,
+                          causal=causal, dropout=dropout,
+                          interpret=interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, H, S, LSE_W), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, seed_spec],
+        out_specs=(
+            pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, LSE_W), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * S * hd // (2 if causal else 1),
+            bytes_accessed=2 * B * S * W * qkv.dtype.itemsize,
+            transcendentals=B * H * S * S,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, _seed_arr(seed))
+    return out, lse
+
+
+def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
+                  block_q, block_k, interpret, dropout=0.0, seed=None):
+    B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    H, G = n_head, n_head // (n_kv_head or n_head)
+    bq, bk = _block_sizes(S, block_q, block_k)
+    kv_of = lambda h: H + h // G
+
+    # delta = rowsum(dO · O) per (b, s, h) -> (B, H, S, LSE_W)
+    do32 = do.astype(jnp.float32).reshape(B, S, H, hd)
+    out32 = out.astype(jnp.float32).reshape(B, S, H, hd)
+    delta = (do32 * out32).sum(-1)
+    delta = jnp.broadcast_to(
+        delta.transpose(0, 2, 1)[..., None], (B, H, S, LSE_W))
+
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    seed_a = _seed_arr(seed)
+    row_q = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM)
+    k_full = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kv_of(h)),
+                          memory_space=pltpu.VMEM)
+    v_full = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, KV + kv_of(h)),
+                          memory_space=pltpu.VMEM)
+    vec_q = pl.BlockSpec((1, 1, bq, LSE_W), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    flops_bwd = 7 * B * H * S * S * hd // (2 if causal else 1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_qkv, scale=scale, block_k=bk,
+                          causal=causal, dropout=dropout,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
+        grid=(B, H, S // bq),
+        in_specs=[row_q, k_full, v_full, row_q, vec_q, vec_q, seed_spec],
+        out_specs=row_q,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_bwd // 7,
+            bytes_accessed=3 * B * S * W * qkv.dtype.itemsize,
+            transcendentals=B * H * S * S // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, do, lse, delta, seed_a)
+
+    # dk/dv: grid over kv heads; each program folds its G q-heads (their
+    # lane-concatenated (1, S, G*hd) slice of qkv/do)
+    kb_spec = pl.BlockSpec((1, bk, hd), lambda b, g, j: (b, j, H + g),
+                           memory_space=pltpu.VMEM)
+    vb_spec = pl.BlockSpec((1, bk, hd), lambda b, g, j: (b, j, H + KV + g),
+                           memory_space=pltpu.VMEM)
+    qg_spec = pl.BlockSpec((1, S, G * hd), lambda b, g, j: (b, 0, g),
+                           memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((1, G, S, LSE_W), lambda b, g, j: (b, g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dkv_out = pl.BlockSpec((1, bk, hd), lambda b, g, j: (b, j, g),
+                           memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_qkv, scale=scale, block_q=bq,
+                          causal=causal, dropout=dropout, group=G,
+                          interpret=interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
+        ),
+        grid=(B, KV, S // bk),
+        in_specs=[qg_spec, kb_spec, vb_spec, qg_spec, vg_spec, vg_spec,
+                  seed_spec],
+        out_specs=(dkv_out, dkv_out),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * flops_bwd // 7,
+            bytes_accessed=3 * B * S * W * qkv.dtype.itemsize,
+            transcendentals=B * H * S * S // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, do, lse, delta, seed_a)
+
+    d_qkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return d_qkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def flash_attention_qkv(qkv, seed, n_head: int, n_kv_head: int = 0,
+                        causal: bool = True, scale: float = None,  # noqa: RUF013
+                        block_q: int = 256, block_k: int = 256,
+                        interpret: bool = False, dropout: float = 0.0):
+    """Layout-native flash attention on the packed qkv projection.
+
+    `qkv` (B, S, H·hd + 2·KV·hd) — the raw output of the fused qkv matmul
+    (+bias), laid out [q heads | k heads | v heads]. Returns (B, S, H·hd)
+    ready for the output projection. No split / transpose / GQA-repeat
+    copies ever hit HBM. `seed` (f32 scalar) drives in-kernel attention
+    dropout when dropout > 0 (see flash_attention_dropout)."""
+    _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    s = 1.0 / math.sqrt(hd) if scale is None else scale
+    out, _ = _fwd_call_qkv(qkv, n_head, n_kv_head, s, causal, block_q,
+                           block_k, interpret, dropout, seed)
+    return out
+
+
+def _flashqkv_fwd(qkv, seed, n_head, n_kv_head, causal, scale, block_q,
+                  block_k, interpret, dropout):
+    _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    s = 1.0 / math.sqrt(hd) if scale is None else scale
+    out, lse = _fwd_call_qkv(qkv, n_head, n_kv_head, s, causal, block_q,
+                             block_k, interpret, dropout, seed)
+    return out, (qkv, out, lse, seed)
+
+
+def _flashqkv_bwd(n_head, n_kv_head, causal, scale, block_q, block_k,
+                  interpret, dropout, res, do):
+    qkv, out, lse, seed = res
+    _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    s = 1.0 / math.sqrt(hd) if scale is None else scale
+    d_qkv = _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, s, causal,
+                          block_q, block_k, interpret, dropout, seed)
+    dseed = None if seed is None else jnp.zeros_like(seed)
+    return d_qkv, dseed
+
+
+flash_attention_qkv.defvjp(_flashqkv_fwd, _flashqkv_bwd)

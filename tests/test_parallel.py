@@ -375,3 +375,45 @@ def test_pipelined_train_step_matches_standard():
     assert_close(loss_pp, loss_ref, tol=1e-5)
     qkv_pp = staged["blocks"]["qkv"].reshape(4, 32, 96)
     assert_close(qkv_pp, p2["blocks"]["qkv"], tol=1e-5)
+
+
+@pytest.mark.parametrize("n_experts", [0, 4])
+def test_pipelined_1f1b_step_matches_reference(n_experts):
+    """1F1B pp training step (interleaved schedule + Adam) equals the
+    sequential per-microbatch objective — including MoE aux-loss plumbing,
+    which the GPipe path drops. (The aux term is per-micro in a pipeline;
+    for n_experts=0 this equals the standard full-batch step exactly.)"""
+    import jax.numpy as jnp
+
+    n_micro = 4
+    cfg = T.GPTConfig(vocab_size=32, n_layer=4, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32, flash="off",
+                      remat=False, n_experts=n_experts,
+                      moe_aux_weight=0.05 if n_experts else 0.0)
+    mesh = parallel.make_mesh([("pp", 4)], devices=jax.devices()[:4])
+    params = T.init_params(jax.random.key(0), cfg)
+    step_pp, reshape = T.make_pipelined_train_step_1f1b(mesh, cfg, n_micro)
+    staged = reshape(jax.tree.map(jnp.copy, params))
+    opt_pp = T.adam_init(staged)
+    toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    staged, opt_pp, loss_pp = step_pp(staged, opt_pp, toks, tgts,
+                                      jnp.float32(1e-3))
+
+    # sequential reference: mean of the per-microbatch objective + Adam
+    mt = toks.reshape(n_micro, 2, 16)
+    mg = tgts.reshape(n_micro, 2, 16)
+
+    def obj(p):
+        losses = [T.loss_fn(p, mt[m], mg[m], cfg) for m in range(n_micro)]
+        return sum(losses) / n_micro
+
+    loss_ref, grads = jax.value_and_grad(obj)(params)
+    staged_grads = reshape(grads)
+    p_ref, _ = T.adam_update(reshape(jax.tree.map(jnp.copy, params)),
+                             staged_grads,
+                             T.adam_init(reshape(params)), jnp.float32(1e-3))
+    assert_close(loss_pp, loss_ref, tol=1e-5)
+    assert_close(staged["blocks"]["qkv"], p_ref["blocks"]["qkv"], tol=1e-5)
+    assert_close(staged["wte"], p_ref["wte"], tol=1e-5)
+    assert_close(staged["wpe"], p_ref["wpe"], tol=1e-5)

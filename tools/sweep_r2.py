@@ -56,30 +56,67 @@ def report(name, flops, dt, extra=""):
     return mfu
 
 
+def timed_chain(step_fn, x0, iters=32, reps=5):
+    """Per-iteration time of a self-chaining kernel: y = step_fn(x) with
+    y.shape == x.shape (pytrees ok), run inside ONE jitted fori_loop (the
+    sequential dependency defeats both constant folding and overlap).
+
+    Uses the TWO-LENGTH difference method: time loops of n and 4n
+    iterations and divide the difference by 3n — the tunnel RTT and all
+    per-call constants cancel exactly, unlike subtracting a separately
+    measured RTT (whose ±10 ms jitter corrupts sub-ms kernels)."""
+    from jax import lax
+
+    def loop(n):
+        return jax.jit(lambda x: lax.fori_loop(
+            0, n, lambda i, x: step_fn(x), x))
+
+    f1, f4 = loop(iters), loop(4 * iters)
+
+    def run(f, x):
+        leaf = jax.tree.leaves(f(x))[0]
+        return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
+    run(f1, x0)
+    run(f4, x0)  # compile both
+    t1s, t4s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(f1, x0)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(f4, x0)
+        t4s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    t4 = sorted(t4s)[len(t4s) // 2]
+    return max(t4 - t1, 1e-9) / (3 * iters)
+
+
 def kernel_rooflines():
-    from neuronika_tpu.ops.pallas.attention import flash_attention
+    from neuronika_tpu.ops.pallas.attention import (
+        flash_attention,
+        flash_attention_qkv,
+    )
     from neuronika_tpu.ops.pallas.matmul import matmul as pallas_matmul
 
     # ---- pallas matmul (blocks tuned in r1: bm512 bn1024 bk512)
     M = N = K = 4096
     a = jax.random.normal(jax.random.key(0), (M, K), jnp.bfloat16)
-    b = jax.random.normal(jax.random.key(1), (K, N), jnp.bfloat16)
+    b = jax.random.normal(jax.random.key(1), (K, N), jnp.bfloat16) / (K ** 0.5)
     try:
-        f = jax.jit(lambda a, b: pallas_matmul(
-            a, b, bm=512, bn=1024, bk=512).astype(jnp.float32).sum())
-        report("pallas_matmul 4096^3 bf16", 2 * M * N * K, timed(f, a, b))
+        dt = timed_chain(lambda x: pallas_matmul(
+            x, b, bm=512, bn=1024, bk=512).astype(jnp.bfloat16), a)
+        report("pallas_matmul 4096^3 bf16", 2 * M * N * K, dt)
+    except Exception:
+        traceback.print_exc()
+    try:
+        dt = timed_chain(lambda x: jnp.dot(
+            x, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16), a)
+        report("xla_dot 4096^3 bf16", 2 * M * N * K, dt)
     except Exception:
         traceback.print_exc()
 
-    # ---- XLA dot for comparison
-    try:
-        f = jax.jit(lambda a, b: jnp.dot(
-            a, b, preferred_element_type=jnp.float32).sum())
-        report("xla_dot 4096^3 bf16", 2 * M * N * K, timed(f, a, b))
-    except Exception:
-        traceback.print_exc()
-
-    # ---- flash attention fwd and fwd+bwd (bf16-MXU kernels)
+    # ---- flash attention fwd and fwd+bwd (bf16-MXU kernels, BHSD + packed)
     for S, blk in ((1024, 512), (2048, 512), (2048, 1024)):
         B, H, D = 4, 8, 128
         q = jax.random.normal(jax.random.key(0), (B, H, S, D), jnp.bfloat16)
@@ -87,27 +124,43 @@ def kernel_rooflines():
         v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.bfloat16)
         fl_fwd = 2 * B * H * S * S * D  # causal: 4*S^2/2
         try:
-            f = jax.jit(lambda q, k, v, blk=blk: flash_attention(
-                q, k, v, True, None, blk, blk).astype(jnp.float32).sum())
-            report(f"flash_fwd S{S} hd128 blk{blk}", fl_fwd, timed(f, q, k, v))
+            dt = timed_chain(lambda x, blk=blk: flash_attention(
+                x, k, v, True, None, blk, blk), q)
+            report(f"flash_fwd S{S} hd128 blk{blk}", fl_fwd, dt)
         except Exception:
             traceback.print_exc()
         try:
             g = jax.grad(lambda q, k, v: flash_attention(
                 q, k, v, True, None, blk, blk).astype(jnp.float32).sum(),
                 argnums=(0, 1, 2))
-            f = jax.jit(lambda q, k, v: sum(
-                x.astype(jnp.float32).sum() for x in g(q, k, v)))
+
+            def chain(x, g=g):
+                dq, dk, dv = g(x, k, v)  # consume ALL grads (else DCE)
+                return jnp.tanh(dq + dk + dv).astype(jnp.bfloat16)
+
             report(f"flash_fwd+bwd S{S} hd128 blk{blk}", fl_fwd * 9 // 2,
-                   timed(f, q, k, v))
+                   timed_chain(chain, q, iters=16))
         except Exception:
             traceback.print_exc()
+    # packed-qkv layout kernel at the flagship geometry
+    try:
+        B, S, H, hd = 4, 1024, 8, 128
+        W = 3 * H * hd
+        qkv = jax.random.normal(jax.random.key(3), (B, S, W), jnp.bfloat16)
+        fl_fwd = 2 * B * H * S * S * hd
+        dt = timed_chain(lambda x: jnp.concatenate(
+            [flash_attention_qkv(x, None, H, 0, True, None, 512, 512),
+             x[..., H * hd:]], axis=-1), qkv)
+        report("flash_qkv_fwd S1024 hd128 blk512", fl_fwd, dt)
+    except Exception:
+        traceback.print_exc()
 
     # ---- conv2d fwd / fwd+bwd (XLA production path; bf16 throughout)
     try:
         B, C, HW = 64, 256, 56
         x = jax.random.normal(jax.random.key(0), (B, C, HW, HW), jnp.bfloat16)
-        w = jax.random.normal(jax.random.key(1), (C, C, 3, 3), jnp.bfloat16)
+        w = jax.random.normal(jax.random.key(1), (C, C, 3, 3),
+                              jnp.bfloat16) / (C * 9) ** 0.5
         from jax import lax
 
         def conv(x, w):
@@ -116,13 +169,22 @@ def kernel_rooflines():
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
         fl = 2 * B * C * C * 9 * HW * HW
-        f = jax.jit(lambda x, w: conv(x, w).astype(jnp.float32).sum())
-        report("conv2d_fwd 3x3 C256 56^2 B64", fl, timed(f, x, w))
+        report("conv2d_fwd 3x3 C256 56^2 B64", fl,
+               timed_chain(lambda x: conv(x, w), x))
         g = jax.grad(lambda x, w: conv(x, w).astype(jnp.float32).sum(),
                      argnums=(0, 1))
-        f = jax.jit(lambda x, w: sum(
-            t.astype(jnp.float32).sum() for t in g(x, w)))
-        report("conv2d_fwd+bwd 3x3 C256 56^2 B64", 3 * fl, timed(f, x, w))
+
+        def chain(state, g=g):
+            # carry BOTH grads in the loop state: consuming dw through a
+            # scalar lets XLA's algebraic simplifier collapse the whole
+            # weight-grad conv (measured MFU > 1 — impossible)
+            x_, wa = state
+            dx, dw = g(x_, w)
+            return jnp.tanh(dx).astype(jnp.bfloat16), wa + dw
+
+        report("conv2d_fwd+bwd 3x3 C256 56^2 B64", 3 * fl,
+               timed_chain(chain, (x, jnp.zeros_like(w, jnp.float32)),
+                           iters=16))
     except Exception:
         traceback.print_exc()
 
@@ -137,15 +199,19 @@ def train_sweep(quick=False):
     )
     S = 1024
     grid = [
-        ("B64 full", dict(), 64),
-        ("B64 flash", dict(remat_policy="flash"), 64),
+        ("B64 flash blk1024", dict(remat_policy="flash",
+                                   flash_block=1024), 64),
+        ("B64 names blk1024", dict(remat_policy="names",
+                                   flash_block=1024), 64),
         ("B64 names", dict(remat_policy="names"), 64),
-        ("B64 flash_dots", dict(remat_policy="flash_dots"), 64),
-        ("B32 names", dict(remat_policy="names"), 32),
-        ("B32 noremat", dict(remat=False), 32),
-        ("B64 names fusedce", dict(remat_policy="names", fused_ce="on"), 64),
-        ("B128 flash", dict(remat_policy="flash"), 128),
-        ("B128 names", dict(remat_policy="names"), 128),
+        ("B96 flash blk1024", dict(remat_policy="flash",
+                                   flash_block=1024), 96),
+        ("B64 flash blk1024 drop0.1", dict(remat_policy="flash",
+                                           flash_block=1024,
+                                           dropout=0.1), 64),
+        ("B64 flash blk1024 fusedce", dict(remat_policy="flash",
+                                           flash_block=1024,
+                                           fused_ce="on"), 64),
     ]
     if quick:
         grid = grid[:3]
