@@ -16,8 +16,10 @@ TPU-first structure:
   `n_layer` axis and the block is traced/compiled ONCE, not per layer —
   compile time stays flat in depth (essential with Pallas kernels in the
   block) and XLA pipelines the scan.
-* **Flash attention** (`ops/pallas/attention.py`) on TPU; composite
-  softmax·V fallback elsewhere (and whenever attention-dropout is active).
+* **Flash attention** (`ops/pallas/attention.py`) on TPU — the packed-qkv
+  layout-native kernels on a single chip (zero dispatch copies), the BHSD
+  kernels under shard_map on a mesh; attention-dropout runs INSIDE the
+  kernel (per-tile PRNG masks); composite softmax·V fallback elsewhere.
 * **Rematerialisation**: `cfg.remat` wraps the block in `jax.checkpoint`,
   trading ~⅓ more FLOPs for activation memory → larger batches.
 * **Scale-out**: dp batch sharding; tp Megatron column/row splits (QKV and
@@ -93,6 +95,14 @@ class GPTConfig:
     # Switch load-balancing auxiliary loss weight (0 disables); encourages
     # uniform expert utilisation: aux = E * sum_e f_e * P_e
     moe_aux_weight: float = 0.0
+    # dtype of the body matmul OUTPUTS (MXU accumulation is always f32
+    # internally; this only controls the materialised result):
+    #   "f32"     — emit f32, add bias in f32, cast to compute dtype (safe
+    #               default; XLA usually fuses the cast, but if the f32
+    #               result hits HBM it doubles the dot-output traffic)
+    #   "compute" — emit cfg.dtype directly (halves dot-output traffic
+    #               when the cast is NOT fused; one rounding step earlier)
+    matmul_out: str = "f32"
     # sequence parallelism (sharded path only): constrain residual-stream
     # activations to P(dp, tp, None) — sequence sharded over tp — around
     # the norms/residuals; GSPMD inserts the Megatron-style all-gathers
@@ -202,6 +212,17 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
 # forward
 
 
+def _body_dot(x, w, cfg: GPTConfig):
+    """Body matmul honouring cfg.matmul_out (f32 vs compute-dtype output;
+    MXU accumulation is f32 either way)."""
+    if cfg.matmul_out == "compute":
+        return jnp.dot(x, w.astype(cfg.dtype),
+                       preferred_element_type=cfg.dtype)
+    if cfg.matmul_out != "f32":
+        raise ValueError(f"unknown matmul_out {cfg.matmul_out!r}")
+    return jnp.dot(x, w.astype(cfg.dtype), preferred_element_type=jnp.float32)
+
+
 def _layer_norm(x, p, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mu = x32.mean(-1, keepdims=True)
@@ -245,7 +266,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     hd = D // H
     from jax.ad_checkpoint import checkpoint_name
 
-    qkv = jnp.dot(x, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
+    qkv = _body_dot(x, blk["qkv"], cfg)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
     use_flash = _use_flash(cfg, S, train)
     if use_flash and mesh is None:
@@ -269,8 +290,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             qkv, seed, H, _kv_heads(cfg), True, None, bq, bk,
             _cfg.pallas_interpret, drop,
         )
-        out = jnp.dot(out, blk["proj"].astype(cfg.dtype),
-                      preferred_element_type=jnp.float32)
+        out = _body_dot(out, blk["proj"], cfg)
         return (out + blk["proj_b"]).astype(cfg.dtype)
     q, k, v = _split_qkv(qkv, cfg, B, S)
     # tagged so the "names" remat policy keeps them: the flash backward's
@@ -342,7 +362,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             att = jnp.where(keep, att / (1.0 - cfg.dropout), 0.0)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
     out = out.astype(cfg.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
-    out = jnp.dot(out, blk["proj"].astype(cfg.dtype), preferred_element_type=jnp.float32)
+    out = _body_dot(out, blk["proj"], cfg)
     return (out + blk["proj_b"]).astype(cfg.dtype)
 
 
@@ -352,10 +372,10 @@ def _mlp(x, blk, cfg: GPTConfig):
         return _moe_mlp(x, blk, cfg)
     from jax.ad_checkpoint import checkpoint_name
 
-    h = jnp.dot(x, blk["fc_in"].astype(cfg.dtype), preferred_element_type=jnp.float32)
+    h = _body_dot(x, blk["fc_in"], cfg)
     h = checkpoint_name((h + blk["fc_in_b"]).astype(cfg.dtype), "ffn_pre")
     h = checkpoint_name(jax.nn.gelu(h), "ffn_act")
-    o = jnp.dot(h, blk["fc_out"].astype(cfg.dtype), preferred_element_type=jnp.float32)
+    o = _body_dot(h, blk["fc_out"], cfg)
     return (o + blk["fc_out_b"]).astype(cfg.dtype), jnp.zeros((), jnp.float32)
 
 

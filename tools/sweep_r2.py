@@ -198,20 +198,17 @@ def train_sweep(quick=False):
         remat=True, flash_block=512,
     )
     S = 1024
+    best = dict(remat_policy="names", flash_block=1024,
+                matmul_out="compute")
     grid = [
-        ("B64 flash blk1024", dict(remat_policy="flash",
-                                   flash_block=1024), 64),
-        ("B64 names blk1024", dict(remat_policy="names",
-                                   flash_block=1024), 64),
-        ("B64 names", dict(remat_policy="names"), 64),
-        ("B96 flash blk1024", dict(remat_policy="flash",
-                                   flash_block=1024), 96),
-        ("B64 flash blk1024 drop0.1", dict(remat_policy="flash",
-                                           flash_block=1024,
-                                           dropout=0.1), 64),
-        ("B64 flash blk1024 fusedce", dict(remat_policy="flash",
-                                           flash_block=1024,
-                                           fused_ce="on"), 64),
+        ("d768 B64 best", best, 64),
+        ("d1024 H8 B48 best", {**best, "d_model": 1024, "n_head": 8,
+                               "d_ff": 4096}, 48),
+        ("d1536 H12 B24 best", {**best, "d_model": 1536, "n_head": 12,
+                                "d_ff": 6144}, 24),
+        ("d2048 H16 B16 best", {**best, "d_model": 2048, "n_head": 16,
+                                "d_ff": 8192}, 16),
+        ("d768 B64 best rerun", dict(best), 64),
     ]
     if quick:
         grid = grid[:3]
@@ -247,5 +244,6 @@ def train_sweep(quick=False):
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
     print(f"device: {jax.devices()[0]}", flush=True)
-    kernel_rooflines()
+    if "--train-only" not in sys.argv:
+        kernel_rooflines()
     train_sweep(quick)
