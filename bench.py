@@ -189,11 +189,15 @@ def _kernel_rooflines(peak: float) -> dict:
         g = jax.grad(lambda x, w: conv(x, w).astype(jnp.float32).sum(),
                      argnums=(0, 1))
 
-        def chain(x):
-            dx, dw = g(x, w)
-            return jnp.tanh(dx + dw.mean()).astype(jnp.bfloat16)
+        def chain(state):
+            # carry BOTH grads: consuming dw via a scalar lets XLA's
+            # simplifier collapse the weight-grad conv (MFU read > 1)
+            x_, wa = state
+            dx, dw = g(x_, w)
+            return jnp.tanh(dx).astype(jnp.bfloat16), wa + dw
 
-        dt = _timed_chain(chain, x, rtt, iters=16)
+        dt = _timed_chain(chain, (x, jnp.zeros_like(w, jnp.float32)), rtt,
+                          iters=16)
         out["conv2d_fwdbwd_mfu"] = round(3 * fl / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
@@ -264,12 +268,12 @@ def main() -> None:
         max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
     )
     if on_tpu:
-        # r2 sweep winner: packed-qkv flash @ block 1024, flash-residual
-        # remat policy (tools/sweep_r2.py: 0.552 MFU / 221.7k tok/s)
+        # r2 sweep winner: packed-qkv flash @ block 1024, names remat
+        # policy, compute-dtype matmul outputs (tools/sweep_r2.py)
         candidates = [
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=1024,
-                         remat_policy="flash"),
-             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash1024+rematflash"),
+                         remat_policy="names", matmul_out="compute"),
+             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash1024+names+mmout"),
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512),
              64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash512+remat"),
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512,
@@ -317,6 +321,25 @@ def main() -> None:
 
     rooflines = _kernel_rooflines(_device_peak()) if on_tpu else {}
 
+    # scale demo: MFU rises with d_model (the d768 body is bandwidth-bound
+    # — sweep: d1024 0.597, d1536 0.623); report one larger shape so the
+    # artifact shows the framework's ceiling, not just the mini config.
+    scale_mfu = None
+    if on_tpu:
+        try:
+            cfg_l = T.GPTConfig(
+                vocab_size=16384, n_layer=8, n_head=12, d_model=1536,
+                d_ff=6144, max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
+                flash="auto", remat=True, flash_block=1024,
+                remat_policy="names", matmul_out="compute",
+            )
+            dt_l, _, _ = _run_config(T, cfg_l, 24, 1024, 8)
+            scale_mfu = round(
+                T.flops_per_token(cfg_l, 1024) * 24 * 1024 / dt_l
+                / _device_peak(), 4)
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+
     print(
         json.dumps(
             {
@@ -330,6 +353,7 @@ def main() -> None:
                     "rtt_ms": round(rtt * 1e3, 2),
                     "quickstart_mlp_steps_per_sec": mlp_sps,
                     "kernel_rooflines": rooflines or None,
+                    "scale_demo_mfu_d1536": scale_mfu,
                     "loss": lv,
                     "device": str(jax.devices()[0]),
                     "config": label,

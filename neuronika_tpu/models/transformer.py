@@ -678,13 +678,47 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
 from ..optim.functional import adam_init, adam_update  # noqa: E402
 
 
-def make_train_step(cfg: GPTConfig):
-    """One fused jitted program: fwd + bwd + Adam update."""
+def make_train_step(cfg: GPTConfig, *, grad_clip: float = 0.0,
+                    accum_steps: int = 1):
+    """One fused jitted program: fwd + bwd (+ optional global-norm gradient
+    clipping and `accum_steps`-way gradient accumulation) + Adam update.
 
-    def step(params, opt_state, tokens, targets, lr, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
+    With accumulation the batch splits into `accum_steps` microbatches
+    processed sequentially under `lax.scan` — same optimizer math as the
+    full batch at 1/accum_steps of the activation memory."""
+    from ..optim.functional import clip_by_global_norm
+
+    def loss_grads(params, tokens, targets, key):
+        return jax.value_and_grad(loss_fn)(
             params, tokens, targets, cfg, train=True, key=key
         )
+
+    def step(params, opt_state, tokens, targets, lr, key):
+        if accum_steps > 1:
+            B, S = tokens.shape
+            if B % accum_steps:
+                raise ValueError(
+                    f"accum_steps ({accum_steps}) must divide batch ({B})"
+                )
+            mt = tokens.reshape(accum_steps, B // accum_steps, S)
+            mg = targets.reshape(accum_steps, B // accum_steps, S)
+            keys = jax.random.split(key, accum_steps)
+
+            def body(carry, mb):
+                acc_l, acc_g = carry
+                l, g = loss_grads(params, mb[0], mb[1], mb[2])
+                return (acc_l + l,
+                        jax.tree.map(jnp.add, acc_g, g)), None
+
+            zero = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(lambda p: jnp.zeros_like(p), params))
+            (loss, grads), _ = lax.scan(body, zero, (mt, mg, keys))
+            loss = loss / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+        else:
+            loss, grads = loss_grads(params, tokens, targets, key)
+        if grad_clip > 0.0:
+            grads, _ = clip_by_global_norm(grads, grad_clip)
         params, opt_state = adam_update(params, grads, opt_state, lr)
         return params, opt_state, loss
 
@@ -992,10 +1026,37 @@ def make_decode_step(cfg: GPTConfig):
     return jax.jit(step, donate_argnums=(1,))
 
 
+def sample_logits(logits, key, temperature: float = 0.0, top_k: int = 0,
+                  top_p: float = 0.0):
+    """One sampling step over (B, V) logits: greedy (temperature 0),
+    temperature, top-k, and/or nucleus (top-p) filtering — the standard
+    serving controls."""
+    if temperature <= 0.0:
+        return logits.argmax(-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        k = min(top_k, logits.shape[-1])  # clamp: top_k > vocab == no-op
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p > 0.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set whose cumulative mass exceeds top_p (always keeps
+        # the top token)
+        keep_sorted = cum - probs < top_p
+        cutoff = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+            keepdims=True,
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def generate(params, cfg: GPTConfig, prompt, max_new: int, key=None,
-             temperature: float = 0.0):
-    """Greedy / temperature sampling with the KV cache (host loop; each
-    step is one compiled program)."""
+             temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0):
+    """Greedy / temperature / top-k / nucleus sampling with the KV cache
+    (host loop; each step is one compiled program)."""
     import numpy as np
 
     decode = make_decode_step(cfg)
@@ -1010,12 +1071,8 @@ def generate(params, cfg: GPTConfig, prompt, max_new: int, key=None,
         logits, cache = decode(params, cache, prompt[:, t])
     out = [np.asarray(prompt)]
     for t in range(max_new):
-        if temperature > 0.0:
-            key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
-        else:
-            nxt = logits.argmax(-1)
-        nxt = nxt.astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(logits, sub, temperature, top_k, top_p)
         out.append(np.asarray(nxt)[:, None])
         logits, cache = decode(params, cache, nxt)
     return np.concatenate(out, axis=1)

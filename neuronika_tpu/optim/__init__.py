@@ -29,8 +29,29 @@ from . import functional, lr_scheduler
 
 __all__ = [
     "Optimizer", "StochasticGD", "SGD", "Adam", "AMSGrad", "Adagrad",
-    "RMSProp", "L1", "L2", "ElasticNet", "Penalty", "lr_scheduler", "functional",
+    "RMSProp", "L1", "L2", "ElasticNet", "Penalty", "lr_scheduler",
+    "functional", "clip_grad_norm",
 ]
+
+
+def clip_grad_norm(parameters, max_norm: float) -> float:
+    """Scale the gradients of `parameters` (VarDiffs) in place so their
+    global L2 norm is at most `max_norm`; returns the pre-clip norm.
+    Extension — the reference has no clipping; this is the define-by-run
+    counterpart of `functional.clip_by_global_norm`."""
+    import jax.numpy as _jnp
+
+    params = list(parameters)
+    total = sum(
+        float(_jnp.sum(_jnp.square(p.grad().astype(_jnp.float32))))
+        for p in params
+    )
+    norm = total ** 0.5
+    if norm > max_norm and norm > 0.0:
+        scale = max_norm / norm
+        for p in params:
+            p.node.grad = (p.grad() * scale).astype(p.node.dtype)
+    return norm
 
 
 # --------------------------------------------------------------------------

@@ -196,3 +196,21 @@ def warmup_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
         return jnp.where(step < warmup_steps, warm, cos)
 
     return lr_at
+
+
+# ------------------------------------------------------- gradient clipping
+
+
+def global_norm(tree) -> jax.Array:
+    """sqrt(sum of squared L2 norms over every leaf)."""
+    leaves = [jnp.sum(jnp.square(l.astype(jnp.float32)))
+              for l in jax.tree.leaves(tree)]
+    return jnp.sqrt(sum(leaves))
+
+
+def clip_by_global_norm(tree, max_norm: float):
+    """Scale the whole gradient pytree so its global norm is <= max_norm
+    (the transformer-training standard; returns (clipped, norm))."""
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda l: (l * scale).astype(l.dtype), tree), norm

@@ -12,7 +12,7 @@ from typing import Callable, Sequence
 
 __all__ = [
     "LRScheduler", "ExponentialLR", "LambdaLR", "MultiplicativeLR",
-    "MultiStepLR", "StepLR",
+    "MultiStepLR", "StepLR", "WarmupCosineLR",
 ]
 
 
@@ -122,3 +122,37 @@ class MultiplicativeLR(LRScheduler):
         self._prepare_step()
         self.current_lr = self.last_lr * self.lr_fn(self.current_epoch)
         self.optimizer.set_lr(self.current_lr)
+
+
+class WarmupCosineLR(LRScheduler):
+    """Linear warmup then cosine decay to `min_lr` over `total_epochs`
+    (extension — the transformer-era standard schedule; the reference ships
+    only the five classic PyTorch-style schedulers)."""
+
+    def __init__(self, optimizer, warmup_epochs: int, total_epochs: int,
+                 min_lr: float = 0.0) -> None:
+        super().__init__(optimizer)
+        if warmup_epochs < 0 or total_epochs <= warmup_epochs:
+            raise ValueError("need 0 <= warmup_epochs < total_epochs")
+        self.peak_lr = optimizer.get_lr()
+        self.warmup_epochs = int(warmup_epochs)
+        self.total_epochs = int(total_epochs)
+        self.min_lr = float(min_lr)
+
+    def step(self) -> None:
+        import math
+
+        self._prepare_step()
+        e = self.current_epoch
+        if e <= self.warmup_epochs and self.warmup_epochs > 0:
+            lr = self.peak_lr * e / self.warmup_epochs
+        else:
+            t = (e - self.warmup_epochs) / max(
+                self.total_epochs - self.warmup_epochs, 1
+            )
+            t = min(t, 1.0)
+            lr = self.min_lr + 0.5 * (self.peak_lr - self.min_lr) * (
+                1.0 + math.cos(math.pi * t)
+            )
+        self.current_lr = lr
+        self.optimizer.set_lr(lr)

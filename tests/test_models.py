@@ -356,3 +356,63 @@ def test_gqa_trains():
                                  jnp.float32(1e-2), jax.random.key(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_train_step_grad_clip_and_accum():
+    """Gradient accumulation equals the full-batch step exactly; clipping
+    bounds the update."""
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32, flash="off",
+                      remat=False, dropout=0.0)
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    lr = jnp.float32(1e-3)
+
+    def run(**kw):
+        step = T.make_train_step(cfg, **kw)
+        p, o, l = step(jax.tree.map(jnp.copy, params), T.adam_init(params),
+                       toks, tgts, lr, jax.random.key(0))
+        return p, float(l)
+
+    p1, l1 = run()
+    p4, l4 = run(accum_steps=4)
+    assert abs(l1 - l4) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        assert_close(a, b, tol=1e-5)
+    # clipping with a tiny max_norm changes the params but still trains
+    pc, lc = run(grad_clip=1e-3)
+    assert np.isfinite(lc)
+    diff = max(float(jnp.abs(a - b).max())
+               for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pc)))
+    assert diff > 0.0
+
+
+def test_sample_logits_controls():
+    logits = jnp.log(jnp.asarray([[0.05, 0.15, 0.3, 0.5]]))
+    # greedy
+    assert int(T.sample_logits(logits, jax.random.key(0))[0]) == 3
+    # top_k=1 == greedy regardless of temperature
+    for i in range(5):
+        assert int(T.sample_logits(logits, jax.random.key(i), 1.0,
+                                    top_k=1)[0]) == 3
+    # top_p=0.5: only token 3 (p=0.5 set) survives... cumulative < 0.5
+    for i in range(5):
+        assert int(T.sample_logits(logits, jax.random.key(i), 1.0,
+                                    top_p=0.5)[0]) == 3
+    # top_p=0.9 allows tokens {1,2,3} but never 0
+    seen = {int(T.sample_logits(logits, jax.random.key(i), 1.0,
+                                top_p=0.9)[0]) for i in range(40)}
+    assert 0 not in seen and 3 in seen and len(seen) >= 2
+
+
+def test_generate_with_sampling_controls():
+    cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                      d_ff=64, max_seq=32, dtype=jnp.float32, flash="off")
+    params = T.init_params(jax.random.key(0), cfg)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    out = T.generate(params, cfg, prompt, 5, key=jax.random.key(1),
+                     temperature=0.8, top_k=8, top_p=0.9)
+    assert out.shape == (1, 8)
+    assert (out[:, :3] == np.asarray(prompt)).all()
+    assert ((out >= 0) & (out < 32)).all()

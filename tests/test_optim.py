@@ -289,3 +289,52 @@ def test_warmup_cosine_schedule():
     assert float(lr_at(10)) == pytest.approx(1.0)
     assert float(lr_at(110)) == pytest.approx(0.1, abs=1e-6)
     assert float(lr_at(60)) == pytest.approx(0.55, abs=1e-6)
+
+
+def test_warmup_cosine_lr():
+    from neuronika_tpu.optim.lr_scheduler import WarmupCosineLR
+
+    opt = optim.SGD(1.0)
+    sched = WarmupCosineLR(opt, warmup_epochs=2, total_epochs=10, min_lr=0.1)
+    lrs = []
+    for _ in range(12):
+        sched.step()
+        lrs.append(opt.get_lr())
+    assert lrs[0] == pytest.approx(0.5)   # warmup 1/2
+    assert lrs[1] == pytest.approx(1.0)   # peak at end of warmup
+    assert lrs[9] == pytest.approx(0.1)   # decayed to min at total
+    assert lrs[11] == pytest.approx(0.1)  # clamped after total
+    assert all(lrs[i] >= lrs[i + 1] for i in range(1, 11))  # monotone decay
+    with pytest.raises(ValueError):
+        WarmupCosineLR(opt, warmup_epochs=5, total_epochs=5)
+
+
+def test_clip_grad_norm_define_by_run():
+    import neuronika_tpu as nk
+
+    w = nk.from_ndarray(np.ones((2, 2), np.float32)).requires_grad()
+    loss = (w * 3.0).sum()
+    loss.forward()
+    loss.backward(1.0)
+    # grad is all 3s: global norm = sqrt(4*9) = 6
+    norm = optim.clip_grad_norm([w], 1.5)
+    assert norm == pytest.approx(6.0, rel=1e-5)
+    clipped = np.asarray(w.grad())
+    assert np.allclose(np.sqrt((clipped ** 2).sum()), 1.5, rtol=1e-5)
+    # already-small grads untouched
+    norm2 = optim.clip_grad_norm([w], 100.0)
+    assert np.allclose(np.asarray(w.grad()), clipped)
+    assert norm2 == pytest.approx(1.5, rel=1e-5)
+
+
+def test_functional_clip_by_global_norm():
+    import jax.numpy as jnp
+
+    from neuronika_tpu.optim.functional import clip_by_global_norm, global_norm
+
+    tree = {"a": jnp.full((3,), 4.0), "b": jnp.full((4,), 3.0)}
+    n = float(global_norm(tree))
+    assert n == pytest.approx(np.sqrt(3 * 16 + 4 * 9))
+    clipped, norm = clip_by_global_norm(tree, 1.0)
+    assert float(norm) == pytest.approx(n)
+    assert float(global_norm(clipped)) == pytest.approx(1.0, rel=1e-5)
