@@ -268,17 +268,22 @@ def main() -> None:
         max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
     )
     if on_tpu:
-        # r2 sweep winner: packed-qkv flash @ block 1024, names remat
-        # policy, compute-dtype matmul outputs (tools/sweep_r2.py)
+        # r2 sweep winners (tools/sweep_r2.py): unrolled layers (the scan's
+        # residual stacking cost ~29% of the step in the profile) + no
+        # remat at B48, packed-qkv flash @ block 1024, compute-dtype
+        # matmul outputs. Scan/remat variants as fallbacks.
         candidates = [
+            (T.GPTConfig(**base, flash="auto", remat=False,
+                         scan_layers=False, flash_block=1024,
+                         matmul_out="compute"),
+             48, 1024, 16, "d768 L8 H6 S1024 B48 bf16 unroll+noremat"),
+            (T.GPTConfig(**base, flash="auto", remat=True,
+                         scan_layers=False, flash_block=1024,
+                         remat_policy="names", matmul_out="compute"),
+             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 unroll+names"),
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=1024,
                          remat_policy="names", matmul_out="compute"),
-             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash1024+names+mmout"),
-            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512),
-             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 flash512+remat"),
-            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=512,
-                         remat_policy="names"),
-             32, 1024, 20, "d768 L8 H6 S1024 B32 bf16 flash512+names"),
+             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 scan+names"),
             (T.GPTConfig(**base, flash="off", remat=False), 8, 1024, 20,
              "d768 L8 H6 S1024 B8 bf16 xla-attn"),
         ]
@@ -330,8 +335,8 @@ def main() -> None:
             cfg_l = T.GPTConfig(
                 vocab_size=16384, n_layer=8, n_head=12, d_model=1536,
                 d_ff=6144, max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
-                flash="auto", remat=True, flash_block=1024,
-                remat_policy="names", matmul_out="compute",
+                flash="auto", remat=False, scan_layers=False,
+                flash_block=1024, matmul_out="compute",
             )
             dt_l, _, _ = _run_config(T, cfg_l, 24, 1024, 8)
             scale_mfu = round(

@@ -103,6 +103,13 @@ class GPTConfig:
     #   "compute" — emit cfg.dtype directly (halves dot-output traffic
     #               when the cast is NOT fused; one rounding step earlier)
     matmul_out: str = "f32"
+    # run the layer stack as a lax.scan over stacked params (compile once
+    # per depth — the right default for deep models) or as an unrolled
+    # python loop. Profiling the scan shows ~29% of the train step goes to
+    # dynamic-update-slice fusions stacking/unstacking the per-layer remat
+    # residuals; unrolling keeps residuals as individual arrays at the
+    # cost of O(n_layer) compile time.
+    scan_layers: bool = True
     # sequence parallelism (sharded path only): constrain residual-stream
     # activations to P(dp, tp, None) — sequence sharded over tp — around
     # the norms/residuals; GSPMD inserts the Megatron-style all-gathers
@@ -620,13 +627,21 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
             _block, static_argnums=(2, 4, 5), policy=policy
         )
 
-    def scan_body(x, layer):
-        blk, k = layer
-        x, aux = block(x, blk, cfg, k, train, mesh)
-        return x, aux
+    if cfg.scan_layers:
+        def scan_body(x, layer):
+            blk, k = layer
+            x, aux = block(x, blk, cfg, k, train, mesh)
+            return x, aux
 
-    x, aux = lax.scan(scan_body, x, (params["blocks"], keys))
-    return _layer_norm(x, params["ln_f"]), aux.sum()
+        x, aux = lax.scan(scan_body, x, (params["blocks"], keys))
+        aux = aux.sum()
+    else:
+        aux = jnp.zeros((), jnp.float32)
+        for i in range(cfg.n_layer):
+            blk_i = jax.tree.map(lambda l, i=i: l[i], params["blocks"])
+            x, a = block(x, blk_i, cfg, keys[i], train, mesh)
+            aux = aux + a
+    return _layer_norm(x, params["ln_f"]), aux
 
 
 def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None,

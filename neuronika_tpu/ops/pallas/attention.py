@@ -552,7 +552,7 @@ def _fwd_kernel_qkv(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *,
         (m + jnp.log2(l))[:, None], lse_ref.shape[2:])
 
 
-def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                        seed_ref, dq_ref, *, scale, block_k, causal, dropout,
                        interpret=False):
     block_q = q_ref.shape[1]
@@ -562,7 +562,10 @@ def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0][:, :1]
-    delta = delta_ref[0, 0][:, :1]
+    # delta = rowsum(dO · O) computed IN-KERNEL (one (bq, hd) reduce per
+    # program) — the external delta pass cost ~14 ms/step in the profile
+    delta = (do.astype(jnp.float32) * o_ref[0].astype(jnp.float32)).sum(
+        -1, keepdims=True)
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
 
     def tile(j, dq, masked):
@@ -596,7 +599,7 @@ def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                         seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
                         dropout, group, interpret=False):
     # grid (B, KV, kblocks); q/do refs carry the kv-group's `group` q-heads
@@ -617,8 +620,11 @@ def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    member * hd:(member + 1) * hd]
         dob = do_ref[0, pl.ds(i * block_q, block_q),
                      member * hd:(member + 1) * hd]
+        ob = o_ref[0, pl.ds(i * block_q, block_q),
+                   member * hd:(member + 1) * hd]
         lse = lse_ref[0, member, pl.ds(i * block_q, block_q), :1]
-        delta = delta_ref[0, member, pl.ds(i * block_q, block_q), :1]
+        delta = (dob.astype(jnp.float32) * ob.astype(jnp.float32)).sum(
+            -1, keepdims=True)
         s = _dot_bf16(qb, k.T) * (scale * LOG2E)
         if masked:
             rows = i * block_q + lax.broadcasted_iota(
@@ -727,13 +733,6 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     bq, bk = _block_sizes(S, block_q, block_k)
     kv_of = lambda h: H + h // G
 
-    # delta = rowsum(dO · O) per (b, s, h) -> (B, H, S, LSE_W)
-    do32 = do.astype(jnp.float32).reshape(B, S, H, hd)
-    out32 = out.astype(jnp.float32).reshape(B, S, H, hd)
-    delta = (do32 * out32).sum(-1)
-    delta = jnp.broadcast_to(
-        delta.transpose(0, 2, 1)[..., None], (B, H, S, LSE_W))
-
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     seed_a = _seed_arr(seed)
     row_q = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, h),
@@ -753,7 +752,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
                           interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
         grid=(B, H, S // bq),
-        in_specs=[row_q, k_full, v_full, row_q, vec_q, vec_q, seed_spec],
+        in_specs=[row_q, k_full, v_full, row_q, row_q, vec_q, seed_spec],
         out_specs=row_q,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -764,7 +763,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             transcendentals=B * H * S * S // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, delta, seed_a)
+    )(qkv, qkv, qkv, do, out, lse, seed_a)
 
     # dk/dv: grid over kv heads; each program folds its G q-heads (their
     # lane-concatenated (1, S, G*hd) slice of qkv/do)
@@ -787,7 +786,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
         ),
         grid=(B, KV, S // bk),
-        in_specs=[qg_spec, kb_spec, vb_spec, qg_spec, vg_spec, vg_spec,
+        in_specs=[qg_spec, kb_spec, vb_spec, qg_spec, qg_spec, vg_spec,
                   seed_spec],
         out_specs=(dkv_out, dkv_out),
         compiler_params=pltpu.CompilerParams(
@@ -799,7 +798,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             transcendentals=B * H * S * S // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, delta, seed_a)
+    )(qkv, qkv, qkv, do, out, lse, seed_a)
 
     d_qkv = jnp.concatenate([dq, dk, dv], axis=-1)
     return d_qkv

@@ -200,15 +200,15 @@ def train_sweep(quick=False):
     S = 1024
     best = dict(remat_policy="names", flash_block=1024,
                 matmul_out="compute")
+    un = {**best, "scan_layers": False, "remat": False}
     grid = [
-        ("d768 B64 best", best, 64),
-        ("d1024 H8 B48 best", {**best, "d_model": 1024, "n_head": 8,
-                               "d_ff": 4096}, 48),
-        ("d1536 H12 B24 best", {**best, "d_model": 1536, "n_head": 12,
-                                "d_ff": 6144}, 24),
-        ("d2048 H16 B16 best", {**best, "d_model": 2048, "n_head": 16,
-                                "d_ff": 8192}, 16),
-        ("d768 B64 best rerun", dict(best), 64),
+        ("d768 B48 UNROLL noremat", un, 48),
+        ("d768 B64 UNROLL noremat", un, 64),
+        ("d768 B56 UNROLL noremat", un, 56),
+        ("d768 B48 UNROLL noremat blk512", {**un, "flash_block": 512}, 48),
+        ("d1536 B24 UNROLL noremat", {**un, "d_model": 1536, "n_head": 12,
+                                      "d_ff": 6144}, 24),
+        ("d768 B48 UNROLL noremat drop0.1", {**un, "dropout": 0.1}, 48),
     ]
     if quick:
         grid = grid[:3]
