@@ -272,15 +272,18 @@ def main() -> None:
         # residual stacking cost ~29% of the step in the profile) + no
         # remat at B48, packed-qkv flash @ block 1024, compute-dtype
         # matmul outputs. Scan/remat variants as fallbacks.
+        champion = dict(
+            flash="auto", remat=False, scan_layers=False, flash_block=1024,
+            matmul_out="compute", flash_softmax="fast", flash_bwd="fused",
+        )
         candidates = [
+            (T.GPTConfig(**base, **champion),
+             48, 1024, 16,
+             "d768 L8 H6 S1024 B48 bf16 unroll+noremat+fastsm+fusedbwd"),
             (T.GPTConfig(**base, flash="auto", remat=False,
                          scan_layers=False, flash_block=1024,
                          matmul_out="compute"),
              48, 1024, 16, "d768 L8 H6 S1024 B48 bf16 unroll+noremat"),
-            (T.GPTConfig(**base, flash="auto", remat=True,
-                         scan_layers=False, flash_block=1024,
-                         remat_policy="names", matmul_out="compute"),
-             64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 unroll+names"),
             (T.GPTConfig(**base, flash="auto", remat=True, flash_block=1024,
                          remat_policy="names", matmul_out="compute"),
              64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 scan+names"),
@@ -337,6 +340,7 @@ def main() -> None:
                 d_ff=6144, max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
                 flash="auto", remat=False, scan_layers=False,
                 flash_block=1024, matmul_out="compute",
+                flash_softmax="fast", flash_bwd="fused",
             )
             dt_l, _, _ = _run_config(T, cfg_l, 24, 1024, 8)
             scale_mfu = round(

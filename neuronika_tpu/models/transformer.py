@@ -103,6 +103,10 @@ class GPTConfig:
     #   "compute" — emit cfg.dtype directly (halves dot-output traffic
     #               when the cast is NOT fused; one rounding step earlier)
     matmul_out: str = "f32"
+    # dtype of the MATERIALISED LM-head logits ("f32" | "compute"):
+    # "compute" halves the CE tensor traffic but measured neutral-to-
+    # negative on v5e (XLA fuses the converts) — f32 default.
+    logits_dtype: str = "f32"
     # run the layer stack as a lax.scan over stacked params (compile once
     # per depth — the right default for deep models) or as an unrolled
     # python loop. Profiling the scan shows ~29% of the train step goes to
@@ -110,6 +114,18 @@ class GPTConfig:
     # residuals; unrolling keeps residuals as individual arrays at the
     # cost of O(n_layer) compile time.
     scan_layers: bool = True
+    # flash-attention softmax mode: "safe" keeps the running row-max
+    # (standard online softmax); "fast" skips the max/rescale passes in
+    # the VPU-bound forward kernel — mathematically identical by softmax
+    # shift-invariance, but exp2 overflows if attention logits exceed ~88
+    # (fine at normal training scales; monitor if logits grow unbounded).
+    flash_softmax: str = "safe"
+    # flash backward schedule (packed path): "split" = separate dq and
+    # dk/dv passes (each recomputes s and dp — 7 MXU tiles per pair);
+    # "fused" = one kernel per (batch, kv-head) computing dq+dk+dv in a
+    # single tile walk (5 MXU tiles, one exp2; dk/dv accumulate in VMEM
+    # scratch).
+    flash_bwd: str = "split"
     # sequence parallelism (sharded path only): constrain residual-stream
     # activations to P(dp, tp, None) — sequence sharded over tp — around
     # the norms/residuals; GSPMD inserts the Megatron-style all-gathers
@@ -295,7 +311,8 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         )
         out = flash_attention_qkv(
             qkv, seed, H, _kv_heads(cfg), True, None, bq, bk,
-            _cfg.pallas_interpret, drop,
+            _cfg.pallas_interpret, drop, cfg.flash_softmax == "fast",
+            cfg.flash_bwd == "fused",
         )
         out = _body_dot(out, blk["proj"], cfg)
         return (out + blk["proj_b"]).astype(cfg.dtype)
@@ -673,9 +690,16 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
         )
         return ce + cfg.moe_aux_weight * aux
     x, aux = hidden_states(params, tokens, cfg, train=train, key=key, mesh=mesh)
-    logits = jnp.dot(
-        x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
-    )
+    # logits_dtype="compute" materialises the logits in cfg.dtype (halves
+    # the CE tensor traffic) and upcasts on the fly inside the reductions.
+    # Measured NEUTRAL-to-negative on v5e (XLA already fuses the f32
+    # converts well), so f32 stays the default.
+    if cfg.logits_dtype == "compute":
+        logits = jnp.dot(x, params["wte"].T.astype(cfg.dtype),
+                         preferred_element_type=cfg.dtype)
+    else:
+        logits = jnp.dot(x, params["wte"].T.astype(cfg.dtype),
+                         preferred_element_type=jnp.float32)
     # CE via gather + logsumexp — never materialises one-hot/log-softmax
     # tensors of shape (B, S, V) beyond the logits themselves.
     logits32 = logits.astype(jnp.float32)

@@ -498,7 +498,8 @@ def reference_attention(q, k, v, causal: bool = True, scale: float = None):  # n
 
 
 def _fwd_kernel_qkv(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *,
-                    scale, block_k, causal, dropout, interpret=False):
+                    scale, block_k, causal, dropout, interpret=False,
+                    fast=False):
     # Rank-3 refs (Mosaic tiling: last two dims are (sublane, lane); head
     # blocks are hd-wide lane slices at 128-aligned offsets):
     # q_ref (1,bq,hd) · k/v_ref (1,S,hd) · o_ref (1,bq,hd) ·
@@ -525,27 +526,40 @@ def _fwd_kernel_qkv(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *,
             cols = j * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
-        m_new = jnp.maximum(m, s.max(axis=1))
-        p = jnp.exp2(s - m_new[:, None])
-        alpha = jnp.exp2(m - m_new)
-        l = l * alpha + p.sum(axis=1)
+        if fast:
+            # "fast" softmax: no running max / rescale (exp2 around 0 is
+            # exact by shift-invariance; overflows only past logits ~88 —
+            # see GPTConfig.flash_softmax). Drops the max-reduce and the
+            # alpha passes from the VPU-bound critical path.
+            p = jnp.exp2(s)
+            l = l + p.sum(axis=1)
+            m_new = m
+        else:
+            m_new = jnp.maximum(m, s.max(axis=1))
+            p = jnp.exp2(s - m_new[:, None])
+            alpha = jnp.exp2(m - m_new)
+            l = l * alpha + p.sum(axis=1)
         if dropout > 0.0:
             keep = _tile_keep_mask(seed_ref, b, h, qi, j,
                                    (block_q, block_k), dropout, interpret)
             p = jnp.where(keep, p, 0.0)
-        acc = acc * alpha[:, None] + _dot_bf16(p.astype(q_ref.dtype), vb)
+        if fast:
+            acc = acc + _dot_bf16(p.astype(q_ref.dtype), vb)
+        else:
+            acc = acc * alpha[:, None] + _dot_bf16(p.astype(q_ref.dtype), vb)
         return m_new, l, acc
 
+    carry0 = (jnp.zeros((block_q,), jnp.float32) if fast else m0, l0, acc0)
     if causal:
         n_full = (qi * block_q) // block_k
         n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
         carry = lax.fori_loop(
-            0, n_full, lambda j, c: tile(j, c, False), (m0, l0, acc0))
+            0, n_full, lambda j, c: tile(j, c, False), carry0)
         m, l, acc = lax.fori_loop(
             n_full, n_edge, lambda j, c: tile(j, c, True), carry)
     else:
         m, l, acc = lax.fori_loop(
-            0, seq // block_k, lambda j, c: tile(j, c, False), (m0, l0, acc0))
+            0, seq // block_k, lambda j, c: tile(j, c, False), carry0)
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
     o_ref[0] = (acc * (inv_keep / l[:, None])).astype(o_ref.dtype)
     lse_ref[0, 0] = jnp.broadcast_to(
@@ -683,7 +697,7 @@ def _qkv_geometry(qkv, n_head, n_kv_head):
 
 
 def _fwd_call_qkv(qkv, n_head, n_kv_head, scale, causal, block_q, block_k,
-                  interpret, dropout=0.0, seed=None):
+                  interpret, dropout=0.0, seed=None, fast=False):
     B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
@@ -700,7 +714,7 @@ def _fwd_call_qkv(qkv, n_head, n_kv_head, scale, causal, block_q, block_k,
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_qkv, scale=scale, block_k=bk,
                           causal=causal, dropout=dropout,
-                          interpret=interpret),
+                          interpret=interpret, fast=fast),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
             jax.ShapeDtypeStruct((B, H, S, LSE_W), jnp.float32),
@@ -804,11 +818,14 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     return d_qkv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def flash_attention_qkv(qkv, seed, n_head: int, n_kv_head: int = 0,
                         causal: bool = True, scale: float = None,  # noqa: RUF013
                         block_q: int = 256, block_k: int = 256,
-                        interpret: bool = False, dropout: float = 0.0):
+                        interpret: bool = False, dropout: float = 0.0,
+                        fast_softmax: bool = False,
+                        fused_bwd: bool = False):
     """Layout-native flash attention on the packed qkv projection.
 
     `qkv` (B, S, H·hd + 2·KV·hd) — the raw output of the fused qkv matmul
@@ -819,28 +836,168 @@ def flash_attention_qkv(qkv, seed, n_head: int, n_kv_head: int = 0,
     _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     s = 1.0 / math.sqrt(hd) if scale is None else scale
     out, _ = _fwd_call_qkv(qkv, n_head, n_kv_head, s, causal, block_q,
-                           block_k, interpret, dropout, seed)
+                           block_k, interpret, dropout, seed, fast_softmax)
     return out
 
 
 def _flashqkv_fwd(qkv, seed, n_head, n_kv_head, causal, scale, block_q,
-                  block_k, interpret, dropout):
+                  block_k, interpret, dropout, fast_softmax,
+                  fused_bwd=False):
     _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     s = 1.0 / math.sqrt(hd) if scale is None else scale
     out, lse = _fwd_call_qkv(qkv, n_head, n_kv_head, s, causal, block_q,
-                             block_k, interpret, dropout, seed)
+                             block_k, interpret, dropout, seed, fast_softmax)
     return out, (qkv, out, lse, seed)
 
 
 def _flashqkv_bwd(n_head, n_kv_head, causal, scale, block_q, block_k,
-                  interpret, dropout, res, do):
+                  interpret, dropout, fast_softmax, fused_bwd, res, do):
     qkv, out, lse, seed = res
     _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     s = 1.0 / math.sqrt(hd) if scale is None else scale
-    d_qkv = _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, s, causal,
-                          block_q, block_k, interpret, dropout, seed)
+    bwd = _bwd_call_qkv_fused if fused_bwd else _bwd_call_qkv
+    d_qkv = bwd(qkv, n_head, n_kv_head, out, lse, do, s, causal,
+                block_q, block_k, interpret, dropout, seed)
     dseed = None if seed is None else jnp.zeros_like(seed)
     return d_qkv, dseed
 
 
 flash_attention_qkv.defvjp(_flashqkv_fwd, _flashqkv_bwd)
+
+
+# --------------------------------------------------------------------------
+# fused backward (packed layout): dq + dk + dv in ONE kernel
+#
+# The split dq/dkv passes each recompute s = q·kᵀ and dp = dO·vᵀ — 7 MXU
+# tiles and two exp2 passes per (i, j) pair. This kernel walks the (i, j)
+# tile grid once per (batch, kv-head): 5 MXU tiles, one exp2. dq rows
+# accumulate in registers over j; dk/dv accumulate in VMEM scratch over
+# (member, i) and write out at the end. Profiled: the split backward was
+# ~15% of the train step.
+
+
+def _bwd_fused_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                          seed_ref, dq_ref, dk_ref, dv_ref,
+                          dk_scr, dv_scr, *, scale, block_q, block_k,
+                          causal, dropout, group, interpret=False):
+    # grid (B, KV). q/do/o (1, S, G*hd); k/v (1, S, hd); lse (1, G, S, W);
+    # outs: dq (1, S, G*hd), dk/dv (1, S, hd); scratch dk/dv (S, hd) f32.
+    S = k_ref.shape[1]
+    hd = k_ref.shape[2]
+    b, g = pl.program_id(0), pl.program_id(1)
+    n_q = S // block_q
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+
+    dk_scr[...] = jnp.zeros((S, hd), jnp.float32)
+    dv_scr[...] = jnp.zeros((S, hd), jnp.float32)
+
+    for member in range(group):  # static unroll over the kv-group
+        h = g * group + member
+
+        def qtile(i, _, member=member, h=h):
+            qb = q_ref[0, pl.ds(i * block_q, block_q),
+                       member * hd:(member + 1) * hd]
+            dob = do_ref[0, pl.ds(i * block_q, block_q),
+                         member * hd:(member + 1) * hd]
+            ob = o_ref[0, pl.ds(i * block_q, block_q),
+                       member * hd:(member + 1) * hd]
+            lse = lse_ref[0, member, pl.ds(i * block_q, block_q), :1]
+            delta = (dob.astype(jnp.float32)
+                     * ob.astype(jnp.float32)).sum(-1, keepdims=True)
+
+            def ktile(j, dq, masked):
+                kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+                vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+                s = _dot_bf16(qb, kb.T) * (scale * LOG2E)
+                if masked:
+                    rows = i * block_q + lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 0)
+                    cols = j * block_k + lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 1)
+                    s = jnp.where(rows >= cols, s, NEG_INF)
+                p = jnp.exp2(s - lse)
+                dp = _dot_bf16(dob, vb.T)
+                if dropout > 0.0:
+                    keep = _tile_keep_mask(seed_ref, b, h, i, j,
+                                           (block_q, block_k), dropout,
+                                           interpret)
+                    pv = jnp.where(keep, p * inv_keep, 0.0)
+                    dp = jnp.where(keep, dp * inv_keep, 0.0)
+                else:
+                    pv = p
+                ds = p * (dp - delta) * scale
+                dsb = ds.astype(q_ref.dtype)
+                sl = pl.ds(j * block_k, block_k)
+                dv_scr[sl, :] += _dot_bf16(pv.astype(q_ref.dtype).T, dob)
+                dk_scr[sl, :] += _dot_bf16(dsb.T, qb)
+                return dq + _dot_bf16(dsb, kb)
+
+            dq0 = jnp.zeros((block_q, hd), jnp.float32)
+            if causal:
+                n_full = (i * block_q) // block_k
+                n_edge = ((i + 1) * block_q + block_k - 1) // block_k
+                dq = lax.fori_loop(
+                    0, n_full, lambda j, d: ktile(j, d, False), dq0)
+                dq = lax.fori_loop(
+                    n_full, n_edge, lambda j, d: ktile(j, d, True), dq)
+            else:
+                dq = lax.fori_loop(
+                    0, S // block_k, lambda j, d: ktile(j, d, False), dq0)
+            dq_ref[0, pl.ds(i * block_q, block_q),
+                   member * hd:(member + 1) * hd] = dq.astype(dq_ref.dtype)
+            return 0
+
+        lax.fori_loop(0, n_q, qtile, 0)
+
+    dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_call_qkv_fused(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
+                        block_q, block_k, interpret, dropout=0.0, seed=None):
+    B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    H, G = n_head, n_head // (n_kv_head or n_head)
+    bq, bk = _block_sizes(S, block_q, block_k)
+
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qg = pl.BlockSpec((1, S, G * hd), lambda b, g: (b, 0, g),
+                      memory_space=pltpu.VMEM)
+    kf = pl.BlockSpec((1, S, hd), lambda b, g: (b, 0, H + g),
+                      memory_space=pltpu.VMEM)
+    vf = pl.BlockSpec((1, S, hd), lambda b, g: (b, 0, H + KV + g),
+                      memory_space=pltpu.VMEM)
+    lseg = pl.BlockSpec((1, G, S, LSE_W), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq_out = pl.BlockSpec((1, S, G * hd), lambda b, g: (b, 0, g),
+                          memory_space=pltpu.VMEM)
+    dkv_out = pl.BlockSpec((1, S, hd), lambda b, g: (b, 0, g),
+                           memory_space=pltpu.VMEM)
+
+    flops_bwd = 7 * B * H * S * S * hd // (2 if causal else 1)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel_qkv, scale=scale, block_q=bq,
+                          block_k=bk, causal=causal, dropout=dropout,
+                          group=G, interpret=interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
+        ),
+        grid=(B, KV),
+        in_specs=[qg, kf, vf, qg, qg, lseg, seed_spec],
+        out_specs=(dq_out, dkv_out, dkv_out),
+        scratch_shapes=[
+            pltpu.VMEM((S, hd), jnp.float32),
+            pltpu.VMEM((S, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * flops_bwd // 7,
+            bytes_accessed=4 * B * S * W * qkv.dtype.itemsize,
+            transcendentals=B * H * S * S // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, do, out, lse, _seed_arr(seed))
+    return jnp.concatenate([dq, dk, dv], axis=-1)

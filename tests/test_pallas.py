@@ -302,3 +302,34 @@ def test_transformer_trains_with_flash_dropout():
         assert all(np.isfinite(l) for l in losses)
     finally:
         config.pallas_interpret = old
+
+
+def test_flash_qkv_fast_softmax_matches_safe():
+    from neuronika_tpu.ops.pallas.attention import flash_attention_qkv
+
+    qkv = jax.random.normal(jax.random.key(0), (1, 256, 2 * 3 * 64))
+    a = flash_attention_qkv(qkv, None, 2, 0, True, None, 128, 128, True,
+                            0.0, False)
+    b = flash_attention_qkv(qkv, None, 2, 0, True, None, 128, 128, True,
+                            0.0, True)
+    assert_close(a, b, tol=1e-5)
+
+
+@pytest.mark.parametrize("kv,drop", [(4, 0.0), (2, 0.0), (2, 0.3)])
+def test_flash_qkv_fused_bwd_matches_split(kv, drop):
+    """The single-pass fused backward (dq+dk+dv in one tile walk) is
+    bit-equal to the split dq / dkv passes, incl. GQA and dropout."""
+    from neuronika_tpu.ops.pallas.attention import flash_attention_qkv
+
+    H, hd, B, S = 4, 64, 2, 256
+    qkv = jax.random.normal(jax.random.key(0), (B, S, (H + 2 * kv) * hd))
+    seed = jnp.float32(9.0) if drop else None
+
+    def loss(x, fused):
+        return (flash_attention_qkv(
+            x, seed, H, kv, True, None, 128, 128, True, drop, False, fused,
+        ) ** 2).sum()
+
+    g_split = jax.grad(lambda x: loss(x, False))(qkv)
+    g_fused = jax.grad(lambda x: loss(x, True))(qkv)
+    assert_close(g_fused, g_split, tol=1e-6)

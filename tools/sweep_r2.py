@@ -200,15 +200,19 @@ def train_sweep(quick=False):
     S = 1024
     best = dict(remat_policy="names", flash_block=1024,
                 matmul_out="compute")
-    un = {**best, "scan_layers": False, "remat": False}
+    un = {**best, "scan_layers": False, "remat": False,
+          "flash_softmax": "fast"}
     grid = [
-        ("d768 B48 UNROLL noremat", un, 48),
-        ("d768 B64 UNROLL noremat", un, 64),
-        ("d768 B56 UNROLL noremat", un, 56),
-        ("d768 B48 UNROLL noremat blk512", {**un, "flash_block": 512}, 48),
-        ("d1536 B24 UNROLL noremat", {**un, "d_model": 1536, "n_head": 12,
-                                      "d_ff": 6144}, 24),
-        ("d768 B48 UNROLL noremat drop0.1", {**un, "dropout": 0.1}, 48),
+        ("d768 B48 base (fastsm f32head)", un, 48),
+        ("d768 B48 fusedbwd", {**un, "flash_bwd": "fused"}, 48),
+        ("d768 B48 fusedbwd blk512", {**un, "flash_bwd": "fused",
+                                      "flash_block": 512}, 48),
+        ("d1536 B24 fusedbwd", {**un, "flash_bwd": "fused",
+                                "d_model": 1536, "n_head": 12,
+                                "d_ff": 6144}, 24),
+        ("d768 B48 fusedbwd drop0.1", {**un, "flash_bwd": "fused",
+                                       "dropout": 0.1,
+                                       "flash_block": 512}, 48),
     ]
     if quick:
         grid = grid[:3]
