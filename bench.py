@@ -225,7 +225,7 @@ def _kernel_rooflines(peak: float) -> dict:
 def _run_config(T, cfg, B, S, steps):
     key = jax.random.key(0)
     params = T.init_params(key, cfg)
-    opt_state = T.adam_init(params)
+    opt_state = T.opt_init(params, cfg)
     step = T.make_train_step(cfg)
 
     tokens = jax.random.randint(jax.random.key(1), (B, S), 0, cfg.vocab_size)

@@ -69,16 +69,17 @@ def _ce_fwd_kernel(x_ref, w_ref, t_ref, loss_ref, lse_ref,
 
 
 # --------------------------------------------------------------------------
-# backward d(x): grid (ni, nj), dx accumulated in scratch across j
+# backward d(x): grid (ni, nj), dx accumulated in the resident f32 output
+# block (index_map ignores j, so Pallas keeps it in VMEM across the inner
+# loop — no scratch, which is what let the r1 kernel OOM VMEM at bm>=1024)
 
 
-def _ce_dx_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dx_ref, acc_sc,
-                  *, block_v):
+def _ce_dx_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dx_ref, *, block_v):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        acc_sc[:] = jnp.zeros_like(acc_sc)
+        dx_ref[:] = jnp.zeros_like(dx_ref)
 
     x = x_ref[:]
     wb = w_ref[:]
@@ -88,27 +89,22 @@ def _ce_dx_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dx_ref, acc_sc,
     logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)
     cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.exp(logits - lse) - jnp.where(cols == tgt, 1.0, 0.0)
-    acc_sc[:] += jnp.dot(
+    dx_ref[:] += jnp.dot(
         (p * g).astype(x.dtype), wb, preferred_element_type=jnp.float32
     )
 
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _flush():
-        dx_ref[:] = acc_sc[:].astype(dx_ref.dtype)
-
 
 # --------------------------------------------------------------------------
-# backward d(W): grid (nj, ni), dW accumulated in scratch across i
+# backward d(W): grid (nj, ni), dW accumulated in the resident f32 output
 
 
-def _ce_dw_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dw_ref, acc_sc,
-                  *, block_v):
+def _ce_dw_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dw_ref, *, block_v):
     j = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
-        acc_sc[:] = jnp.zeros_like(acc_sc)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
 
     x = x_ref[:]                      # (bm, D) row block i
     wb = w_ref[:]                     # (bv, D) vocab block j
@@ -118,13 +114,9 @@ def _ce_dw_kernel(x_ref, w_ref, t_ref, lse_ref, g_ref, dw_ref, acc_sc,
     logits = jnp.dot(x, wb.T, preferred_element_type=jnp.float32)  # (bm, bv)
     cols = j * block_v + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.exp(logits - lse) - jnp.where(cols == tgt, 1.0, 0.0)
-    acc_sc[:] += jnp.dot(
+    dw_ref[:] += jnp.dot(
         (p * g).astype(x.dtype).T, x, preferred_element_type=jnp.float32
     )
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _flush():
-        dw_ref[:] = acc_sc[:].astype(dw_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -169,11 +161,14 @@ def _ce_fwd_call(x, w, targets, bm, bv, interpret):
     return loss[:, 0], lse
 
 
-def _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret):
+def _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret,
+                 bm_dw=None, bv_dw=None):
     N, D = x.shape
     V = w.shape[0]
     t_rep = _rep_i32(targets)
     g_rep = _rep_f32(g_rows)
+    bm_dw = bm_dw or bm
+    bv_dw = bv_dw or bv
 
     row_i = pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     w_j = pl.BlockSpec((bv, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
@@ -181,11 +176,10 @@ def _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret):
                          memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
         functools.partial(_ce_dx_kernel, block_v=bv),
-        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
         grid=(N // bm, V // bv),
         in_specs=[row_i, w_j, vec_i, vec_i, vec_i],
         out_specs=row_i,
-        scratch_shapes=[pltpu.VMEM((bm, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -193,56 +187,78 @@ def _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret):
     )(x, w, t_rep, lse, g_rep)
 
     # swapped grid: (vocab j, rows i)
-    row_i2 = pl.BlockSpec((bm, D), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
-    w_j2 = pl.BlockSpec((bv, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
-    vec_i2 = pl.BlockSpec((bm, 128), lambda j, i: (i, 0),
+    row_i2 = pl.BlockSpec((bm_dw, D), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_j2 = pl.BlockSpec((bv_dw, D), lambda j, i: (j, 0),
+                        memory_space=pltpu.VMEM)
+    vec_i2 = pl.BlockSpec((bm_dw, 128), lambda j, i: (i, 0),
                           memory_space=pltpu.VMEM)
     dw = pl.pallas_call(
-        functools.partial(_ce_dw_kernel, block_v=bv),
-        out_shape=jax.ShapeDtypeStruct((V, D), w.dtype),
-        grid=(V // bv, N // bm),
+        functools.partial(_ce_dw_kernel, block_v=bv_dw),
+        out_shape=jax.ShapeDtypeStruct((V, D), jnp.float32),
+        grid=(V // bv_dw, N // bm_dw),
         in_specs=[row_i2, w_j2, vec_i2, vec_i2, vec_i2],
         out_specs=w_j2,
-        scratch_shapes=[pltpu.VMEM((bv, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x, w, t_rep, lse, g_rep)
-    return dx, dw
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+def _auto_bm(n, cap):
+    """Largest power-of-two-ish row block <= cap that divides n."""
+    for bm in (cap, 1536, 1024, 768, 512, 384, 256, 128, 64, 32, 16, 8):
+        if bm <= cap and n % bm == 0:
+            return bm
+    return n
 
 
 def _blocks(x, w, block_m, block_v):
-    bm = min(block_m, x.shape[0])
-    bv = min(block_v, w.shape[0])
-    if x.shape[0] % bm or w.shape[0] % bv:
+    # Mosaic double-buffers EVERY block (even accumulator outputs whose
+    # index map ignores the inner grid dim), and kernel-body intermediates
+    # like the (bm, bv) logits tile live on the same 16 MB VMEM budget —
+    # measured OOMs: fwd bm2048/bv1024 20.7M, dx bm1024/bv1024 19.2M. The
+    # caps below keep each kernel ~10-13 MB. The re-streamed W/x tiles are
+    # fully hidden by double buffering (tile DMA ~2 us vs ~8 us of MXU
+    # work), so small row blocks cost no bandwidth stalls.
+    N, V = x.shape[0], w.shape[0]
+    bm = _auto_bm(N, block_m or 1024)
+    bv = min(block_v, V)
+    if N % bm or V % bv:
         raise ValueError("rows/vocab must be divisible by the block sizes")
-    return bm, bv
+    bm_dx = _auto_bm(N, min(bm, 512))
+    bv_dw = _auto_bm(V, min(bv, 512))
+    bm_dw = _auto_bm(N, 512)
+    return bm, bv, bm_dx, bv_dw, bm_dw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_linear_cross_entropy(x, w, targets, block_m: int = 256,
+def fused_linear_cross_entropy(x, w, targets, block_m: int = None,  # noqa: RUF013
                                block_v: int = 1024, interpret: bool = False):
     """mean over rows of CE(softmax(x·wᵀ), targets).
 
-    x (N, D), w (V, D), targets (N,) int — N divisible by block_m, V by
-    block_v (pad rows/vocab at the caller if needed)."""
-    bm, bv = _blocks(x, w, block_m, block_v)
+    x (N, D), w (V, D), targets (N,) int — N divisible by the row block, V
+    by block_v (pad rows/vocab at the caller if needed). block_m=None
+    auto-picks the largest feasible row block per kernel."""
+    bm, bv, _, _, _ = _blocks(x, w, block_m, block_v)
     loss, _ = _ce_fwd_call(x, w, targets, bm, bv, interpret)
     return loss.mean()
 
 
 def _flce_fwd(x, w, targets, block_m, block_v, interpret):
-    bm, bv = _blocks(x, w, block_m, block_v)
+    bm, bv, _, _, _ = _blocks(x, w, block_m, block_v)
     loss, lse = _ce_fwd_call(x, w, targets, bm, bv, interpret)
     return loss.mean(), (x, w, targets, lse)
 
 
 def _flce_bwd(block_m, block_v, interpret, res, g):
     x, w, targets, lse = res
-    bm, bv = _blocks(x, w, block_m, block_v)
+    _, bv, bm_dx, bv_dw, bm_dw = _blocks(x, w, block_m, block_v)
     g_rows = jnp.full((x.shape[0],), 1.0 / x.shape[0], jnp.float32) * g
-    dx, dw = _ce_bwd_call(x, w, targets, lse, g_rows, bm, bv, interpret)
+    dx, dw = _ce_bwd_call(x, w, targets, lse, g_rows, bm_dx, bv, interpret,
+                          bm_dw=bm_dw, bv_dw=bv_dw)
     return dx, dw, None
 
 

@@ -279,9 +279,13 @@ SGD = StochasticGD
 
 class Adam(Optimizer):
     def __init__(self, lr, beta1: float = 0.9, beta2: float = 0.999,
-                 penalty=None, eps: float = 1e-8) -> None:
+                 penalty=None, eps: float = 1e-8,
+                 state_dtype=None) -> None:
+        """`state_dtype=jnp.bfloat16` halves m/v HBM traffic per step;
+        the update math stays in f32 (matches optim.functional.adam_*)."""
         super().__init__(lr, penalty)
         self.beta1, self.beta2, self.eps = float(beta1), float(beta2), float(eps)
+        self.state_dtype = state_dtype
 
     def _hyper(self):
         return (self._lr, self.beta1, self.beta2, self.eps)
@@ -289,7 +293,7 @@ class Adam(Optimizer):
     def _init_state(self, variable):
         # distinct buffers: donation forbids aliased arguments
         def z():
-            return jnp.zeros(variable.shape, variable.dtype)
+            return jnp.zeros(variable.shape, self.state_dtype or variable.dtype)
 
         return {"exp_avg": z(), "exp_avg_sq": z()}
 
@@ -297,10 +301,13 @@ class Adam(Optimizer):
         lr, b1, b2, eps = hyper
         bc1 = 1.0 - b1**step
         bc2 = 1.0 - b2**step
-        m = state["exp_avg"] * b1 + grad * (1.0 - b1)
-        v = state["exp_avg_sq"] * b2 + grad * grad * (1.0 - b2)
+        m0 = state["exp_avg"].astype(grad.dtype)
+        v0 = state["exp_avg_sq"].astype(grad.dtype)
+        m = m0 * b1 + grad * (1.0 - b1)
+        v = v0 * b2 + grad * grad * (1.0 - b2)
         new = data - m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps) * (lr / bc1)
-        return new, {"exp_avg": m, "exp_avg_sq": v}
+        sd = state["exp_avg"].dtype
+        return new, {"exp_avg": m.astype(sd), "exp_avg_sq": v.astype(sd)}
 
 
 class AMSGrad(Adam):

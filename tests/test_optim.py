@@ -338,3 +338,41 @@ def test_functional_clip_by_global_norm():
     clipped, norm = clip_by_global_norm(tree, 1.0)
     assert float(norm) == pytest.approx(n)
     assert float(global_norm(clipped)) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_adam_bf16_state_matches_f32():
+    """bf16 m/v state: same trajectory as f32 to bf16 rounding tolerance,
+    state arrays actually stored in bf16 (half the HBM traffic)."""
+    import jax.numpy as jnp
+
+    from neuronika_tpu.optim.functional import adam_init, adam_update
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)}
+    s32 = adam_init(params)
+    s16 = adam_init(params, state_dtype=jnp.bfloat16)
+    assert s16["m"]["w"].dtype == jnp.bfloat16
+    p32, p16 = params, params
+    for i in range(5):
+        g = {"w": jnp.cos(jnp.arange(64.0)).reshape(8, 8) * (i + 1) * 0.1}
+        p32, s32 = adam_update(p32, g, s32, 1e-2)
+        p16, s16 = adam_update(p16, g, s16, 1e-2)
+    assert s16["v"]["w"].dtype == jnp.bfloat16
+    assert np.allclose(np.asarray(p32["w"]), np.asarray(p16["w"]),
+                       atol=2e-2), "bf16-state Adam diverged from f32"
+
+
+def test_adam_class_bf16_state():
+    import jax.numpy as jnp
+
+    import neuronika_tpu as nk
+
+    w = nk.from_ndarray(np.ones((4, 4), np.float32)).requires_grad()
+    opt = optim.Adam(0.01, state_dtype=jnp.bfloat16)
+    opt.register(w)
+    loss = (w * w).sum()
+    loss.forward()
+    loss.backward(1.0)
+    opt.step()
+    st = opt._state[0]
+    assert st["exp_avg"].dtype == jnp.bfloat16
+    assert not np.allclose(np.asarray(w.data()), 1.0)

@@ -1,0 +1,95 @@
+"""Flagship shape sweep with bf16 Adam state + r2 kernel winners.
+
+MFU attribution showed every d768/S1024 component near its floor (body
+matmuls 0.93, flash bandwidth-bound 0.28, LN at HBM speed, composite CE
+0.74, adam state traffic halved by bf16). The remaining MFU lever is the
+SHAPE: larger d_model raises matmul arithmetic intensity; S=2048 doubles
+flash's credited flops at better kernel MFU. All runs: 49152 tokens/step.
+
+Run: timeout 590 env PYTHONPATH=/root/repo:/root/.axon_site \
+       python tools/sweep_shapes.py
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+PEAK = 197e12
+
+
+def chain_time(step_fn, x0, iters=6, reps=4):
+    def loop(n):
+        return jax.jit(
+            lambda x: lax.fori_loop(0, n, lambda i, x: step_fn(x), x))
+    f1, f4 = loop(iters), loop(4 * iters)
+
+    def run(f, x):
+        leaf = jax.tree.leaves(f(x))[0]
+        return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
+    run(f1, x0); run(f4, x0)
+    t1s, t4s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); run(f1, x0); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(f4, x0); t4s.append(time.perf_counter() - t0)
+    return max(sorted(t4s)[len(t4s)//2] - sorted(t1s)[len(t1s)//2], 1e-9) / (3 * iters)
+
+
+def main():
+    from neuronika_tpu.models import transformer as T
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    common = dict(
+        vocab_size=16384, dropout=0.0, dtype=jnp.bfloat16, flash="auto",
+        scan_layers=False, flash_block=1024, matmul_out="compute",
+        flash_softmax="fast", flash_bwd="fused", opt_state_dtype="bf16",
+    )
+    runs = [
+        ("d1536 L8 S1024 B32", dict(n_layer=8, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False), 32, 1024),
+        ("d1536 L8 S1024 B40", dict(n_layer=8, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False), 40, 1024),
+        ("d1536 L8 S2048 B16 fb512", dict(n_layer=8, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=2048, remat=False, flash_block=512), 16, 2048),
+        ("d2048 L8 S1024 B24", dict(n_layer=8, n_head=16, d_model=2048,
+         d_ff=8192, max_seq=1024, remat=False), 24, 1024),
+        ("d1792 L8 S1024 B28", dict(n_layer=8, n_head=14, d_model=1792,
+         d_ff=7168, max_seq=1024, remat=False), 28, 1024),
+        ("d1536 L12 S1024 B24", dict(n_layer=12, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False), 24, 1024),
+    ]
+    for name, over, B, S in runs:
+        try:
+            cfg = T.GPTConfig(**common, **over)
+            params = T.init_params(jax.random.key(0), cfg)
+            opt = T.opt_init(params, cfg)
+            step = T.make_train_step(cfg)
+            tok = jax.random.randint(jax.random.key(1), (B, S), 0,
+                                     cfg.vocab_size)
+            tgt = jnp.roll(tok, -1, axis=1)
+            lr = jnp.float32(3e-4)
+            key = jax.random.key(2)
+
+            def one(st, step=step, tok=tok, tgt=tgt, lr=lr, key=key):
+                p, o = st
+                p, o, loss = step(p, o, tok, tgt, lr, key)
+                return (p, o)
+
+            dt = chain_time(one, (params, opt))
+            fl = T.flops_per_token(cfg, S) * B * S
+            print(f"{name}  {dt*1e3:8.2f} ms  {B*S/dt/1e3:7.1f} ktok/s  "
+                  f"MFU={fl/dt/PEAK:.4f}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
