@@ -438,3 +438,52 @@ def test_unrolled_layers_match_scan():
     assert_close(l1, l2, tol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert_close(a, b, tol=1e-5)
+
+
+class TestResNet:
+    def test_forward_shapes_and_training(self):
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.models import resnet as R
+
+        cfg = R.ResNetConfig(stages=(1, 1), width=16, num_classes=4)
+        p = R.init_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (8, 32, 32, 3))
+        y = jax.random.randint(jax.random.key(2), (8,), 0, 4)
+        logits = R.forward(p, x, cfg)
+        assert logits.shape == (8, 4)
+        assert logits.dtype == jnp.float32
+        step = R.make_train_step(cfg, weight_decay=1e-4)
+        buf = R.momentum_init(p)
+        first = None
+        for _ in range(12):
+            p, buf, loss = step(p, buf, x, y, jnp.float32(0.05))
+            first = first or float(loss)
+        assert float(loss) < first
+
+    def test_imagenet_stem_downsamples(self):
+        import jax
+
+        from neuronika_tpu.models import resnet as R
+
+        cfg = R.ResNetConfig(stages=(1,), width=8, num_classes=3,
+                             stem="imagenet")
+        p = R.init_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+        assert R.forward(p, x, cfg).shape == (2, 3)
+
+    def test_groupnorm_batch_independent(self):
+        """GN: per-sample stats — row 0's output can't depend on row 1."""
+        import jax
+        import numpy as np
+
+        from neuronika_tpu.models import resnet as R
+
+        cfg = R.ResNetConfig(stages=(1,), width=8, num_classes=3)
+        p = R.init_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+        full = R.forward(p, x, cfg)
+        solo = R.forward(p, x[:1], cfg)
+        np.testing.assert_allclose(np.asarray(full[:1]), np.asarray(solo),
+                                   rtol=2e-5, atol=2e-5)

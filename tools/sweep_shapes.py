@@ -22,7 +22,7 @@ from jax import lax
 PEAK = 197e12
 
 
-def chain_time(step_fn, x0, iters=6, reps=4):
+def chain_time(step_fn, x0, iters=6, reps=3):
     def loop(n):
         return jax.jit(
             lambda x: lax.fori_loop(0, n, lambda i, x: step_fn(x), x))
@@ -63,6 +63,9 @@ def main():
         ("d1536 L12 S1024 B24", dict(n_layer=12, n_head=12, d_model=1536,
          d_ff=6144, max_seq=1024, remat=False), 24, 1024),
     ]
+    import sys
+    sel = [int(a) for a in sys.argv[1:]] or range(len(runs))
+    runs = [runs[i] for i in sel]
     for name, over, B, S in runs:
         try:
             cfg = T.GPTConfig(**common, **over)
