@@ -62,6 +62,14 @@ def main():
          d_ff=7168, max_seq=1024, remat=False), 28, 1024),
         ("d1536 L12 S1024 B24", dict(n_layer=12, n_head=12, d_model=1536,
          d_ff=6144, max_seq=1024, remat=False), 24, 1024),
+        # champion micro-variants (idx 6-8)
+        ("d1536 B24 logits=compute", dict(n_layer=8, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False, logits_dtype="compute"),
+         24, 1024),
+        ("d1536 B24 fb512", dict(n_layer=8, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False, flash_block=512), 24, 1024),
+        ("d1536 B28", dict(n_layer=8, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False), 28, 1024),
     ]
     import sys
     sel = [int(a) for a in sys.argv[1:]] or range(len(runs))
