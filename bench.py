@@ -102,25 +102,23 @@ def _timed_chain(step_fn, x0, rtt, iters=32, reps=5):
     signature stability."""
     from jax import lax
 
-    def loop(n):
-        return jax.jit(lambda x: lax.fori_loop(
-            0, n, lambda i, x: step_fn(x), x))
+    # dynamic trip count -> ONE compile serves both chain lengths
+    f = jax.jit(lambda x, n: lax.fori_loop(
+        0, n, lambda i, x: step_fn(x), x))
 
-    f1, f4 = loop(iters), loop(4 * iters)
-
-    def run(f, x):
-        leaf = jax.tree.leaves(f(x))[0]
+    def run(x, n):
+        leaf = jax.tree.leaves(f(x, jnp.int32(n)))[0]
         return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
 
-    run(f1, x0)
-    run(f4, x0)  # compile both
+    run(x0, iters)
+    run(x0, 4 * iters)  # compile once; warm both paths
     t1s, t4s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(f1, x0)
+        run(x0, iters)
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        run(f4, x0)
+        run(x0, 4 * iters)
         t4s.append(time.perf_counter() - t0)
     t1 = sorted(t1s)[len(t1s) // 2]
     t4 = sorted(t4s)[len(t4s) // 2]
@@ -223,6 +221,11 @@ def _kernel_rooflines(peak: float) -> dict:
 
 
 def _run_config(T, cfg, B, S, steps):
+    """Per-step time of the fused train step via the two-length chain
+    method (see _timed_chain): the whole (params, opt_state) pytree is
+    threaded through a jitted fori_loop, so RTT and per-call constants
+    cancel exactly — the synced-loop-minus-RTT method this replaces
+    under-reported by ~2% whenever the tunnel was jittery."""
     key = jax.random.key(0)
     params = T.init_params(key, cfg)
     opt_state = T.opt_init(params, cfg)
@@ -232,28 +235,45 @@ def _run_config(T, cfg, B, S, steps):
     targets = jax.random.randint(jax.random.key(2), (B, S), 0, cfg.vocab_size)
     lr = jnp.float32(3e-4)
 
-    params, opt_state, loss = step(params, opt_state, tokens, targets, lr, key)
-    float(loss)  # warmup / compile / first full round trip
+    # NB: step donates (params, opt_state) — the warmup call invalidates
+    # the originals, so everything below must use the returned buffers.
+    params, opt_state, loss = step(params, opt_state, tokens, targets, lr,
+                                   key)
+    lv = float(loss)  # warmup / compile / first full round trip
+    rtt = _measure_rtt()
 
-    tiny = jax.jit(lambda x: x + 1.0)
-    z = jnp.zeros(())
-    float(tiny(z))
-    rtts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        float(tiny(z))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
+    iters = max(steps // 2, 2)
+    from jax import lax
 
-    times = []
-    for i in range(steps):
+    def chain(st):
+        p, o = st
+        p, o, _ = step(p, o, tokens, targets, lr, key)
+        return (p, o)
+
+    # dynamic trip count: ONE compiled while-loop serves both chain
+    # lengths (a static-bound loop per length doubles the compile bill,
+    # which blows the artifact's time budget at d1536 through the
+    # remote-compile tunnel)
+    f = jax.jit(lambda st, n: lax.fori_loop(
+        0, n, lambda i, st: chain(st), st))
+
+    def run(n):
+        out = f((params, opt_state), jnp.int32(n))
+        return float(jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32))
+
+    run(iters)
+    run(4 * iters)  # compile once; warm both paths
+    t1s, t4s = [], []
+    for _ in range(3):
         t0 = time.perf_counter()
-        params, opt_state, loss = step(
-            params, opt_state, tokens, targets, lr, jax.random.fold_in(key, i)
-        )
-        lv = float(loss)
-        times.append(time.perf_counter() - t0)
-    dt = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+        run(iters)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(4 * iters)
+        t4s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    t4 = sorted(t4s)[len(t4s) // 2]
+    dt = max(t4 - t1, 1e-9) / (3 * iters)
     return dt, rtt, lv
 
 
@@ -261,33 +281,37 @@ def main() -> None:
     from neuronika_tpu.models import transformer as T
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # head_dim 128 (n_head=6) fills the MXU lanes — measured +34% MFU over
-    # head_dim 64; flash_block 512 is another ~+8% (stage sweeps, v5e).
-    base = dict(
-        vocab_size=16384, n_layer=8, n_head=6, d_model=768, d_ff=3072,
-        max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
+    # r2b sweep winners (tools/sweep_shapes.py, docs/PERF.md): every kernel
+    # at d768 measures at its own floor (matmuls 0.926 in-situ, LN at HBM
+    # speed-of-light, flash bandwidth-bound at S1024), so MFU is set by
+    # arithmetic intensity -> the flagship is the d1536 shape (0.786 vs
+    # 0.731 at d768, same 49k-token global batch granularity). Winners:
+    # unrolled layers, no remat, packed-qkv flash @ block 1024, fast
+    # softmax, single-pass fused flash bwd, compute-dtype matmul outputs,
+    # bf16 Adam state (-6 ms; loss curves match f32 to 2e-4).
+    kern = dict(
+        vocab_size=16384, dropout=0.0, dtype=jnp.bfloat16,
+        flash="auto", remat=False, scan_layers=False, flash_block=1024,
+        matmul_out="compute", flash_softmax="fast", flash_bwd="fused",
+        opt_state_dtype="bf16",
     )
+    base = dict(n_layer=8, n_head=6, d_model=768, d_ff=3072, max_seq=1024)
     if on_tpu:
-        # r2 sweep winners (tools/sweep_r2.py): unrolled layers (the scan's
-        # residual stacking cost ~29% of the step in the profile) + no
-        # remat at B48, packed-qkv flash @ block 1024, compute-dtype
-        # matmul outputs. Scan/remat variants as fallbacks.
-        champion = dict(
-            flash="auto", remat=False, scan_layers=False, flash_block=1024,
-            matmul_out="compute", flash_softmax="fast", flash_bwd="fused",
-        )
         candidates = [
-            (T.GPTConfig(**base, **champion),
-             48, 1024, 16,
-             "d768 L8 H6 S1024 B48 bf16 unroll+noremat+fastsm+fusedbwd"),
-            (T.GPTConfig(**base, flash="auto", remat=False,
-                         scan_layers=False, flash_block=1024,
-                         matmul_out="compute"),
-             48, 1024, 16, "d768 L8 H6 S1024 B48 bf16 unroll+noremat"),
-            (T.GPTConfig(**base, flash="auto", remat=True, flash_block=1024,
-                         remat_policy="names", matmul_out="compute"),
+            (T.GPTConfig(n_layer=8, n_head=12, d_model=1536, d_ff=6144,
+                         max_seq=1024, **kern),
+             24, 1024, 12,
+             "d1536 L8 H12 S1024 B24 bf16 unroll+noremat+fastsm+fusedbwd"
+             "+bf16adam"),
+            (T.GPTConfig(**base, **kern), 48, 1024, 16,
+             "d768 L8 H6 S1024 B48 bf16 unroll+noremat+fastsm+fusedbwd"
+             "+bf16adam"),
+            (T.GPTConfig(**base, **{**kern, "remat": True,
+                                    "scan_layers": True},
+                         remat_policy="names"),
              64, 1024, 12, "d768 L8 H6 S1024 B64 bf16 scan+names"),
-            (T.GPTConfig(**base, flash="off", remat=False), 8, 1024, 20,
+            (T.GPTConfig(vocab_size=16384, dropout=0.0, dtype=jnp.bfloat16,
+                         flash="off", remat=False, **base), 8, 1024, 20,
              "d768 L8 H6 S1024 B8 bf16 xla-attn"),
         ]
     else:
@@ -329,30 +353,25 @@ def main() -> None:
 
     rooflines = _kernel_rooflines(_device_peak()) if on_tpu else {}
 
-    # scale demo: MFU rises with d_model (the d768 body is bandwidth-bound
-    # — sweep: d1024 0.597, d1536 0.623); report one larger shape so the
-    # artifact shows the framework's ceiling, not just the mini config.
-    scale_mfu = None
-    if on_tpu:
+    # mini demo: the r1 headline shape (d768), kept in the artifact for
+    # round-over-round continuity (r1: 221.7k tok/s / 0.552 MFU).
+    mini = None
+    if on_tpu and cfg is not None and cfg.d_model != 768:
         try:
-            cfg_l = T.GPTConfig(
-                vocab_size=16384, n_layer=8, n_head=12, d_model=1536,
-                d_ff=6144, max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
-                flash="auto", remat=False, scan_layers=False,
-                flash_block=1024, matmul_out="compute",
-                flash_softmax="fast", flash_bwd="fused",
-            )
-            dt_l, _, _ = _run_config(T, cfg_l, 24, 1024, 8)
-            scale_mfu = round(
-                T.flops_per_token(cfg_l, 1024) * 24 * 1024 / dt_l
-                / _device_peak(), 4)
+            cfg_m = T.GPTConfig(**base, **kern)
+            dt_m, _, _ = _run_config(T, cfg_m, 48, 1024, 10)
+            mini = {
+                "tokens_per_sec": round(48 * 1024 / dt_m, 1),
+                "mfu": round(T.flops_per_token(cfg_m, 1024) * 48 * 1024
+                             / dt_m / _device_peak(), 4),
+            }
         except Exception:  # noqa: BLE001
             traceback.print_exc()
 
     print(
         json.dumps(
             {
-                "metric": "gpt2_mini_train_tokens_per_sec",
+                "metric": "gpt_flagship_train_tokens_per_sec",
                 "value": round(tok_per_sec, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(mfu / 0.80, 4),
@@ -362,7 +381,7 @@ def main() -> None:
                     "rtt_ms": round(rtt * 1e3, 2),
                     "quickstart_mlp_steps_per_sec": mlp_sps,
                     "kernel_rooflines": rooflines or None,
-                    "scale_demo_mfu_d1536": scale_mfu,
+                    "mini_d768_r1_metric": mini,
                     "loss": lv,
                     "device": str(jax.devices()[0]),
                     "config": label,
