@@ -487,3 +487,41 @@ class TestResNet:
         solo = R.forward(p, x[:1], cfg)
         np.testing.assert_allclose(np.asarray(full[:1]), np.asarray(solo),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestViT:
+    def test_forward_and_training(self):
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.models import vit as V
+        from neuronika_tpu.optim.functional import adam_init
+
+        cfg = V.ViTConfig(image=16, patch=4, d_model=64, n_layer=2,
+                          n_head=2, d_ff=128, num_classes=5)
+        p = V.init_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (8, 16, 16, 3))
+        y = jax.random.randint(jax.random.key(2), (8,), 0, 5)
+        assert V.forward(p, x, cfg).shape == (8, 5)
+        step = V.make_train_step(cfg)
+        o = adam_init(p)
+        first = None
+        for _ in range(15):
+            p, o, loss = step(p, o, x, y, jnp.float32(1e-3))
+            first = first or float(loss)
+        assert float(loss) < first
+
+    def test_patchify_is_exact_unfold(self):
+        import jax
+        import numpy as np
+
+        from neuronika_tpu.models import vit as V
+
+        cfg = V.ViTConfig(image=8, patch=4)
+        x = jax.random.uniform(jax.random.key(0), (1, 8, 8, 3))
+        got = np.asarray(V._patchify(x, cfg))
+        xn = np.asarray(x)
+        # patch 0 is the top-left 4x4 block, row-major
+        np.testing.assert_allclose(got[0, 0], xn[0, :4, :4, :].reshape(-1))
+        np.testing.assert_allclose(got[0, 1], xn[0, :4, 4:, :].reshape(-1))
+        np.testing.assert_allclose(got[0, 2], xn[0, 4:, :4, :].reshape(-1))

@@ -1,5 +1,7 @@
 """Champion-config ablation: where do the remaining ms go?
 
+Usage: python tools/diag_r2b.py [d_model n_head d_ff B]  (default 768 6 3072 48)
+
 Config: d768 L8 H6 S1024 B48 bf16, unroll+noremat+fastsm+fusedbwd
 (bench.py's current champion, 0.703 MFU). Times full step, fwd-only,
 fwd+bwd (no opt), body-only fwd+bwd, head+CE fwd+bwd, Adam-only — so the
@@ -49,12 +51,16 @@ def main():
     from neuronika_tpu.models import transformer as T
     import dataclasses
 
-    B, S = 48, 1024
+    import sys
+    dm, nh, dff, B = (int(a) for a in sys.argv[1:5]) if len(sys.argv) > 4 \
+        else (768, 6, 3072, 48)
+    S = 1024
     cfg = T.GPTConfig(
-        vocab_size=16384, n_layer=8, n_head=6, d_model=768, d_ff=3072,
+        vocab_size=16384, n_layer=8, n_head=nh, d_model=dm, d_ff=dff,
         max_seq=1024, dropout=0.0, dtype=jnp.bfloat16,
         flash="auto", remat=False, scan_layers=False, flash_block=1024,
         matmul_out="compute", flash_softmax="fast", flash_bwd="fused",
+        opt_state_dtype="bf16",
     )
     params = T.init_params(jax.random.key(0), cfg)
     tok = jax.random.randint(jax.random.key(1), (B, S), 0, cfg.vocab_size)
@@ -74,7 +80,7 @@ def main():
 
     # 1. FULL train step (bench number) — self-chaining state
     step = T.make_train_step(cfg)
-    opt = T.adam_init(params)
+    opt = T.opt_init(params, cfg)
 
     def full(st):
         p, o = st
@@ -171,7 +177,7 @@ def main():
         traceback.print_exc()
 
     # 6. Adam-only update on the full param tree
-    from neuronika_tpu.models.transformer import adam_update
+    from neuronika_tpu.models.transformer import adam_update  # noqa
     lr = jnp.float32(3e-4)
 
     def adamonly(st):

@@ -23,20 +23,19 @@ PEAK = 197e12
 
 
 def chain_time(step_fn, x0, iters=6, reps=3):
-    def loop(n):
-        return jax.jit(
-            lambda x: lax.fori_loop(0, n, lambda i, x: step_fn(x), x))
-    f1, f4 = loop(iters), loop(4 * iters)
+    # dynamic trip count: ONE compile serves both chain lengths
+    f = jax.jit(lambda x, n: lax.fori_loop(
+        0, n, lambda i, x: step_fn(x), x))
 
-    def run(f, x):
-        leaf = jax.tree.leaves(f(x))[0]
+    def run(x, n):
+        leaf = jax.tree.leaves(f(x, jnp.int32(n)))[0]
         return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
 
-    run(f1, x0); run(f4, x0)
+    run(x0, iters); run(x0, 4 * iters)
     t1s, t4s = [], []
     for _ in range(reps):
-        t0 = time.perf_counter(); run(f1, x0); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); run(f4, x0); t4s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(x0, iters); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(x0, 4 * iters); t4s.append(time.perf_counter() - t0)
     return max(sorted(t4s)[len(t4s)//2] - sorted(t1s)[len(t1s)//2], 1e-9) / (3 * iters)
 
 
@@ -76,7 +75,7 @@ def main():
     runs = [runs[i] for i in sel]
     for name, over, B, S in runs:
         try:
-            cfg = T.GPTConfig(**common, **over)
+            cfg = T.GPTConfig(**{**common, **over})
             params = T.init_params(jax.random.key(0), cfg)
             opt = T.opt_init(params, cfg)
             step = T.make_train_step(cfg)
