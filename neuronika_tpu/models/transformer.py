@@ -298,7 +298,11 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     qkv = _body_dot(x, blk["qkv"], cfg)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
     use_flash = _use_flash(cfg, S, train)
-    if use_flash and mesh is None:
+    # the packed-qkv kernels slice hd-wide head columns out of the fused
+    # (B, S, W) tensor — Mosaic requires last-dim block sizes to be
+    # multiples of 128, so hd < 128 falls back to the split layout (whose
+    # blocks span the full hd axis and are exempt from the rule)
+    if use_flash and mesh is None and hd % 128 == 0:
         # layout-native path: the packed-qkv kernels read head blocks
         # straight from this tensor — no split / transpose / GQA-repeat
         # copies (the body is bandwidth-bound; those copies were ~18% of

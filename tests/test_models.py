@@ -525,3 +525,35 @@ class TestViT:
         np.testing.assert_allclose(got[0, 0], xn[0, :4, :4, :].reshape(-1))
         np.testing.assert_allclose(got[0, 1], xn[0, :4, 4:, :].reshape(-1))
         np.testing.assert_allclose(got[0, 2], xn[0, 4:, :4, :].reshape(-1))
+
+
+def test_flash_small_head_dim_routes_to_split_layout():
+    """hd < 128: the packed-qkv kernels are illegal on TPU (Mosaic's
+    128-lane block rule), so flash='on' must route through the split
+    (B,H,S,hd) kernels — and match the composite path numerically.
+    Regression for the d512/H8 crash found by tools/train_demo.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuronika_tpu.config import config as C
+    from neuronika_tpu.models import transformer as T
+
+    old = C.pallas_interpret
+    C.pallas_interpret = True
+    try:
+        kw = dict(vocab_size=64, n_layer=1, n_head=4, d_model=256,
+                  d_ff=256, max_seq=128, dropout=0.0, dtype=jnp.float32)
+        cfg_fl = T.GPTConfig(**kw, flash="on")
+        cfg_off = T.GPTConfig(**kw, flash="off")
+        assert cfg_fl.d_model // cfg_fl.n_head == 64
+        params = T.init_params(jax.random.key(0), cfg_fl)
+        tok = jax.random.randint(jax.random.key(1), (2, 128), 0, 64)
+        tgt = jnp.roll(tok, -1, 1)
+        k = jax.random.key(2)
+        lf = float(T.loss_fn(params, tok, tgt, cfg_fl, train=True, key=k))
+        lo = float(T.loss_fn(params, tok, tgt, cfg_off, train=True, key=k))
+        assert np.isfinite(lf)
+        np.testing.assert_allclose(lf, lo, rtol=2e-4)
+    finally:
+        C.pallas_interpret = old
