@@ -69,6 +69,34 @@ def main():
          d_ff=6144, max_seq=1024, remat=False, flash_block=512), 24, 1024),
         ("d1536 B28", dict(n_layer=8, n_head=12, d_model=1536,
          d_ff=6144, max_seq=1024, remat=False), 28, 1024),
+        # depth/sequence variants (idx 9-12): amortise head+embed over a
+        # deeper body; S2048 runs flash at its efficient regime (0.63 f+b
+        # standalone vs 0.28 at S1024)
+        ("d1536 L12 S1024 B16", dict(n_layer=12, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False), 16, 1024),
+        ("d1536 L16 S1024 B12", dict(n_layer=16, n_head=12, d_model=1536,
+         d_ff=6144, max_seq=1024, remat=False), 12, 1024),
+        ("d1536 L12 S2048 B8 fb512", dict(n_layer=12, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=2048, remat=False,
+         flash_block=512), 8, 2048),
+        ("d1536 L8 S2048 B12 fb512", dict(n_layer=8, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=2048, remat=False,
+         flash_block=512), 12, 2048),
+        ("d1536 L8 S2048 B20 fb512", dict(n_layer=8, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=2048, remat=False,
+         flash_block=512), 20, 2048),
+        ("d1536 L8 S2048 B24 fb512", dict(n_layer=8, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=2048, remat=False,
+         flash_block=512), 24, 2048),
+        ("d1536 L8 S4096 B8 fb512", dict(n_layer=8, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=4096, remat=False,
+         flash_block=512), 8, 4096),
+        ("d1536 L8 S2048 B18 fb512", dict(n_layer=8, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=2048, remat=False,
+         flash_block=512), 18, 2048),
+        ("d1536 L8 S2048 B16 fb768", dict(n_layer=8, n_head=12,
+         d_model=1536, d_ff=6144, max_seq=2048, remat=False,
+         flash_block=768), 16, 2048),
     ]
     import sys
     sel = [int(a) for a in sys.argv[1:]] or range(len(runs))
