@@ -350,7 +350,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             # Pallas calls are not GSPMD-partitionable; shard_map maps the
             # kernel over the (dp, tp)-sharded batch/head axes — attention
             # is independent per (batch, head), so no collectives.
-            from jax.experimental.shard_map import shard_map
+            from ..parallel.mesh import shard_map_compat as shard_map
             from jax.sharding import PartitionSpec as _P
 
             spec = _P("dp", "tp", None, None)

@@ -20,8 +20,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh", "data_parallel_sharding", "replicated", "shard_batch",
-    "DataParallel",
+    "DataParallel", "shard_map_compat",
 ]
+
+
+def shard_map_compat(f, *, mesh, in_specs, out_specs, check_rep=False):
+    """`shard_map` across jax versions: 0.8 moved it to `jax.shard_map`
+    and renamed `check_rep` -> `check_vma`."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+    from jax.experimental.shard_map import shard_map  # pragma: no cover
+    return shard_map(f, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=check_rep)
 
 
 def make_mesh(

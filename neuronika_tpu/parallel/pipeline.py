@@ -33,7 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from .mesh import shard_map_compat as shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["pipeline_forward", "pipeline_train_1f1b"]
