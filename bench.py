@@ -298,6 +298,14 @@ def main() -> None:
     base = dict(n_layer=8, n_head=6, d_model=768, d_ff=3072, max_seq=1024)
     if on_tpu:
         candidates = [
+            # S2048 runs flash in its efficient regime (standalone f+b 0.63
+            # vs 0.28 at S1024): 0.8093/0.8097 MFU over two fresh runs
+            # (tools/sweep_shapes.py idx 2). B20 hits an HBM cliff (0.723).
+            (T.GPTConfig(n_layer=8, n_head=12, d_model=1536, d_ff=6144,
+                         max_seq=2048, **{**kern, "flash_block": 512}),
+             16, 2048, 10,
+             "d1536 L8 H12 S2048 B16 fb512 bf16 unroll+noremat+fastsm"
+             "+fusedbwd+bf16adam"),
             (T.GPTConfig(n_layer=8, n_head=12, d_model=1536, d_ff=6144,
                          max_seq=1024, **kern),
              24, 1024, 12,

@@ -61,6 +61,12 @@ def main():
     out = T.generate(params, cfg, ids, max_new=40)
     print("sample:", "".join(chars[i] for i in out[0]))
 
+    # same thing as ONE compiled program (prefill + all decode steps on
+    # device — the serving path; no per-token host round trips)
+    gen = T.make_generate(cfg, max_new=40, temperature=0.8, top_k=8)
+    out = np.asarray(gen(params, jnp.asarray(ids), jax.random.key(7)))
+    print("sample (on-device):", "".join(chars[i] for i in out[0]))
+
 
 if __name__ == "__main__":
     main()

@@ -1055,30 +1055,70 @@ def _decode_block(x, blk, layer_kv, pos, cfg: GPTConfig):
     return x, {"k": ck, "v": cv}
 
 
+def _decode_step_body(params, cache, token, cfg: GPTConfig):
+    """Single-token decode body (untraced): (params, cache, token (B,)) ->
+    (logits (B, V), cache). Shared by the jitted per-token step and the
+    fully on-device `make_generate` scan."""
+    pos = cache["pos"]
+    pe = lax.dynamic_slice_in_dim(params["wpe"], pos, 1)  # (1, D)
+    x = (params["wte"][token][:, None, :] + pe).astype(cfg.dtype)
+
+    def body(x, layer):
+        blk, lk, lv = layer
+        x, new_kv = _decode_block(x, blk, {"k": lk, "v": lv}, pos, cfg)
+        return x, (new_kv["k"], new_kv["v"])
+
+    x, (ks, vs) = lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
+    x = _layer_norm(x, params["ln_f"])
+    logits = jnp.dot(
+        x[:, 0], params["wte"].T.astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, {"k": ks, "v": vs, "pos": pos + 1}
+
+
 def make_decode_step(cfg: GPTConfig):
     """Jitted single-token decode: (params, cache, token (B,)) ->
     (logits (B, V), cache). The KV cache is donated (updated in place)."""
 
     def step(params, cache, token):
-        B = token.shape[0]
-        pos = cache["pos"]
-        pe = lax.dynamic_slice_in_dim(params["wpe"], pos, 1)  # (1, D)
-        x = (params["wte"][token][:, None, :] + pe).astype(cfg.dtype)
-
-        def body(x, layer):
-            blk, lk, lv = layer
-            x, new_kv = _decode_block(x, blk, {"k": lk, "v": lv}, pos, cfg)
-            return x, (new_kv["k"], new_kv["v"])
-
-        x, (ks, vs) = lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
-        x = _layer_norm(x, params["ln_f"])
-        logits = jnp.dot(
-            x[:, 0], params["wte"].T.astype(cfg.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return logits, {"k": ks, "v": vs, "pos": pos + 1}
+        return _decode_step_body(params, cache, token, cfg)
 
     return jax.jit(step, donate_argnums=(1,))
+
+
+def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 0.0):
+    """Fully on-device generation: ONE compiled program runs prefill +
+    `max_new` decode steps as `lax.scan`s, so serving pays a single
+    host<->device round trip per sequence instead of one per token (the
+    host-loop `generate` pays ~RTT x tokens through a network tunnel).
+
+    Returns gen(params, prompt (B, P) int32, key) -> (B, P + max_new).
+    Prompt length + max_new must fit cfg.max_seq."""
+
+    def gen(params, prompt, key):
+        B = prompt.shape[0]
+        cache = init_kv_cache(cfg, B)
+
+        def pre_body(cache, tok):
+            logits, cache = _decode_step_body(params, cache, tok, cfg)
+            return cache, logits
+
+        cache, logits_all = lax.scan(pre_body, cache, prompt.T)
+        logits = logits_all[-1]
+
+        def body(carry, k_t):
+            cache, logits = carry
+            nxt = sample_logits(logits, k_t, temperature, top_k, top_p)
+            logits, cache = _decode_step_body(params, cache, nxt, cfg)
+            return (cache, logits), nxt
+
+        keys = jax.random.split(key, max_new)
+        (_, _), toks = lax.scan(body, (cache, logits), keys)
+        return jnp.concatenate([prompt, toks.T], axis=1)
+
+    return jax.jit(gen)
 
 
 def sample_logits(logits, key, temperature: float = 0.0, top_k: int = 0,

@@ -406,6 +406,32 @@ def test_sample_logits_controls():
     assert 0 not in seen and 3 in seen and len(seen) >= 2
 
 
+def test_make_generate_on_device_matches_host_loop():
+    """The single-program scan generator (make_generate) must emit exactly
+    the host-loop generate() tokens under greedy decoding."""
+    cfg = T.GPTConfig(vocab_size=24, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    prompt = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+    host = T.generate(params, cfg, prompt, max_new=6)
+    gen = T.make_generate(cfg, max_new=6)
+    dev = np.asarray(gen(params, jnp.asarray(prompt), jax.random.key(0)))
+    assert (host == dev).all()
+
+
+def test_make_generate_sampling_controls():
+    cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                      d_ff=64, max_seq=32, dtype=jnp.float32, flash="off")
+    params = T.init_params(jax.random.key(0), cfg)
+    gen = T.make_generate(cfg, max_new=5, temperature=0.8, top_k=8,
+                          top_p=0.9)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    out = np.asarray(gen(params, prompt, jax.random.key(1)))
+    assert out.shape == (1, 8)
+    assert (out[:, :3] == np.asarray(prompt)).all()
+    assert ((out >= 0) & (out < 32)).all()
+
+
 def test_generate_with_sampling_controls():
     cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
                       d_ff=64, max_seq=32, dtype=jnp.float32, flash="off")
