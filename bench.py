@@ -184,12 +184,17 @@ def _kernel_rooflines(peak: float) -> dict:
         fl = 2 * B * C * C * 9 * HW * HW
         dt = _timed_chain(lambda x: conv(x, w), x, rtt)
         out["conv2d_fwd_mfu"] = round(fl / dt / peak, 4)
-        g = jax.grad(lambda x, w: conv(x, w).astype(jnp.float32).sum(),
-                     argnums=(0, 1))
+        # NB the loss must be NONLINEAR in the conv output: with plain
+        # .sum() the cotangent is all-ones, so the fwd conv is dead and
+        # the dx-conv is loop-invariant (depends only on w) — XLA hoists
+        # both out of the timing loop and the "MFU" reads 3x too high.
+        g = jax.grad(
+            lambda x, w: jnp.tanh(conv(x, w).astype(jnp.float32)).sum(),
+            argnums=(0, 1))
 
         def chain(state):
-            # carry BOTH grads: consuming dw via a scalar lets XLA's
-            # simplifier collapse the weight-grad conv (MFU read > 1)
+            # carry BOTH grads (consuming dw via a scalar would let the
+            # simplifier collapse the weight-grad conv)
             x_, wa = state
             dx, dw = g(x_, w)
             return jnp.tanh(dx).astype(jnp.bfloat16), wa + dw

@@ -55,8 +55,8 @@ class GPTConfig:
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params live in f32
     # "auto": use the Pallas flash-attention kernel on TPU when the shape
-    # qualifies; "on"/"off" force it. Attention-dropout always uses the
-    # composite path (the flash kernel does not sample a mask).
+    # qualifies; "on"/"off" force it. Attention-dropout runs INSIDE the
+    # kernel (per-tile on-core PRNG, identical masks in fwd/bwd).
     flash: str = "auto"
     # checkpoint the block during training (memory for FLOPs)
     remat: bool = True
