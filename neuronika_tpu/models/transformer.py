@@ -1020,55 +1020,97 @@ def init_kv_cache(cfg: GPTConfig, batch: int):
     }
 
 
-def _decode_block(x, blk, layer_kv, pos, cfg: GPTConfig):
-    """One block for a single new token x (B, 1, D) against cached K/V."""
+def _cast_decode_params(params, cfg: GPTConfig):
+    """Cast the big weight matrices to the compute dtype ONCE per decode
+    program (decode is weight-bandwidth-bound: re-reading f32 weights
+    every token doubles the traffic). LayerNorm scales and biases stay
+    f32. Both decode entry points apply this, so the host-loop
+    `generate` and the scanned `make_generate` compute identically."""
+    p = dict(params)
+    p["wte"] = params["wte"].astype(cfg.dtype)
+    p["wpe"] = params["wpe"].astype(cfg.dtype)
+    b = dict(params["blocks"])
+    for name in ("qkv", "proj", "fc_in", "fc_out", "gate"):
+        if name in b:
+            b[name] = b[name].astype(cfg.dtype)
+    p["blocks"] = b
+    return p
+
+
+def _decode_qkv(x, blk, cfg: GPTConfig):
+    """q (B,KV,G,1,hd), new-token k/v (B,KV,1,hd) for one layer."""
     B = x.shape[0]
     H = cfg.n_head
     hd = cfg.d_model // H
     KV = _kv_heads(cfg)
+    G = H // KV
     h = _layer_norm(x, blk["ln1"])
-    qkv = jnp.dot(h, blk["qkv"].astype(cfg.dtype), preferred_element_type=jnp.float32)
+    qkv = jnp.dot(h, blk["qkv"].astype(cfg.dtype),
+                  preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
-    q, k, v = jnp.split(qkv, [cfg.d_model, cfg.d_model + KV * hd], axis=-1)
-    q = q.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)      # (B,H,1,hd)
+    q = qkv[..., :cfg.d_model]
+    # grouped-query attention without materialising repeated K/V: fold the
+    # group axis into the query side (g = H/KV queries share a KV head)
+    q = q.reshape(B, 1, KV, G, hd).transpose(0, 2, 3, 1, 4)
+    k, v = jnp.split(qkv[..., cfg.d_model:], 2, axis=-1)
     k = k.reshape(B, 1, KV, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, 1, KV, hd).transpose(0, 2, 1, 3)
-    ck = lax.dynamic_update_slice(layer_kv["k"], k, (0, 0, pos, 0))
-    cv = lax.dynamic_update_slice(layer_kv["v"], v, (0, 0, pos, 0))
-    ckh, cvh = ck, cv
-    if KV != H:
-        ckh = jnp.repeat(ck, H // KV, axis=1)
-        cvh = jnp.repeat(cv, H // KV, axis=1)
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, ckh,
+    return q, k, v
+
+
+def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
+    """Attention + MLP for a single new token x (B, 1, D). `q` comes from
+    `_decode_qkv`; `lk`/`lv` are this layer's cached K/V (B, KV, S, hd)
+    ALREADY holding the new token at `pos` (the cache write happens in
+    the caller, touching just position `pos`)."""
+    B = x.shape[0]
+    hd = cfg.d_model // cfg.n_head
+    att = jnp.einsum("bkgqd,bksd->bkgqs", q, lk,
                      preferred_element_type=jnp.float32) / math.sqrt(hd)
-    idx = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)
+    idx = jax.lax.broadcasted_iota(jnp.int32, att.shape, 4)
     att = jnp.where(idx <= pos, att, -1e30)
     att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", att, cvh,
+    ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, cfg.d_model)
+    ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, 1, cfg.d_model)
     ctx = jnp.dot(ctx, blk["proj"].astype(cfg.dtype),
                   preferred_element_type=jnp.float32)
     x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
     m, _ = _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     x = x + m
-    return x, {"k": ck, "v": cv}
+    return x
 
 
 def _decode_step_body(params, cache, token, cfg: GPTConfig):
     """Single-token decode body (untraced): (params, cache, token (B,)) ->
     (logits (B, V), cache). Shared by the jitted per-token step and the
-    fully on-device `make_generate` scan."""
+    fully on-device `make_generate` scan.
+
+    The full (L, B, KV, S, hd) caches are CARRIED through the layer scan
+    and updated with a position-`pos` dynamic_update_slice — XLA aliases
+    the loop carry, so each step writes only the new token's K/V. (The
+    previous formulation emitted every layer's whole cache as a scan
+    output: a full-cache rewrite per token, ~100x the necessary write
+    traffic at large B·S.)"""
     pos = cache["pos"]
     pe = lax.dynamic_slice_in_dim(params["wpe"], pos, 1)  # (1, D)
     x = (params["wte"][token][:, None, :] + pe).astype(cfg.dtype)
+    L = cfg.n_layer
 
-    def body(x, layer):
-        blk, lk, lv = layer
-        x, new_kv = _decode_block(x, blk, {"k": lk, "v": lv}, pos, cfg)
-        return x, (new_kv["k"], new_kv["v"])
+    def body(carry, inp):
+        x, ck, cv = carry
+        blk, l = inp
+        q, k_new, v_new = _decode_qkv(x, blk, cfg)
+        ck = lax.dynamic_update_slice(ck, k_new[None], (l, 0, 0, pos, 0))
+        cv = lax.dynamic_update_slice(cv, v_new[None], (l, 0, 0, pos, 0))
+        lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        x = _decode_block(x, blk, q, lk, lv, pos, cfg)
+        return (x, ck, cv), None
 
-    x, (ks, vs) = lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
+    (x, ks, vs), _ = lax.scan(
+        body, (x, cache["k"], cache["v"]),
+        (params["blocks"], jnp.arange(L)))
     x = _layer_norm(x, params["ln_f"])
     logits = jnp.dot(
         x[:, 0], params["wte"].T.astype(cfg.dtype),
@@ -1082,7 +1124,8 @@ def make_decode_step(cfg: GPTConfig):
     (logits (B, V), cache). The KV cache is donated (updated in place)."""
 
     def step(params, cache, token):
-        return _decode_step_body(params, cache, token, cfg)
+        return _decode_step_body(_cast_decode_params(params, cfg), cache,
+                                 token, cfg)
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -1098,6 +1141,7 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
     Prompt length + max_new must fit cfg.max_seq."""
 
     def gen(params, prompt, key):
+        params = _cast_decode_params(params, cfg)  # once, outside the scans
         B = prompt.shape[0]
         cache = init_kv_cache(cfg, B)
 

@@ -25,7 +25,9 @@ def main():
     params = T.init_params(jax.random.key(0), cfg)
     P, N = 128, 256
 
-    for B in (1, 8, 32):
+    import sys
+    batches = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
+    for B in batches:
         prompt = jax.random.randint(jax.random.key(1), (B, P), 0,
                                     cfg.vocab_size)
         gen = T.make_generate(cfg, max_new=N)
