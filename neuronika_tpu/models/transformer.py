@@ -414,6 +414,14 @@ def _mlp(x, blk, cfg: GPTConfig):
 
 
 def _moe_mlp(x, blk, cfg: GPTConfig):
+    # Single-token decode always uses the dense (no-drop) dispatch:
+    # expert CAPACITY is a training-time construct — at S=1 the capacity
+    # count runs over the batch axis, so a popular expert would silently
+    # DROP tokens mid-generation (measured: wrong logits at B=8, E=4).
+    # Dense dispatch reads each expert's weights once, which is the same
+    # HBM traffic that dominates decode anyway.
+    if x.shape[1] == 1:
+        return _moe_mlp_dense(x, blk, cfg)
     if cfg.moe_impl == "sparse":
         return _moe_mlp_sparse(x, blk, cfg)
     if cfg.moe_impl == "sort":

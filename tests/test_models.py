@@ -406,6 +406,32 @@ def test_sample_logits_controls():
     assert 0 not in seen and 3 in seen and len(seen) >= 2
 
 
+def test_moe_decode_never_drops_tokens():
+    """Capacity-based dispatch (sparse/sort) must not apply during decode:
+    at S=1 the capacity count runs over the batch, so a popular expert
+    would drop tokens mid-generation. All three moe_impls must produce
+    identical decode logits (the no-drop dense routing)."""
+    base = dict(vocab_size=24, n_layer=2, n_head=2, d_model=32, d_ff=64,
+                max_seq=10, dtype=jnp.float32, n_experts=4)
+    params = T.init_params(jax.random.key(0),
+                           T.GPTConfig(**base, moe_impl="dense"))
+    toks = jax.random.randint(jax.random.key(1), (8, 6), 0, 24)
+    outs = {}
+    for impl in ("dense", "sparse", "sort"):
+        cfg = T.GPTConfig(**base, moe_impl=impl)
+        decode = T.make_decode_step(cfg)
+        cache = T.init_kv_cache(cfg, 8)
+        for t in range(6):
+            logits, cache = decode(params, cache, toks[:, t])
+        outs[impl] = logits
+    assert_close(outs["sparse"], outs["dense"], tol=1e-6)
+    assert_close(outs["sort"], outs["dense"], tol=1e-6)
+    # and dense decode tracks the dense full forward (existing invariant)
+    cfg = T.GPTConfig(**base, moe_impl="dense")
+    full = T.forward(params, toks, cfg)
+    assert_close(outs["dense"], full[:, 5], tol=1e-4)
+
+
 def test_make_generate_on_device_matches_host_loop():
     """The single-program scan generator (make_generate) must emit exactly
     the host-loop generate() tokens under greedy decoding."""
