@@ -1028,6 +1028,60 @@ def init_kv_cache(cfg: GPTConfig, batch: int):
     }
 
 
+def _quant_w(w, axis):
+    """Symmetric per-out-channel int8: returns {"q8": int8, "s": f32}.
+    `axis` is the contraction (input) axis reduced when computing scales."""
+    s = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis,
+                            keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(
+        jnp.int8)
+    return {"q8": q, "s": s}
+
+
+def _quant_decode_params(params, cfg: GPTConfig):
+    """int8 weight quantization for serving (W8A8 with dynamic per-token
+    activation scales — see `_qdot`). Decode is weight-bandwidth-bound,
+    so int8 weights halve the dominant HBM traffic vs bf16. The embedding
+    lookup keeps a compute-dtype `wte` (table reads are gathers, not
+    matmuls); the LM head gets its own quantized (D, V) matrix. LayerNorm
+    params and biases stay f32. MoE expert weights are left in compute
+    dtype (dense no-drop dispatch reads them once per token anyway)."""
+    p = dict(params)
+    p["wte"] = params["wte"].astype(cfg.dtype)
+    p["wpe"] = params["wpe"].astype(cfg.dtype)
+    p["head"] = _quant_w(params["wte"].T, axis=0)  # (D, V), scale (1, V)
+    b = dict(params["blocks"])
+    for name in ("qkv", "proj", "fc_in", "fc_out"):
+        if name in b and b[name].ndim == 3:  # (L, D_in, D_out)
+            b[name] = _quant_w(b[name], axis=1)
+    if "gate" in b:
+        b["gate"] = b["gate"].astype(cfg.dtype)
+    for name in ("fc_in", "fc_out"):  # MoE experts: (L, E, D, F) stays
+        if name in b and not isinstance(b[name], dict):
+            b[name] = b[name].astype(cfg.dtype)
+    p["blocks"] = b
+    return p
+
+
+def _qdot(x, w, cfg: GPTConfig):
+    """Decode matmul: plain compute-dtype dot, or — when `w` was produced
+    by `_quant_w` — a W8A8 int8 MXU dot with a dynamic per-token
+    activation scale. Accumulation is int32; the result is rescaled to
+    f32 (quantisation error ~0.5-1% per channel)."""
+    if isinstance(w, dict):
+        xs = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32)), -1, keepdims=True),
+            1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127,
+                      127).astype(jnp.int8)
+        y = lax.dot_general(
+            xq, w["q8"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * xs * w["s"].reshape(
+            (1,) * (y.ndim - 1) + (-1,))
+    return jnp.dot(x, w.astype(cfg.dtype), preferred_element_type=jnp.float32)
+
+
 def _cast_decode_params(params, cfg: GPTConfig):
     """Cast the big weight matrices to the compute dtype ONCE per decode
     program (decode is weight-bandwidth-bound: re-reading f32 weights
@@ -1053,8 +1107,7 @@ def _decode_qkv(x, blk, cfg: GPTConfig):
     KV = _kv_heads(cfg)
     G = H // KV
     h = _layer_norm(x, blk["ln1"])
-    qkv = jnp.dot(h, blk["qkv"].astype(cfg.dtype),
-                  preferred_element_type=jnp.float32)
+    qkv = _qdot(h, blk["qkv"], cfg)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
     q = qkv[..., :cfg.d_model]
     # grouped-query attention without materialising repeated K/V: fold the
@@ -1081,12 +1134,19 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
     ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, 1, cfg.d_model)
-    ctx = jnp.dot(ctx, blk["proj"].astype(cfg.dtype),
-                  preferred_element_type=jnp.float32)
+    ctx = _qdot(ctx, blk["proj"], cfg)
     x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
-    m, _ = _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
-    x = x + m
+    x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     return x
+
+
+def _decode_mlp(x, blk, cfg: GPTConfig):
+    if isinstance(blk["fc_in"], dict):  # int8 serving path
+        h = _qdot(x, blk["fc_in"], cfg)
+        h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
+        o = _qdot(h, blk["fc_out"], cfg)
+        return (o + blk["fc_out_b"]).astype(cfg.dtype)
+    return _mlp(x, blk, cfg)[0]
 
 
 def _decode_step_body(params, cache, token, cfg: GPTConfig):
@@ -1120,36 +1180,55 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
         body, (x, cache["k"], cache["v"]),
         (params["blocks"], jnp.arange(L)))
     x = _layer_norm(x, params["ln_f"])
-    logits = jnp.dot(
-        x[:, 0], params["wte"].T.astype(cfg.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    head = params.get("head")
+    if head is not None:  # int8 serving path
+        logits = _qdot(x[:, 0], head, cfg)
+    else:
+        logits = jnp.dot(
+            x[:, 0], params["wte"].T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
     return logits, {"k": ks, "v": vs, "pos": pos + 1}
 
 
-def make_decode_step(cfg: GPTConfig):
+def _prep_decode_params(params, cfg: GPTConfig, quant):
+    if quant == "int8":
+        return _quant_decode_params(params, cfg)
+    if quant not in (None, "none"):
+        raise ValueError(f"unknown quant mode {quant!r}")
+    return _cast_decode_params(params, cfg)
+
+
+def make_decode_step(cfg: GPTConfig, quant: str | None = None):
     """Jitted single-token decode: (params, cache, token (B,)) ->
-    (logits (B, V), cache). The KV cache is donated (updated in place)."""
+    (logits (B, V), cache). The KV cache is donated (updated in place).
+    `quant="int8"` runs the W8A8 serving path (int8 weights + dynamic
+    per-token activation scales, int32 MXU accumulation)."""
 
     def step(params, cache, token):
-        return _decode_step_body(_cast_decode_params(params, cfg), cache,
-                                 token, cfg)
+        return _decode_step_body(_prep_decode_params(params, cfg, quant),
+                                 cache, token, cfg)
 
     return jax.jit(step, donate_argnums=(1,))
 
 
 def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
-                  top_k: int = 0, top_p: float = 0.0):
+                  top_k: int = 0, top_p: float = 0.0,
+                  quant: str | None = None):
     """Fully on-device generation: ONE compiled program runs prefill +
     `max_new` decode steps as `lax.scan`s, so serving pays a single
     host<->device round trip per sequence instead of one per token (the
     host-loop `generate` pays ~RTT x tokens through a network tunnel).
 
+    `quant="int8"` serves with W8A8 quantized matmuls (weights quantized
+    once per call, outside the scans) — halves the weight HBM traffic
+    that bounds decode throughput.
+
     Returns gen(params, prompt (B, P) int32, key) -> (B, P + max_new).
     Prompt length + max_new must fit cfg.max_seq."""
 
     def gen(params, prompt, key):
-        params = _cast_decode_params(params, cfg)  # once, outside the scans
+        params = _prep_decode_params(params, cfg, quant)  # outside the scans
         B = prompt.shape[0]
         cache = init_kv_cache(cfg, B)
 

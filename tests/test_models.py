@@ -432,6 +432,40 @@ def test_moe_decode_never_drops_tokens():
     assert_close(outs["dense"], full[:, 5], tol=1e-4)
 
 
+def test_int8_decode_tracks_fp_model():
+    """W8A8 quantized serving (quant="int8"): on a briefly-trained model
+    the quantized logits stay within ~2% of full precision and greedy
+    decoding emits the same tokens."""
+    cfg = T.GPTConfig(vocab_size=64, n_layer=2, n_head=2, d_model=64,
+                      d_ff=128, max_seq=32, dtype=jnp.float32, flash="off",
+                      remat=False)
+    params = T.init_params(jax.random.key(0), cfg)
+    opt = T.opt_init(params, cfg)
+    step = T.make_train_step(cfg)
+    toks = jax.random.randint(jax.random.key(1), (8, 32), 0, 64)
+    tgt = jnp.roll(toks, -1, 1)
+    for i in range(60):
+        params, opt, _ = step(params, opt, toks, tgt, jnp.float32(1e-2),
+                              jax.random.key(i))
+
+    prompt = jnp.asarray(toks[:4, :8])
+    out_fp = np.asarray(T.make_generate(cfg, max_new=8)(
+        params, prompt, jax.random.key(5)))
+    out_q8 = np.asarray(T.make_generate(cfg, max_new=8, quant="int8")(
+        params, prompt, jax.random.key(5)))
+    assert (out_fp == out_q8).all()
+
+    d_fp = T.make_decode_step(cfg)
+    d_q8 = T.make_decode_step(cfg, quant="int8")
+    c1, c2 = T.init_kv_cache(cfg, 4), T.init_kv_cache(cfg, 4)
+    for t in range(8):
+        lf, c1 = d_fp(params, c1, prompt[:, t])
+        lq, c2 = d_q8(params, c2, prompt[:, t])
+    rel = float(jnp.abs(lf - lq).max() / (jnp.abs(lf).max() + 1e-9))
+    assert rel < 0.02, rel
+    assert (lf.argmax(-1) == lq.argmax(-1)).all()
+
+
 def test_make_generate_on_device_matches_host_loop():
     """The single-program scan generator (make_generate) must emit exactly
     the host-loop generate() tokens under greedy decoding."""
