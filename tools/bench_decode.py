@@ -26,23 +26,34 @@ def main():
     P, N = 128, 256
 
     import sys
-    batches = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
+    import numpy as np
+
+    args = sys.argv[1:]
+    quant = None
+    if args and args[0] == "int8":
+        quant, args = "int8", args[1:]
+    batches = [int(a) for a in args] or [1, 8, 32]
     for B in batches:
         prompt = jax.random.randint(jax.random.key(1), (B, P), 0,
                                     cfg.vocab_size)
-        gen = T.make_generate(cfg, max_new=N)
-        out = gen(params, prompt, jax.random.key(2))  # compile + warm
-        out.block_until_ready()
+        gen = T.make_generate(cfg, max_new=N, quant=quant)
+        # NB block_until_ready does NOT sync through the axon tunnel —
+        # fetch a value to force the warm execution to actually finish
+        # (otherwise rep0 absorbs the warm run + stalled compiles and
+        # reads 100-1000x too high)
+        out = gen(params, prompt, jax.random.key(2))
+        np.asarray(out)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out = gen(params, prompt, jax.random.key(2))
-            _ = jax.device_get(out[0, -1])  # full sync via fetch
+            np.asarray(out)
         dt = (time.perf_counter() - t0) / reps
         # decode-only rate: subtract nothing (prefill is scanned single-token
         # too) — report sequence-level and per-token figures
         tps = B * N / dt
-        print(f"B={B:<3d} prefill {P} + decode {N}: {dt*1e3:8.1f} ms "
+        q = quant or "bf16"
+        print(f"{q} B={B:<3d} prefill {P} + decode {N}: {dt*1e3:8.1f} ms "
               f"-> {tps:9.1f} new tok/s  ({dt*1e3/N:6.2f} ms/step)",
               flush=True)
 
