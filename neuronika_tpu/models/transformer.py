@@ -1016,16 +1016,37 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
 # serving: KV-cache incremental decoding
 
 
-def init_kv_cache(cfg: GPTConfig, batch: int):
+def init_kv_cache(cfg: GPTConfig, batch: int, quant: str | None = None):
     """Per-layer K/V ring buffers (L, B, KV, max_seq, hd) + position —
-    with GQA the cache is n_head/n_kv_head times smaller."""
+    with GQA the cache is n_head/n_kv_head times smaller. With
+    `quant="int8-kv"` K/V store int8 with a per-(token, head) scale:
+    at large batch the per-step cache read rivals the weight read, so
+    int8 K/V halves the dominant traffic there."""
     hd = cfg.d_model // cfg.n_head
     shape = (cfg.n_layer, batch, _kv_heads(cfg), cfg.max_seq, hd)
+    if quant == "int8-kv":
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            "vs": jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            "pos": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros(shape, cfg.dtype),
         "v": jnp.zeros(shape, cfg.dtype),
         "pos": jnp.zeros((), jnp.int32),
     }
+
+
+def _quant_kv(t):
+    """Per-(token, head) symmetric int8 over the hd axis: (B, KV, 1, hd)
+    -> int8 values + f32 scale (B, KV, 1, 1)."""
+    s = jnp.maximum(jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
+                            keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127).astype(
+        jnp.int8)
+    return q, s
 
 
 def _quant_w(w, axis):
@@ -1165,6 +1186,45 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
     x = (params["wte"][token][:, None, :] + pe).astype(cfg.dtype)
     L = cfg.n_layer
 
+    if "ks" in cache:  # int8 K/V cache (see init_kv_cache)
+        def body(carry, inp):
+            x, ck, cv, cks, cvs = carry
+            blk, l = inp
+            q, k_new, v_new = _decode_qkv(x, blk, cfg)
+            k8, ks_ = _quant_kv(k_new)
+            v8, vs_ = _quant_kv(v_new)
+            at = (l, 0, 0, pos, 0)
+            ck = lax.dynamic_update_slice(ck, k8[None], at)
+            cv = lax.dynamic_update_slice(cv, v8[None], at)
+            cks = lax.dynamic_update_slice(cks, ks_[None], at)
+            cvs = lax.dynamic_update_slice(cvs, vs_[None], at)
+            # dequant on read in the compute dtype (a f32 intermediate
+            # would double the dequant-pass traffic)
+            lk = (lax.dynamic_index_in_dim(ck, l, 0, False).astype(
+                cfg.dtype) * lax.dynamic_index_in_dim(cks, l, 0, False
+                                                      ).astype(cfg.dtype))
+            lv = (lax.dynamic_index_in_dim(cv, l, 0, False).astype(
+                cfg.dtype) * lax.dynamic_index_in_dim(cvs, l, 0, False
+                                                      ).astype(cfg.dtype))
+            x = _decode_block(x, blk, q, lk, lv, pos, cfg)
+            return (x, ck, cv, cks, cvs), None
+
+        (x, ks, vs, kss, vss), _ = lax.scan(
+            body,
+            (x, cache["k"], cache["v"], cache["ks"], cache["vs"]),
+            (params["blocks"], jnp.arange(L)))
+        x = _layer_norm(x, params["ln_f"])
+        head = params.get("head")
+        if head is not None:
+            logits = _qdot(x[:, 0], head, cfg)
+        else:
+            logits = jnp.dot(
+                x[:, 0], params["wte"].T.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        return logits, {"k": ks, "v": vs, "ks": kss, "vs": vss,
+                        "pos": pos + 1}
+
     def body(carry, inp):
         x, ck, cv = carry
         blk, l = inp
@@ -1192,7 +1252,7 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
 
 
 def _prep_decode_params(params, cfg: GPTConfig, quant):
-    if quant == "int8":
+    if quant in ("int8", "int8-kv"):
         return _quant_decode_params(params, cfg)
     if quant not in (None, "none"):
         raise ValueError(f"unknown quant mode {quant!r}")
@@ -1203,7 +1263,9 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
     """Jitted single-token decode: (params, cache, token (B,)) ->
     (logits (B, V), cache). The KV cache is donated (updated in place).
     `quant="int8"` runs the W8A8 serving path (int8 weights + dynamic
-    per-token activation scales, int32 MXU accumulation)."""
+    per-token activation scales, int32 MXU accumulation); `"int8-kv"`
+    additionally stores the KV cache in int8 (pass a cache created with
+    `init_kv_cache(cfg, B, quant="int8-kv")`)."""
 
     def step(params, cache, token):
         return _decode_step_body(_prep_decode_params(params, cfg, quant),
@@ -1230,7 +1292,7 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
     def gen(params, prompt, key):
         params = _prep_decode_params(params, cfg, quant)  # outside the scans
         B = prompt.shape[0]
-        cache = init_kv_cache(cfg, B)
+        cache = init_kv_cache(cfg, B, quant=quant)
 
         def pre_body(cache, tok):
             logits, cache = _decode_step_body(params, cache, tok, cfg)

@@ -30,8 +30,8 @@ def main():
 
     args = sys.argv[1:]
     quant = None
-    if args and args[0] == "int8":
-        quant, args = "int8", args[1:]
+    if args and not args[0].isdigit():
+        quant, args = args[0], args[1:]
     batches = [int(a) for a in args] or [1, 8, 32]
     for B in batches:
         prompt = jax.random.randint(jax.random.key(1), (B, P), 0,
