@@ -366,6 +366,36 @@ def main() -> None:
 
     rooflines = _kernel_rooflines(_device_peak()) if on_tpu else {}
 
+    # serving metric: on-device generation (scanned prefill + decode) at
+    # the d1536 shape, int8 weights — steady-state, value-fetch synced
+    # (block_until_ready does not sync through the tunnel).
+    serving = None
+    if on_tpu:
+        try:
+            import numpy as _np
+
+            cfg_s = T.GPTConfig(
+                vocab_size=16384, n_layer=8, n_head=12, d_model=1536,
+                d_ff=6144, max_seq=512, dropout=0.0, dtype=jnp.bfloat16,
+                flash="auto")
+            params_s = T.init_params(jax.random.key(0), cfg_s)
+            Bs, Ps, Ns = 8, 32, 64
+            prompt = jax.random.randint(jax.random.key(1), (Bs, Ps), 0,
+                                        cfg_s.vocab_size)
+            gen = T.make_generate(cfg_s, max_new=Ns, quant="int8")
+            _np.asarray(gen(params_s, prompt, jax.random.key(2)))  # warm
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _np.asarray(gen(params_s, prompt, jax.random.key(2)))
+            dt_s = (time.perf_counter() - t0) / 3
+            serving = {
+                "decode_new_tokens_per_sec": round(Bs * Ns / dt_s, 1),
+                "decode_ms_per_step": round(dt_s * 1e3 / Ns, 3),
+                "config": f"int8 B={Bs} prefill{Ps}+decode{Ns}",
+            }
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+
     # mini demo: the r1 headline shape (d768), kept in the artifact for
     # round-over-round continuity (r1: 221.7k tok/s / 0.552 MFU).
     mini = None
@@ -394,6 +424,7 @@ def main() -> None:
                     "rtt_ms": round(rtt * 1e3, 2),
                     "quickstart_mlp_steps_per_sec": mlp_sps,
                     "kernel_rooflines": rooflines or None,
+                    "serving": serving,
                     "mini_d768_r1_metric": mini,
                     "loss": lv,
                     "device": str(jax.devices()[0]),
