@@ -1170,6 +1170,78 @@ def _decode_mlp(x, blk, cfg: GPTConfig):
     return _mlp(x, blk, cfg)[0]
 
 
+def _prefill_body(params, cache, prompt, cfg: GPTConfig):
+    """Batched prefill: ONE MXU-efficient pass over the whole prompt
+    (B, P) fills the KV cache and returns the last position's logits.
+    The previous scanned prefill paid P sequential single-token steps —
+    each reading all weights — so long prompts cost as much as decoding
+    them (~half the serving time at P=128/N=256). Shares `_qdot` /
+    `_quant_kv`, so all quant modes work identically."""
+    B, P = prompt.shape
+    H = cfg.n_head
+    KV = _kv_heads(cfg)
+    hd = cfg.d_model // H
+    G = H // KV
+    quant_kv = "ks" in cache
+    x = (params["wte"][prompt] + params["wpe"][:P]).astype(cfg.dtype)
+
+    def body(carry, inp):
+        x, rest = carry[0], carry[1:]
+        blk, l = inp
+        h = _layer_norm(x, blk["ln1"])
+        qkv = _qdot(h, blk["qkv"], cfg)
+        qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+        q = qkv[..., :cfg.d_model].reshape(B, P, KV, G, hd).transpose(
+            0, 2, 3, 1, 4)                                 # (B,KV,G,P,hd)
+        k, v = jnp.split(qkv[..., cfg.d_model:], 2, axis=-1)
+        k = k.reshape(B, P, KV, hd).transpose(0, 2, 1, 3)  # (B,KV,P,hd)
+        v = v.reshape(B, P, KV, hd).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bkgqd,bksd->bkgqs", q, k,
+                         preferred_element_type=jnp.float32) / math.sqrt(hd)
+        iq = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)
+        ik = jax.lax.broadcasted_iota(jnp.int32, att.shape, 4)
+        att = jnp.where(ik <= iq, att, -1e30)
+        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, v,
+                         preferred_element_type=jnp.float32).astype(
+            cfg.dtype)
+        ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, P, cfg.d_model)
+        ctx = _qdot(ctx, blk["proj"], cfg)
+        x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
+        x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+        at = (l, 0, 0, 0, 0)
+        if quant_kv:
+            ck, cv, cks, cvs = rest
+            k8, ks_ = _quant_kv(k)
+            v8, vs_ = _quant_kv(v)
+            ck = lax.dynamic_update_slice(ck, k8[None], at)
+            cv = lax.dynamic_update_slice(cv, v8[None], at)
+            cks = lax.dynamic_update_slice(cks, ks_[None], at)
+            cvs = lax.dynamic_update_slice(cvs, vs_[None], at)
+            return (x, ck, cv, cks, cvs), None
+        ck, cv = rest
+        ck = lax.dynamic_update_slice(ck, k[None], at)
+        cv = lax.dynamic_update_slice(cv, v[None], at)
+        return (x, ck, cv), None
+
+    keys = (("k", "v", "ks", "vs") if quant_kv else ("k", "v"))
+    carry, _ = lax.scan(
+        body, (x,) + tuple(cache[n] for n in keys),
+        (params["blocks"], jnp.arange(cfg.n_layer)))
+    x = _layer_norm(carry[0][:, -1], params["ln_f"])
+    head = params.get("head")
+    if head is not None:
+        logits = _qdot(x, head, cfg)
+    else:
+        logits = jnp.dot(
+            x, params["wte"].T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    new_cache = dict(zip(keys, carry[1:]))
+    new_cache["pos"] = cache["pos"] + P
+    return logits, new_cache
+
+
 def _decode_step_body(params, cache, token, cfg: GPTConfig):
     """Single-token decode body (untraced): (params, cache, token (B,)) ->
     (logits (B, V), cache). Shared by the jitted per-token step and the
@@ -1277,10 +1349,11 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
 def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
                   top_k: int = 0, top_p: float = 0.0,
                   quant: str | None = None):
-    """Fully on-device generation: ONE compiled program runs prefill +
-    `max_new` decode steps as `lax.scan`s, so serving pays a single
-    host<->device round trip per sequence instead of one per token (the
-    host-loop `generate` pays ~RTT x tokens through a network tunnel).
+    """Fully on-device generation: ONE compiled program runs a batched
+    prefill (one MXU pass over the whole prompt) + `max_new` scanned
+    decode steps, so serving pays a single host<->device round trip per
+    sequence instead of one per token (the host-loop `generate` pays
+    ~RTT x tokens through a network tunnel).
 
     `quant="int8"` serves with W8A8 quantized matmuls (weights quantized
     once per call, outside the scans) — halves the weight HBM traffic
@@ -1293,13 +1366,7 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
         params = _prep_decode_params(params, cfg, quant)  # outside the scans
         B = prompt.shape[0]
         cache = init_kv_cache(cfg, B, quant=quant)
-
-        def pre_body(cache, tok):
-            logits, cache = _decode_step_body(params, cache, tok, cfg)
-            return cache, logits
-
-        cache, logits_all = lax.scan(pre_body, cache, prompt.T)
-        logits = logits_all[-1]
+        logits, cache = _prefill_body(params, cache, prompt, cfg)
 
         def body(carry, k_t):
             cache, logits = carry
