@@ -1408,10 +1408,24 @@ def sample_logits(logits, key, temperature: float = 0.0, top_k: int = 0,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def make_prefill(cfg: GPTConfig, quant: str | None = None):
+    """Jitted batched prefill: (params, cache, prompt (B, P)) ->
+    (last-position logits (B, V), cache filled through position P-1).
+    One MXU pass over the whole prompt — for serving systems that manage
+    their own cache (continuations, prefix reuse); pair with
+    `make_decode_step(cfg, quant=...)` using the same quant mode."""
+
+    def pre(params, cache, prompt):
+        return _prefill_body(_prep_decode_params(params, cfg, quant),
+                             cache, prompt, cfg)
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
 def generate(params, cfg: GPTConfig, prompt, max_new: int, key=None,
              temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0):
     """Greedy / temperature / top-k / nucleus sampling with the KV cache
-    (host loop; each step is one compiled program)."""
+    (host loop; batched prefill, then one compiled program per token)."""
     import numpy as np
 
     decode = make_decode_step(cfg)
@@ -1421,9 +1435,7 @@ def generate(params, cfg: GPTConfig, prompt, max_new: int, key=None,
     if key is None:
         key = jax.random.key(0)
 
-    logits = None
-    for t in range(P):
-        logits, cache = decode(params, cache, prompt[:, t])
+    logits, cache = make_prefill(cfg)(params, cache, prompt)
     out = [np.asarray(prompt)]
     for t in range(max_new):
         key, sub = jax.random.split(key)
