@@ -1422,6 +1422,64 @@ def make_prefill(cfg: GPTConfig, quant: str | None = None):
     return jax.jit(pre, donate_argnums=(1,))
 
 
+def make_beam_search(cfg: GPTConfig, max_new: int, n_beams: int,
+                     quant: str | None = None):
+    """On-device beam search: ONE compiled program (batched prefill +
+    scanned steps). Each step expands every beam over the vocabulary,
+    keeps the `n_beams` highest-scoring continuations per batch row, and
+    reorders the KV cache to the surviving parents (a batch-axis gather —
+    beam search inherently pays this cache shuffle per step).
+
+    Returns search(params, prompt (B, P)) -> (tokens (B, K, P + max_new),
+    scores (B, K)) with beams sorted best-first by total log-probability.
+    With n_beams == vocab_size and max_new <= 2 the search is exhaustive
+    (tested against brute force)."""
+    K = n_beams
+
+    def search(params, prompt):
+        params = _prep_decode_params(params, cfg, quant)
+        B, P = prompt.shape
+        V = cfg.vocab_size
+        cache = init_kv_cache(cfg, B, quant=quant)
+        logits, cache = _prefill_body(params, cache, prompt, cfg)
+
+        # replicate to B*K rows (b-major: row = b*K + k)
+        def rep(a):
+            return jnp.repeat(a, K, axis=1) if a.ndim > 0 else a
+        cache = {n: (rep(a) if n != "pos" else a) for n, a in cache.items()}
+        logits = jnp.repeat(logits, K, axis=0)  # (B*K, V)
+        # only beam 0 is live initially (all beams are identical copies)
+        scores = jnp.tile(
+            jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                             jnp.full((K - 1,), -jnp.inf, jnp.float32)]),
+            (B,)).reshape(B, K)
+        buf = jnp.zeros((B, K, max_new), jnp.int32)
+
+        def body(carry, t):
+            cache, scores, buf, logits = carry
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            total = (scores.reshape(B * K, 1) + logp).reshape(B, K * V)
+            top_s, top_i = lax.top_k(total, K)          # (B, K) sorted
+            parent = top_i // V
+            token = (top_i % V).astype(jnp.int32)       # (B, K)
+            flat = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+            cache = {n: (a if n == "pos" else a[:, flat])
+                     for n, a in cache.items()}
+            buf = buf[jnp.arange(B)[:, None], parent]   # reorder histories
+            buf = buf.at[:, :, t].set(token)
+            logits, cache = _decode_step_body(
+                params, cache, token.reshape(-1), cfg)
+            return (cache, top_s, buf, logits), None
+
+        (cache, scores, buf, logits), _ = lax.scan(
+            body, (cache, scores, buf, logits), jnp.arange(max_new))
+        toks = jnp.concatenate(
+            [jnp.repeat(prompt[:, None], K, axis=1), buf], axis=2)
+        return toks, scores
+
+    return jax.jit(search)
+
+
 def generate(params, cfg: GPTConfig, prompt, max_new: int, key=None,
              temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0):
     """Greedy / temperature / top-k / nucleus sampling with the KV cache

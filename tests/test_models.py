@@ -501,6 +501,43 @@ def test_int8_kv_cache_decode():
     assert (lf.argmax(-1) == lq.argmax(-1)).all()
 
 
+def test_beam_search_exhaustive_and_greedy_equivalence():
+    """Beam search: n_beams=1 must equal greedy generation, and with
+    n_beams == vocab_size and max_new=2 the search is exhaustive — the
+    top beam must match the brute-force best sequence and its exact
+    total log-probability."""
+    import itertools
+
+    cfg = T.GPTConfig(vocab_size=8, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32, flash="off",
+                      remat=False)
+    params = T.init_params(jax.random.key(3), cfg)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+
+    greedy = np.asarray(T.make_generate(cfg, max_new=4)(
+        params, prompt, jax.random.key(0)))
+    toks, _ = T.make_beam_search(cfg, max_new=4, n_beams=1)(params, prompt)
+    assert (np.asarray(toks)[0, 0] == greedy[0]).all()
+
+    toks, scores = T.make_beam_search(cfg, max_new=2, n_beams=8)(
+        params, prompt)
+
+    def seq_logp(t1, t2):
+        ids = jnp.asarray([[1, 2, 3, t1, t2]], jnp.int32)
+        lp = jax.nn.log_softmax(
+            T.forward(params, ids, cfg).astype(jnp.float32), -1)
+        return float(lp[0, 2, t1] + lp[0, 3, t2])
+
+    best = max(((t1, t2, seq_logp(t1, t2)) for t1, t2 in
+                itertools.product(range(8), range(8))),
+               key=lambda x: x[2])
+    assert (np.asarray(toks)[0, 0, 3:] == np.array(best[:2])).all()
+    assert abs(float(scores[0, 0]) - best[2]) < 1e-4
+    # beams come back sorted best-first
+    s = np.asarray(scores)[0]
+    assert (np.diff(s) <= 1e-6).all()
+
+
 def test_make_generate_on_device_matches_host_loop():
     """The single-program scan generator (make_generate) must emit exactly
     the host-loop generate() tokens under greedy decoding."""
