@@ -67,6 +67,13 @@ def main():
     out = np.asarray(gen(params, jnp.asarray(ids), jax.random.key(7)))
     print("sample (on-device):", "".join(chars[i] for i in out[0]))
 
+    # beam search: the K most probable continuations, sorted best-first
+    toks, scores = T.make_beam_search(cfg, max_new=40, n_beams=3)(
+        params, jnp.asarray(ids))
+    for k in range(3):
+        print(f"beam {k} ({float(scores[0, k]):7.2f}):",
+              "".join(chars[i] for i in np.asarray(toks)[0, k]))
+
 
 if __name__ == "__main__":
     main()
