@@ -26,6 +26,16 @@ def _zeros_like_tree(params):
     return jax.tree.map(jnp.zeros_like, params)
 
 
+def _step_param(p, delta):
+    """`p - delta` computed in f32, result cast back to p's dtype.
+
+    Without the cast a bf16 parameter tree silently promotes to f32 on
+    the first update (f32 `lr`/update terms win the binop promotion),
+    which breaks scan/fori_loop carries and doubles parameter HBM."""
+    return (p.astype(jnp.float32) - delta.astype(jnp.float32)).astype(
+        p.dtype)
+
+
 # -------------------------------------------------------------------- SGD
 
 
@@ -41,17 +51,17 @@ def sgd_update(params, grads, state, lr, momentum: float = 0.0,
     """Reference rule incl. the zero-initialised momentum buffer
     (sgd/mod.rs:191-231)."""
     if not momentum:
-        return jax.tree.map(lambda p, g: p - g * lr, params, grads), state
+        return jax.tree.map(lambda p, g: _step_param(p, g * lr), params, grads), state
     buf = jax.tree.map(
         lambda b, g: b * momentum + g * (1.0 - dampening),
         state["buffer"], grads,
     )
     if nesterov:
         new = jax.tree.map(
-            lambda p, g, b: p - (g + b * momentum) * lr, params, grads, buf
+            lambda p, g, b: _step_param(p, (g + b * momentum) * lr), params, grads, buf
         )
     else:
-        new = jax.tree.map(lambda p, b: p - b * lr, params, buf)
+        new = jax.tree.map(lambda p, b: _step_param(p, b * lr), params, buf)
     return new, {"buffer": buf}
 
 
@@ -92,9 +102,10 @@ def adam_update(params, grads, state, lr, b1: float = 0.9, b2: float = 0.999,
     m = jax.tree.map(upd_m, state["m"], grads)
     v = jax.tree.map(upd_v, state["v"], grads)
     new = jax.tree.map(
-        lambda p, m_, v_: p - m_.astype(jnp.float32)
-        / (jnp.sqrt(v_.astype(jnp.float32)) / jnp.sqrt(bc2) + eps)
-        * (lr / bc1),
+        lambda p, m_, v_: _step_param(
+            p, m_.astype(jnp.float32)
+            / (jnp.sqrt(v_.astype(jnp.float32)) / jnp.sqrt(bc2) + eps)
+            * (lr / bc1)),
         params, m, v,
     )
     return new, {"m": m, "v": v, "step": step}
@@ -118,7 +129,8 @@ def amsgrad_update(params, grads, state, lr, b1: float = 0.9,
     v = jax.tree.map(lambda v_, g: v_ * b2 + g * g * (1 - b2), state["v"], grads)
     vmax = jax.tree.map(jnp.maximum, state["vmax"], v)
     new = jax.tree.map(
-        lambda p, m_, x: p - m_ / (jnp.sqrt(x) / jnp.sqrt(bc2) + eps) * (lr / bc1),
+        lambda p, m_, x: _step_param(
+            p, m_ / (jnp.sqrt(x) / jnp.sqrt(bc2) + eps) * (lr / bc1)),
         params, m, vmax,
     )
     return new, {"m": m, "v": v, "vmax": vmax, "step": step}
@@ -137,7 +149,8 @@ def adagrad_update(params, grads, state, lr, lr_decay: float = 0.0,
     clr = lr / (1.0 + (step - 1.0) * lr_decay)
     gs = jax.tree.map(lambda s, g: s + g * g, state["grad_sq"], grads)
     new = jax.tree.map(
-        lambda p, g, s: p - g / (jnp.sqrt(s) + eps) * clr, params, grads, gs
+        lambda p, g, s: _step_param(p, g / (jnp.sqrt(s) + eps) * clr),
+        params, grads, gs
     )
     return new, {"grad_sq": gs, "step": step}
 
@@ -176,9 +189,10 @@ def rmsprop_update(params, grads, state, lr, alpha: float = 0.99,
             lambda b, g, d: b * momentum + g / d, state["buffer"], grads, denom
         )
         new_state["buffer"] = buf
-        new = jax.tree.map(lambda p, b: p - b * lr, params, buf)
+        new = jax.tree.map(lambda p, b: _step_param(p, b * lr), params, buf)
     else:
-        new = jax.tree.map(lambda p, g, d: p - g / d * lr, params, grads, denom)
+        new = jax.tree.map(lambda p, g, d: _step_param(p, g / d * lr),
+                           params, grads, denom)
     return new, new_state
 
 

@@ -361,6 +361,39 @@ def test_adam_bf16_state_matches_f32():
                        atol=2e-2), "bf16-state Adam diverged from f32"
 
 
+def test_functional_updates_preserve_param_dtype():
+    """bf16 parameter trees must stay bf16 through every functional
+    update rule — an f32 `lr` used to win the binop promotion and
+    silently upcast params on the first step (breaking scan carries
+    and doubling parameter HBM)."""
+    import jax.numpy as jnp
+
+    from neuronika_tpu.optim import functional as F
+
+    params = {"w": jnp.ones((4, 4), jnp.bfloat16)}
+    grads = {"w": jnp.full((4, 4), 0.5, jnp.bfloat16)}
+    lr = jnp.float32(1e-2)
+
+    for name, init_kw, upd_kw in [
+        ("sgd", {}, {}),
+        ("sgd", {"momentum": 0.9}, {"momentum": 0.9}),
+        ("sgd", {"momentum": 0.9}, {"momentum": 0.9, "nesterov": True}),
+        ("adam", {}, {}),
+        ("amsgrad", {}, {}),
+        ("adagrad", {}, {}),
+        ("rmsprop", {}, {}),
+        ("rmsprop", {"momentum": 0.9}, {"momentum": 0.9}),
+        ("rmsprop", {"centered": True}, {"centered": True}),
+    ]:
+        state = getattr(F, f"{name}_init")(params, **init_kw)
+        p, state = getattr(F, f"{name}_update")(params, grads, state, lr,
+                                                **upd_kw)
+        assert p["w"].dtype == jnp.bfloat16, (name, upd_kw, p["w"].dtype)
+        # and a second step from the updated tree (the scan-carry case)
+        p, _ = getattr(F, f"{name}_update")(p, grads, state, lr, **upd_kw)
+        assert p["w"].dtype == jnp.bfloat16, (name, upd_kw)
+
+
 def test_adam_class_bf16_state():
     import jax.numpy as jnp
 
