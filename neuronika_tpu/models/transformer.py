@@ -1347,7 +1347,8 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
 
 
 def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
-                  top_k: int = 0, top_p: float = 0.0,
+                  top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
+                  repetition_penalty: float = 1.0,
                   quant: str | None = None):
     """Fully on-device generation: ONE compiled program runs a batched
     prefill (one MXU pass over the whole prompt) + `max_new` scanned
@@ -1355,40 +1356,60 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
     sequence instead of one per token (the host-loop `generate` pays
     ~RTT x tokens through a network tunnel).
 
+    Sampling controls: `temperature`/`top_k`/`top_p`/`min_p` (see
+    `sample_logits`) and `repetition_penalty` (CTRL-style: logits of
+    tokens already in the prompt or generated so far are divided by the
+    penalty when positive, multiplied when negative; 1.0 disables — a
+    per-row seen-token mask rides the scan carry).
+
     `quant="int8"` serves with W8A8 quantized matmuls (weights quantized
     once per call, outside the scans) — halves the weight HBM traffic
     that bounds decode throughput.
 
     Returns gen(params, prompt (B, P) int32, key) -> (B, P + max_new).
     Prompt length + max_new must fit cfg.max_seq."""
+    rp = repetition_penalty
 
     def gen(params, prompt, key):
         params = _prep_decode_params(params, cfg, quant)  # outside the scans
         B = prompt.shape[0]
         cache = init_kv_cache(cfg, B, quant=quant)
         logits, cache = _prefill_body(params, cache, prompt, cfg)
+        seen = (jax.nn.one_hot(prompt, cfg.vocab_size,
+                               dtype=jnp.float32).sum(1) > 0)  # (B, V)
 
         def body(carry, k_t):
-            cache, logits = carry
-            nxt = sample_logits(logits, k_t, temperature, top_k, top_p)
+            cache, logits, seen = carry
+            lg = logits
+            if rp != 1.0:
+                pen = jnp.where(lg > 0, lg / rp, lg * rp)
+                lg = jnp.where(seen, pen, lg)
+            nxt = sample_logits(lg, k_t, temperature, top_k, top_p, min_p)
+            seen = seen | jax.nn.one_hot(nxt, cfg.vocab_size,
+                                         dtype=jnp.bool_)
             logits, cache = _decode_step_body(params, cache, nxt, cfg)
-            return (cache, logits), nxt
+            return (cache, logits, seen), nxt
 
         keys = jax.random.split(key, max_new)
-        (_, _), toks = lax.scan(body, (cache, logits), keys)
+        (_, _, _), toks = lax.scan(body, (cache, logits, seen), keys)
         return jnp.concatenate([prompt, toks.T], axis=1)
 
     return jax.jit(gen)
 
 
 def sample_logits(logits, key, temperature: float = 0.0, top_k: int = 0,
-                  top_p: float = 0.0):
+                  top_p: float = 0.0, min_p: float = 0.0):
     """One sampling step over (B, V) logits: greedy (temperature 0),
-    temperature, top-k, and/or nucleus (top-p) filtering — the standard
-    serving controls."""
+    temperature, top-k, nucleus (top-p), and/or min-p filtering (drop
+    tokens whose probability is below `min_p` x the top token's) — the
+    standard serving controls."""
     if temperature <= 0.0:
         return logits.argmax(-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / temperature
+    if min_p > 0.0:
+        probs = jax.nn.softmax(logits, axis=-1)
+        keep = probs >= min_p * probs.max(-1, keepdims=True)
+        logits = jnp.where(keep, logits, -jnp.inf)
     if top_k > 0:
         k = min(top_k, logits.shape[-1])  # clamp: top_k > vocab == no-op
         kth = jax.lax.top_k(logits, k)[0][..., -1:]

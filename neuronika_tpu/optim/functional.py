@@ -19,6 +19,7 @@ __all__ = [
     "amsgrad_init", "amsgrad_update",
     "adagrad_init", "adagrad_update",
     "rmsprop_init", "rmsprop_update",
+    "ema_init", "ema_update", "ema_params",
 ]
 
 
@@ -197,6 +198,25 @@ def rmsprop_update(params, grads, state, lr, alpha: float = 0.99,
 
 
 # ------------------------------------------------------------------ extras
+
+
+def ema_init(params):
+    """f32 shadow copy of the parameter tree for exponential moving
+    averaging (evaluation/serving weights; extension beyond the
+    reference)."""
+    return jax.tree.map(lambda p: p.astype(jnp.float32), params)
+
+
+def ema_update(ema, params, decay: float = 0.999):
+    """ema <- decay*ema + (1-decay)*params, accumulated in f32."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(jnp.float32) * (1.0 - decay),
+        ema, params)
+
+
+def ema_params(ema, params):
+    """Cast the f32 shadow back to the live tree's dtypes for eval."""
+    return jax.tree.map(lambda e, p: e.astype(p.dtype), ema, params)
 
 
 def global_norm(tree) -> "jax.Array":

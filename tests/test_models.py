@@ -501,6 +501,50 @@ def test_int8_kv_cache_decode():
     assert (lf.argmax(-1) == lq.argmax(-1)).all()
 
 
+def test_min_p_and_repetition_penalty():
+    """min-p keeps only tokens within min_p x the top probability;
+    repetition penalty pushes greedy decoding off already-seen tokens."""
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    # min_p=0.5: only tokens with p >= 0.25 survive (tokens 0 and 1)
+    seen = {int(T.sample_logits(logits, jax.random.key(i), 1.0,
+                                min_p=0.5)[0]) for i in range(40)}
+    assert seen <= {0, 1} and 0 in seen
+
+    # a tiny trained model loops without penalty; with a harsh penalty
+    # the greedy output must not immediately repeat the previous token
+    cfg = T.GPTConfig(vocab_size=16, n_layer=1, n_head=1, d_model=16,
+                      d_ff=32, max_seq=24, dtype=jnp.float32, flash="off",
+                      remat=False)
+    params = T.init_params(jax.random.key(0), cfg)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    plain = np.asarray(T.make_generate(cfg, max_new=12)(
+        params, prompt, jax.random.key(0)))[0, 3:]
+    pen = np.asarray(T.make_generate(cfg, max_new=12,
+                                     repetition_penalty=1e6)(
+        params, prompt, jax.random.key(0)))[0, 3:]
+    # greedy decoding of an untrained model loops; the penalty must
+    # strictly increase token diversity (CTRL-style division cannot ban
+    # absolutely when all logits are negative, so == max_new is not
+    # guaranteed)
+    assert len(set(pen.tolist())) > len(set(plain.tolist()))
+    assert len(set(pen.tolist())) >= 10
+
+
+def test_ema_tracks_params():
+    from neuronika_tpu.optim.functional import (ema_init, ema_params,
+                                                ema_update)
+
+    p = {"w": jnp.ones((4,), jnp.bfloat16)}
+    ema = ema_init(p)
+    assert ema["w"].dtype == jnp.float32
+    for _ in range(200):
+        p = {"w": p["w"] * 0 + 2.0}  # params jump to 2.0
+        ema = ema_update(ema, p, decay=0.9)
+    out = ema_params(ema, p)
+    assert out["w"].dtype == jnp.bfloat16
+    assert abs(float(ema["w"][0]) - 2.0) < 1e-3
+
+
 def test_beam_search_exhaustive_and_greedy_equivalence():
     """Beam search: n_beams=1 must equal greedy generation, and with
     n_beams == vocab_size and max_new=2 the search is exhaustive — the
