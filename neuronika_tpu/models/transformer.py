@@ -1242,6 +1242,91 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
     return logits, new_cache
 
 
+def _verify_body(params, cache, tokens, cfg: GPTConfig):
+    """Chunked decode for speculative verification: process `tokens`
+    (B, C) starting at cache position `pos` in ONE batched pass (the
+    target model scores a draft's C proposals for the cost of roughly
+    one decode step — decode is weight-bound, so reading the weights
+    once for C tokens is the entire win). K/V are written at positions
+    pos..pos+C-1; each query at pos+i attends cache keys <= pos+i.
+    Returns (logits (B, C, V), cache with pos advanced by C)."""
+    B, C = tokens.shape
+    H = cfg.n_head
+    KV = _kv_heads(cfg)
+    hd = cfg.d_model // H
+    G = H // KV
+    pos = cache["pos"]
+    quant_kv = "ks" in cache
+    pe = lax.dynamic_slice_in_dim(params["wpe"], pos, C)  # (C, D)
+    x = (params["wte"][tokens] + pe[None]).astype(cfg.dtype)
+
+    def body(carry, inp):
+        x, rest = carry[0], carry[1:]
+        blk, l = inp
+        h = _layer_norm(x, blk["ln1"])
+        qkv = _qdot(h, blk["qkv"], cfg)
+        qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+        q = qkv[..., :cfg.d_model].reshape(B, C, KV, G, hd).transpose(
+            0, 2, 3, 1, 4)                                 # (B,KV,G,C,hd)
+        k, v = jnp.split(qkv[..., cfg.d_model:], 2, axis=-1)
+        k = k.reshape(B, C, KV, hd).transpose(0, 2, 1, 3)  # (B,KV,C,hd)
+        v = v.reshape(B, C, KV, hd).transpose(0, 2, 1, 3)
+        at = (l, 0, 0, pos, 0)
+        if quant_kv:
+            ck, cv, cks, cvs = rest
+            k8, ks_ = _quant_kv(k)
+            v8, vs_ = _quant_kv(v)
+            ck = lax.dynamic_update_slice(ck, k8[None], at)
+            cv = lax.dynamic_update_slice(cv, v8[None], at)
+            cks = lax.dynamic_update_slice(cks, ks_[None], at)
+            cvs = lax.dynamic_update_slice(cvs, vs_[None], at)
+            lk = (lax.dynamic_index_in_dim(ck, l, 0, False).astype(
+                cfg.dtype) * lax.dynamic_index_in_dim(cks, l, 0, False
+                                                      ).astype(cfg.dtype))
+            lv = (lax.dynamic_index_in_dim(cv, l, 0, False).astype(
+                cfg.dtype) * lax.dynamic_index_in_dim(cvs, l, 0, False
+                                                      ).astype(cfg.dtype))
+            rest = (ck, cv, cks, cvs)
+        else:
+            ck, cv = rest
+            ck = lax.dynamic_update_slice(ck, k[None], at)
+            cv = lax.dynamic_update_slice(cv, v[None], at)
+            lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+            lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+            rest = (ck, cv)
+        att = jnp.einsum("bkgqd,bksd->bkgqs", q, lk,
+                         preferred_element_type=jnp.float32) / math.sqrt(hd)
+        iq = lax.broadcasted_iota(jnp.int32, att.shape, 3)  # 0..C-1
+        ik = lax.broadcasted_iota(jnp.int32, att.shape, 4)  # 0..S-1
+        att = jnp.where(ik <= pos + iq, att, -1e30)
+        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
+                         preferred_element_type=jnp.float32).astype(
+            cfg.dtype)
+        ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, C, cfg.d_model)
+        ctx = _qdot(ctx, blk["proj"], cfg)
+        x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
+        x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+        return (x,) + rest, None
+
+    keys = (("k", "v", "ks", "vs") if quant_kv else ("k", "v"))
+    carry, _ = lax.scan(
+        body, (x,) + tuple(cache[n] for n in keys),
+        (params["blocks"], jnp.arange(cfg.n_layer)))
+    x = _layer_norm(carry[0], params["ln_f"])
+    head = params.get("head")
+    if head is not None:
+        logits = _qdot(x, head, cfg)
+    else:
+        logits = jnp.dot(
+            x, params["wte"].T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    new_cache = dict(zip(keys, carry[1:]))
+    new_cache["pos"] = pos + C
+    return logits, new_cache
+
+
 def _decode_step_body(params, cache, token, cfg: GPTConfig):
     """Single-token decode body (untraced): (params, cache, token (B,)) ->
     (logits (B, V), cache). Shared by the jitted per-token step and the
@@ -1441,6 +1526,88 @@ def make_prefill(cfg: GPTConfig, quant: str | None = None):
                              cache, prompt, cfg)
 
     return jax.jit(pre, donate_argnums=(1,))
+
+
+def make_speculative_generate(cfg_target: GPTConfig, cfg_draft: GPTConfig,
+                              max_new: int, gamma: int = 4,
+                              quant: str | None = None,
+                              draft_quant: str | None = None):
+    """Greedy speculative decoding (single stream, B=1): a cheap draft
+    model proposes `gamma` tokens with scanned decode steps, the target
+    verifies all of them in ONE chunked pass (`_verify_body` — decode is
+    weight-bound, so scoring gamma+1 tokens costs about one target
+    step), and the longest matching prefix plus the target's correction
+    is emitted. Cache rollback is free: resetting `pos` invalidates
+    stale K/V (the attention mask never reads past `pos`).
+
+    The output is EXACTLY the target model's greedy continuation for ANY
+    draft (accepted tokens equal the target argmax by construction;
+    mismatches emit the target argmax) — the draft only changes speed.
+    Requires prompt_len + max_new + gamma + 1 <= both models' max_seq
+    and a shared vocabulary.
+
+    Returns spec(params_target, params_draft, prompt (1, P)) ->
+    (tokens (1, P + max_new), n_target_steps) where `n_target_steps` is
+    the number of verify passes taken (vs `max_new` sequential steps for
+    plain greedy — the speedup ratio when draft cost is small)."""
+
+    def spec(params_t, params_d, prompt):
+        if prompt.shape[0] != 1:
+            raise ValueError("speculative decoding is single-stream (B=1)")
+        pt = _prep_decode_params(params_t, cfg_target, quant)
+        pd = _prep_decode_params(params_d, cfg_draft, draft_quant)
+        P = prompt.shape[1]
+        cache_t = init_kv_cache(cfg_target, 1, quant=quant)
+        cache_d = init_kv_cache(cfg_draft, 1, quant=draft_quant)
+        lg_t, cache_t = _prefill_body(pt, cache_t, prompt, cfg_target)
+        _, cache_d = _prefill_body(pd, cache_d, prompt, cfg_draft)
+
+        BUF = max_new + gamma + 1
+        buf = jnp.zeros((BUF,), jnp.int32)
+        buf = buf.at[0].set(lg_t.argmax(-1).astype(jnp.int32)[0])
+        n0 = jnp.int32(1)
+
+        def cond(st):
+            return st[0] < max_new
+
+        def step(st):
+            n, buf, cache_t, cache_d, iters = st
+            last = lax.dynamic_index_in_dim(buf, n - 1, 0, keepdims=False)
+
+            def dstep(carry, _):
+                tok, cache_d = carry
+                lg, cache_d = _decode_step_body(pd, cache_d, tok[None],
+                                                cfg_draft)
+                nxt = lg.argmax(-1).astype(jnp.int32)[0]
+                return (nxt, cache_d), nxt
+
+            (last_prop, cache_d), props = lax.scan(
+                dstep, (last, cache_d), None, length=gamma)
+            # draft must also consume its last proposal so its cache is
+            # contiguous when a full acceptance advances past it
+            _, cache_d = _decode_step_body(pd, cache_d, last_prop[None],
+                                           cfg_draft)
+
+            chunk = jnp.concatenate([last[None], props])[None]  # (1, γ+1)
+            lg, cache_t = _verify_body(pt, cache_t, chunk, cfg_target)
+            g = lg[0].argmax(-1).astype(jnp.int32)              # (γ+1,)
+            match = props == g[:gamma]
+            j = jnp.where(match.all(), jnp.int32(gamma),
+                          jnp.argmin(match).astype(jnp.int32))
+            # emit g[0..j] (j accepted + 1 corrected/bonus); overwrite
+            # garbage beyond j next round
+            buf = lax.dynamic_update_slice(buf, g, (n,))
+            n = n + j + 1
+            # rollback: both caches resume at the last emitted token
+            cache_t = {**cache_t, "pos": P + n - 1}
+            cache_d = {**cache_d, "pos": P + n - 1}
+            return n, buf, cache_t, cache_d, iters + 1
+
+        n, buf, _, _, iters = lax.while_loop(
+            cond, step, (n0, buf, cache_t, cache_d, jnp.int32(0)))
+        return jnp.concatenate([prompt, buf[None, :max_new]], axis=1), iters
+
+    return jax.jit(spec)
 
 
 def make_beam_search(cfg: GPTConfig, max_new: int, n_beams: int,

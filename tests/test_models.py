@@ -545,6 +545,42 @@ def test_ema_tracks_params():
     assert abs(float(ema["w"][0]) - 2.0) < 1e-3
 
 
+def test_speculative_decode_equals_target_greedy():
+    """Speculative decoding must emit EXACTLY the target model's greedy
+    continuation for any draft (accepted tokens equal the target argmax
+    by construction; mismatches emit the correction), and a perfect
+    draft (the target itself) must cut the number of target passes to
+    ~max_new/(gamma+1)."""
+    cfg_t = T.GPTConfig(vocab_size=48, n_layer=2, n_head=2, d_model=48,
+                        d_ff=96, max_seq=64, dtype=jnp.float32,
+                        flash="off", remat=False)
+    cfg_d = T.GPTConfig(vocab_size=48, n_layer=1, n_head=2, d_model=32,
+                        d_ff=64, max_seq=64, dtype=jnp.float32,
+                        flash="off", remat=False)
+    pt = T.init_params(jax.random.key(0), cfg_t)
+    pd = T.init_params(jax.random.key(9), cfg_d)
+    opt = T.opt_init(pt, cfg_t)
+    step = T.make_train_step(cfg_t)
+    toks = jax.random.randint(jax.random.key(1), (8, 32), 0, 48)
+    tgt = jnp.roll(toks, -1, 1)
+    for i in range(40):
+        pt, opt, _ = step(pt, opt, toks, tgt, jnp.float32(1e-2),
+                          jax.random.key(i))
+
+    prompt = toks[:1, :8]
+    ref = np.asarray(T.make_generate(cfg_t, max_new=16)(
+        pt, prompt, jax.random.key(0)))
+    for gamma in (1, 4, 7):
+        out, iters = T.make_speculative_generate(
+            cfg_t, cfg_d, 16, gamma=gamma)(pt, pd, prompt)
+        assert (np.asarray(out) == ref).all(), gamma
+        assert int(iters) <= 16
+    out, iters = T.make_speculative_generate(cfg_t, cfg_t, 16, gamma=4)(
+        pt, pt, prompt)
+    assert (np.asarray(out) == ref).all()
+    assert int(iters) <= 5  # perfect draft: ceil(16/5) + slack
+
+
 def test_beam_search_exhaustive_and_greedy_equivalence():
     """Beam search: n_beams=1 must equal greedy generation, and with
     n_beams == vocab_size and max_new=2 the search is exhaustive — the
