@@ -545,6 +545,35 @@ def test_ema_tracks_params():
     assert abs(float(ema["w"][0]) - 2.0) < 1e-3
 
 
+def test_beam_and_speculative_under_quant_modes():
+    """Beam search and speculative decoding must stay self-consistent
+    under every quant mode: beams match full precision on a small model,
+    and speculative output equals the SAME-quant greedy generate."""
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=24, dtype=jnp.float32, flash="off",
+                      remat=False)
+    cfg_d = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                        d_ff=64, max_seq=24, dtype=jnp.float32,
+                        flash="off", remat=False)
+    params = T.init_params(jax.random.key(0), cfg)
+    pd = T.init_params(jax.random.key(7), cfg_d)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    t_fp, s_fp = T.make_beam_search(cfg, max_new=6, n_beams=3)(params,
+                                                               prompt)
+    for q in ("int8", "int8-kv"):
+        t_q, s_q = T.make_beam_search(cfg, max_new=6, n_beams=3,
+                                      quant=q)(params, prompt)
+        assert (np.asarray(t_q) == np.asarray(t_fp)).all(), q
+        assert np.allclose(np.asarray(s_q), np.asarray(s_fp), atol=0.05)
+    for q in (None, "int8", "int8-kv"):
+        ref = np.asarray(T.make_generate(cfg, max_new=6, quant=q)(
+            params, prompt, jax.random.key(0)))
+        out, _ = T.make_speculative_generate(
+            cfg, cfg_d, 6, gamma=3, quant=q, draft_quant=q)(params, pd,
+                                                            prompt)
+        assert (np.asarray(out) == ref).all(), q
+
+
 def test_speculative_decode_equals_target_greedy():
     """Speculative decoding must emit EXACTLY the target model's greedy
     continuation for any draft (accepted tokens equal the target argmax
