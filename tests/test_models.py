@@ -545,6 +545,29 @@ def test_ema_tracks_params():
     assert abs(float(ema["w"][0]) - 2.0) < 1e-3
 
 
+def test_external_serving_loop_contract():
+    """SERVING.md's external-loop recipe (make_prefill once + greedy
+    make_decode_step continuation) must reproduce make_generate
+    exactly."""
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, max_seq=24, dtype=jnp.float32, flash="off",
+                      remat=False)
+    params = T.init_params(jax.random.key(0), cfg)
+    prompt = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    ref = np.asarray(T.make_generate(cfg, max_new=6)(
+        params, prompt, jax.random.key(0)))
+    pre = T.make_prefill(cfg)
+    dec = T.make_decode_step(cfg)
+    cache = T.init_kv_cache(cfg, 2)
+    logits, cache = pre(params, cache, prompt)
+    toks = [np.asarray(prompt)]
+    for _ in range(6):
+        nxt = logits.argmax(-1).astype(jnp.int32)
+        toks.append(np.asarray(nxt)[:, None])
+        logits, cache = dec(params, cache, nxt)
+    assert (np.concatenate(toks, axis=1) == ref).all()
+
+
 def test_beam_and_speculative_under_quant_modes():
     """Beam search and speculative decoding must stay self-consistent
     under every quant mode: beams match full precision on a small model,
