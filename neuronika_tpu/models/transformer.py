@@ -271,18 +271,30 @@ def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
     return on_tpu() and S >= 128 and S % 128 == 0
 
 
+def _unpack_qkv(qkv, cfg: GPTConfig):
+    """Group-major packed (..., W) -> q (..., KV, G, hd), k/v (..., KV, hd).
+
+    The packed qkv layout is kv-group-major — KV groups of (G+2) hd-wide
+    chunks, group g = [q_{gG} … q_{gG+G-1} | k_g | v_g] — so whole-group
+    tp shards of the W axis are themselves valid packed tensors (see
+    ops/pallas/attention.py's packed-layout comment)."""
+    KV = _kv_heads(cfg)
+    G = cfg.n_head // KV
+    hd = cfg.d_model // cfg.n_head
+    parts = qkv.reshape(qkv.shape[:-1] + (KV, G + 2, hd))
+    return parts[..., :G, :], parts[..., G, :], parts[..., G + 1, :]
+
+
 def _split_qkv(qkv, cfg: GPTConfig, B, S):
-    """(B, S, D + 2·KV·hd) -> q (B,H,S,hd), k/v (B,KV,S,hd), KV heads
-    repeated up to H for compute (GQA)."""
+    """Group-major packed (B, S, W) -> q (B,H,S,hd), k/v (B,H,S,hd), KV
+    heads repeated up to H for compute (GQA)."""
     H = cfg.n_head
     KV = _kv_heads(cfg)
     hd = cfg.d_model // H
-    q, k, v = jnp.split(
-        qkv, [cfg.d_model, cfg.d_model + KV * hd], axis=-1
-    )
+    q, k, v = _unpack_qkv(qkv, cfg)
     q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, S, KV, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, S, KV, hd).transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
     if KV != H:
         k = jnp.repeat(k, H // KV, axis=1)
         v = jnp.repeat(v, H // KV, axis=1)
@@ -301,8 +313,16 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     # the packed-qkv kernels slice hd-wide head columns out of the fused
     # (B, S, W) tensor — Mosaic requires last-dim block sizes to be
     # multiples of 128, so hd < 128 falls back to the split layout (whose
-    # blocks span the full hd axis and are exempt from the rule)
-    if use_flash and mesh is None and hd % 128 == 0:
+    # blocks span the full hd axis and are exempt from the rule). On a
+    # mesh, the group-major packed layout makes every whole-group tp
+    # shard a valid packed tensor, so the kernel runs per-shard under
+    # shard_map as long as tp divides the kv-head count.
+    KV = _kv_heads(cfg)
+    tp_size = (
+        mesh.shape["tp"] if mesh is not None and "tp" in mesh.axis_names
+        else 1
+    )
+    if use_flash and hd % 128 == 0 and KV % tp_size == 0:
         # layout-native path: the packed-qkv kernels read head blocks
         # straight from this tensor — no split / transpose / GQA-repeat
         # copies (the body is bandwidth-bound; those copies were ~18% of
@@ -319,11 +339,54 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             jax.random.randint(dropout_key, (), 0, 1 << 30).astype(jnp.float32)
             if drop > 0.0 else None
         )
-        out = flash_attention_qkv(
-            qkv, seed, H, _kv_heads(cfg), True, None, bq, bk,
-            _cfg.pallas_interpret, drop, cfg.flash_softmax == "fast",
-            cfg.flash_bwd == "fused",
-        )
+        interp = _cfg.pallas_interpret
+        fast = cfg.flash_softmax == "fast"
+        fused = cfg.flash_bwd == "fused"
+        if mesh is None:
+            out = flash_attention_qkv(
+                qkv, seed, H, KV, True, None, bq, bk,
+                interp, drop, fast, fused,
+            )
+        else:
+            # Pallas calls are not GSPMD-partitionable; shard_map maps
+            # the kernel over the ("dp", ·, "tp")-sharded packed tensor —
+            # each shard's whole-group W slice feeds the kernel with
+            # H/tp local heads, no resharding and no collectives.
+            from ..parallel.mesh import shard_map_compat as shard_map
+            from jax.sharding import PartitionSpec as _P
+
+            dp_ax = "dp" if "dp" in mesh.axis_names else None
+            tp_ax = "tp" if "tp" in mesh.axis_names else None
+            spec = _P(dp_ax, None, tp_ax)
+            Hl, KVl = H // tp_size, KV // tp_size
+
+            def _fa_packed(qkv_, seed_):
+                if seed_ is not None:
+                    # decorrelate in-kernel dropout masks across shards:
+                    # local (b, h) indices repeat per shard
+                    if dp_ax:
+                        seed_ = seed_ + lax.axis_index(dp_ax) * 1000003
+                    if tp_ax:
+                        seed_ = seed_ + lax.axis_index(tp_ax) * 7919
+                return flash_attention_qkv(
+                    qkv_, seed_, Hl, KVl, True, None, bq, bk,
+                    interp, drop, fast, fused,
+                )
+
+            seed_spec = _P() if seed is not None else None
+            if seed is None:
+                fa = shard_map(
+                    lambda q_: _fa_packed(q_, None), mesh=mesh,
+                    in_specs=(spec,), out_specs=spec, check_rep=False,
+                )
+                out = fa(qkv)
+            else:
+                fa = shard_map(
+                    _fa_packed, mesh=mesh,
+                    in_specs=(spec, seed_spec), out_specs=spec,
+                    check_rep=False,
+                )
+                out = fa(qkv, seed)
         out = _body_dot(out, blk["proj"], cfg)
         return (out + blk["proj_b"]).astype(cfg.dtype)
     q, k, v = _split_qkv(qkv, cfg, B, S)
@@ -1130,13 +1193,12 @@ def _decode_qkv(x, blk, cfg: GPTConfig):
     h = _layer_norm(x, blk["ln1"])
     qkv = _qdot(h, blk["qkv"], cfg)
     qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
-    q = qkv[..., :cfg.d_model]
     # grouped-query attention without materialising repeated K/V: fold the
     # group axis into the query side (g = H/KV queries share a KV head)
-    q = q.reshape(B, 1, KV, G, hd).transpose(0, 2, 3, 1, 4)
-    k, v = jnp.split(qkv[..., cfg.d_model:], 2, axis=-1)
-    k = k.reshape(B, 1, KV, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, 1, KV, hd).transpose(0, 2, 1, 3)
+    q, k, v = _unpack_qkv(qkv, cfg)        # q (B,1,KV,G,hd), k/v (B,1,KV,hd)
+    q = q.transpose(0, 2, 3, 1, 4)          # (B,KV,G,1,hd)
+    k = k.transpose(0, 2, 1, 3)             # (B,KV,1,hd)
+    v = v.transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -1191,11 +1253,10 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
         h = _layer_norm(x, blk["ln1"])
         qkv = _qdot(h, blk["qkv"], cfg)
         qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
-        q = qkv[..., :cfg.d_model].reshape(B, P, KV, G, hd).transpose(
-            0, 2, 3, 1, 4)                                 # (B,KV,G,P,hd)
-        k, v = jnp.split(qkv[..., cfg.d_model:], 2, axis=-1)
-        k = k.reshape(B, P, KV, hd).transpose(0, 2, 1, 3)  # (B,KV,P,hd)
-        v = v.reshape(B, P, KV, hd).transpose(0, 2, 1, 3)
+        q, k, v = _unpack_qkv(qkv, cfg)
+        q = q.transpose(0, 2, 3, 1, 4)                     # (B,KV,G,P,hd)
+        k = k.transpose(0, 2, 1, 3)                        # (B,KV,P,hd)
+        v = v.transpose(0, 2, 1, 3)
         att = jnp.einsum("bkgqd,bksd->bkgqs", q, k,
                          preferred_element_type=jnp.float32) / math.sqrt(hd)
         iq = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)
@@ -1266,11 +1327,10 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
         h = _layer_norm(x, blk["ln1"])
         qkv = _qdot(h, blk["qkv"], cfg)
         qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
-        q = qkv[..., :cfg.d_model].reshape(B, C, KV, G, hd).transpose(
-            0, 2, 3, 1, 4)                                 # (B,KV,G,C,hd)
-        k, v = jnp.split(qkv[..., cfg.d_model:], 2, axis=-1)
-        k = k.reshape(B, C, KV, hd).transpose(0, 2, 1, 3)  # (B,KV,C,hd)
-        v = v.reshape(B, C, KV, hd).transpose(0, 2, 1, 3)
+        q, k, v = _unpack_qkv(qkv, cfg)
+        q = q.transpose(0, 2, 3, 1, 4)                     # (B,KV,G,C,hd)
+        k = k.transpose(0, 2, 1, 3)                        # (B,KV,C,hd)
+        v = v.transpose(0, 2, 1, 3)
         at = (l, 0, 0, pos, 0)
         if quant_kv:
             ck, cv, cks, cvs = rest

@@ -16,7 +16,7 @@ Performance notes (TPU v5e measurements drive these choices):
   the single diagonal tile range (iota mask) — the mask is a VPU cost paid
   only where it changes the result.
 * the log-sum-exp residual is stored `(B, H, S, LSE_W)` with LSE_W = 8
-  lanes (the f32 sublane tile), not 128 — 16× less HBM for the残 residual
+  lanes (the f32 sublane tile), not 128 — 16× less HBM for the residual
   that selective rematerialisation keeps alive per layer.
 * under `jax.checkpoint`, the forward kernel is NOT re-run in the backward
   pass when the remat policy saves pallas/custom_vjp outputs (the
@@ -493,8 +493,19 @@ def reference_attention(q, k, v, causal: bool = True, scale: float = None):  # n
 # bandwidth-bound at 0.50 MFU). These kernels instead read head blocks
 # STRAIGHT out of the packed tensor via BlockSpec index maps (viewing it
 # as (B, S, W//hd, hd)): zero dispatch copies, zero GQA repeats (several
-# q-heads map onto one kv block), and the backward writes d_qkv parts in
-# the same layout (one concat re-packs them for the projection VJP).
+# q-heads map onto one kv block), and the fused backward writes d_qkv in
+# the same layout (no repack concat on the flagship path).
+#
+# PACKED LAYOUT (kv-group-major): the W axis is KV groups of (G+2) hd-wide
+# chunks, group g = [q_{gG} … q_{gG+G-1} | k_g | v_g] with G = H / KV.
+# Global q-head order is therefore plain head-major (h = g·G + m). Two
+# wins over the section-major [all-q | all-k | all-v] alternative:
+#   * tensor-parallel sharding: any contiguous W/tp slice that keeps whole
+#     groups IS a valid packed tensor for H/tp heads — `shard_map` over a
+#     ("dp", None, "tp")-sharded qkv calls these kernels per-shard with no
+#     resharding (the section-major layout's tp slices straddle sections).
+#   * the per-group backward reads ONE contiguous (S, (G+2)·hd) slab —
+#     q members, k and v together — and writes d_qkv the same way.
 
 
 def _fwd_kernel_qkv(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *,
@@ -613,25 +624,29 @@ def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+def _bwd_dkv_kernel_qkv(slab_ref, do_ref, o_ref, lse_ref,
                         seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
                         dropout, group, interpret=False):
-    # grid (B, KV, kblocks); q/do refs carry the kv-group's `group` q-heads
-    # as lane-concatenated slices (1, S, G*hd); lse/delta (1, G, S, LSE_W);
-    # dk/dv out (1, bk, hd).
-    block_k = k_ref.shape[1]
-    hd = k_ref.shape[2]
-    seq = q_ref.shape[1]
+    # grid (B, KV, kblocks); slab_ref is the kv-group's contiguous
+    # (1, S, (G+2)·hd) slice of the group-major packed qkv (q member m at
+    # lane offset m·hd, k at G·hd, v at (G+1)·hd); do/o refs carry the
+    # group's q-heads as (1, S, G*hd) slices of the dense head-major
+    # tensors; lse/delta (1, G, S, LSE_W); dk/dv out (1, bk, hd).
+    hd = dk_ref.shape[2]
+    block_k = dk_ref.shape[1]
+    seq = slab_ref.shape[1]
     b, g, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    k = k_ref[0]
-    v = v_ref[0]
+    k = slab_ref[0, pl.ds(kj * block_k, block_k),
+                 group * hd:(group + 1) * hd]
+    v = slab_ref[0, pl.ds(kj * block_k, block_k),
+                 (group + 1) * hd:(group + 2) * hd]
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
 
     def tile(i, carry, member, masked):
         dk, dv = carry
-        qb = q_ref[0, pl.ds(i * block_q, block_q),
-                   member * hd:(member + 1) * hd]
+        qb = slab_ref[0, pl.ds(i * block_q, block_q),
+                      member * hd:(member + 1) * hd]
         dob = do_ref[0, pl.ds(i * block_q, block_q),
                      member * hd:(member + 1) * hd]
         ob = o_ref[0, pl.ds(i * block_q, block_q),
@@ -657,9 +672,9 @@ def _bwd_dkv_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             dp = jnp.where(keep, dp * inv_keep, 0.0)
         else:
             pv = p
-        dv = dv + _dot_bf16(pv.astype(q_ref.dtype).T, dob)
+        dv = dv + _dot_bf16(pv.astype(slab_ref.dtype).T, dob)
         ds = p * (dp - delta) * scale
-        dk = dk + _dot_bf16(ds.astype(q_ref.dtype).T, qb)
+        dk = dk + _dot_bf16(ds.astype(slab_ref.dtype).T, qb)
         return dk, dv
 
     zeros = (
@@ -702,13 +717,16 @@ def _fwd_call_qkv(qkv, n_head, n_kv_head, scale, causal, block_q, block_k,
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
     grid = (B, H, S // bq)
-    kv_of = lambda h: H + h // G  # hd-chunk index of q-head h's kv head
+    # group-major layout: q-head h lives in group g = h//G at member slot
+    # h%G; its k/v chunks close the group (see the layout comment above)
+    qc = lambda h: (h // G) * (G + 2) + h % G
+    kc = lambda h: (h // G) * (G + 2) + G
 
-    q_spec = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, h),
+    q_spec = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, qc(h)),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kv_of(h)),
+    k_spec = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kc(h)),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, KV + kv_of(h)),
+    v_spec = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kc(h) + 1),
                           memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, lse = pl.pallas_call(
@@ -745,15 +763,21 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
-    kv_of = lambda h: H + h // G
+    # group-major chunk maps (see the packed-layout comment above)
+    qc = lambda h: (h // G) * (G + 2) + h % G
+    kc = lambda h: (h // G) * (G + 2) + G
 
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     seed_a = _seed_arr(seed)
+    # packed-qkv q block vs dense head-major (do / out / dq) block: same
+    # shape, different chunk maps
+    pk_q = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, qc(h)),
+                        memory_space=pltpu.VMEM)
     row_q = pl.BlockSpec((1, bq, hd), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM)
-    k_full = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kv_of(h)),
+    k_full = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kc(h)),
                           memory_space=pltpu.VMEM)
-    v_full = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, KV + kv_of(h)),
+    v_full = pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, kc(h) + 1),
                           memory_space=pltpu.VMEM)
     vec_q = pl.BlockSpec((1, 1, bq, LSE_W), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
@@ -766,7 +790,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
                           interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
         grid=(B, H, S // bq),
-        in_specs=[row_q, k_full, v_full, row_q, row_q, vec_q, seed_spec],
+        in_specs=[pk_q, k_full, v_full, row_q, row_q, vec_q, seed_spec],
         out_specs=row_q,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -779,12 +803,12 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
         interpret=interpret,
     )(qkv, qkv, qkv, do, out, lse, seed_a)
 
-    # dk/dv: grid over kv heads; each program folds its G q-heads (their
-    # lane-concatenated (1, S, G*hd) slice of qkv/do)
-    kb_spec = pl.BlockSpec((1, bk, hd), lambda b, g, j: (b, j, H + g),
-                           memory_space=pltpu.VMEM)
-    vb_spec = pl.BlockSpec((1, bk, hd), lambda b, g, j: (b, j, H + KV + g),
-                           memory_space=pltpu.VMEM)
+    # dk/dv: grid over kv heads; each program reads its group's contiguous
+    # (1, S, (G+2)·hd) slab of the packed qkv (q members, k and v all live
+    # there in the group-major layout) and the group's (1, S, G·hd) slice
+    # of the dense head-major do/o
+    slab_spec = pl.BlockSpec((1, S, (G + 2) * hd), lambda b, g, j: (b, 0, g),
+                             memory_space=pltpu.VMEM)
     qg_spec = pl.BlockSpec((1, S, G * hd), lambda b, g, j: (b, 0, g),
                            memory_space=pltpu.VMEM)
     vg_spec = pl.BlockSpec((1, G, S, LSE_W), lambda b, g, j: (b, g, 0, 0),
@@ -800,8 +824,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
         ),
         grid=(B, KV, S // bk),
-        in_specs=[qg_spec, kb_spec, vb_spec, qg_spec, qg_spec, vg_spec,
-                  seed_spec],
+        in_specs=[slab_spec, qg_spec, qg_spec, vg_spec, seed_spec],
         out_specs=(dkv_out, dkv_out),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -812,9 +835,14 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             transcendentals=B * H * S * S // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, do, out, lse, seed_a)
+    )(qkv, do, out, lse, seed_a)
 
-    d_qkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    # repack head-major dq + per-group dk/dv into the group-major layout
+    d_qkv = jnp.concatenate(
+        [dq.reshape(B, S, KV, G, hd),
+         dk.reshape(B, S, KV, 1, hd),
+         dv.reshape(B, S, KV, 1, hd)], axis=3,
+    ).reshape(B, S, W)
     return d_qkv
 
 
@@ -829,10 +857,13 @@ def flash_attention_qkv(qkv, seed, n_head: int, n_kv_head: int = 0,
     """Layout-native flash attention on the packed qkv projection.
 
     `qkv` (B, S, H·hd + 2·KV·hd) — the raw output of the fused qkv matmul
-    (+bias), laid out [q heads | k heads | v heads]. Returns (B, S, H·hd)
-    ready for the output projection. No split / transpose / GQA-repeat
-    copies ever hit HBM. `seed` (f32 scalar) drives in-kernel attention
-    dropout when dropout > 0 (see flash_attention_dropout)."""
+    (+bias) in the kv-group-major layout: KV groups of (G+2) hd-wide
+    chunks, group g = [q_{gG} … q_{gG+G-1} | k_g | v_g] (see the layout
+    comment above — this makes any whole-group tp shard a valid packed
+    tensor). Returns (B, S, H·hd) head-major, ready for the output
+    projection. No split / transpose / GQA-repeat copies ever hit HBM.
+    `seed` (f32 scalar) drives in-kernel attention dropout when
+    dropout > 0 (see flash_attention_dropout)."""
     _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     s = 1.0 / math.sqrt(hd) if scale is None else scale
     out, _ = _fwd_call_qkv(qkv, n_head, n_kv_head, s, causal, block_q,
@@ -876,14 +907,17 @@ flash_attention_qkv.defvjp(_flashqkv_fwd, _flashqkv_bwd)
 # ~15% of the train step.
 
 
-def _bwd_fused_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                          seed_ref, dq_ref, dk_ref, dv_ref,
+def _bwd_fused_kernel_qkv(slab_ref, do_ref, o_ref, lse_ref,
+                          seed_ref, dqkv_ref,
                           dk_scr, dv_scr, *, scale, block_q, block_k,
                           causal, dropout, group, interpret=False):
-    # grid (B, KV). q/do/o (1, S, G*hd); k/v (1, S, hd); lse (1, G, S, W);
-    # outs: dq (1, S, G*hd), dk/dv (1, S, hd); scratch dk/dv (S, hd) f32.
-    S = k_ref.shape[1]
-    hd = k_ref.shape[2]
+    # grid (B, KV). slab (1, S, (G+2)·hd) — the kv-group's contiguous
+    # slice of the group-major packed qkv (q member m at m·hd, k at G·hd,
+    # v at (G+1)·hd); do/o (1, S, G*hd) head-major slices; lse (1, G, S, W).
+    # out: d_qkv (1, S, (G+2)·hd) written in the SAME packed layout — no
+    # repack concat ever hits HBM. Scratch dk/dv (S, hd) f32.
+    S = slab_ref.shape[1]
+    hd = do_ref.shape[2] // group
     b, g = pl.program_id(0), pl.program_id(1)
     n_q = S // block_q
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
@@ -895,8 +929,8 @@ def _bwd_fused_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         h = g * group + member
 
         def qtile(i, _, member=member, h=h):
-            qb = q_ref[0, pl.ds(i * block_q, block_q),
-                       member * hd:(member + 1) * hd]
+            qb = slab_ref[0, pl.ds(i * block_q, block_q),
+                          member * hd:(member + 1) * hd]
             dob = do_ref[0, pl.ds(i * block_q, block_q),
                          member * hd:(member + 1) * hd]
             ob = o_ref[0, pl.ds(i * block_q, block_q),
@@ -906,8 +940,10 @@ def _bwd_fused_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                      * ob.astype(jnp.float32)).sum(-1, keepdims=True)
 
             def ktile(j, dq, masked):
-                kb = k_ref[0, pl.ds(j * block_k, block_k), :]
-                vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+                kb = slab_ref[0, pl.ds(j * block_k, block_k),
+                              group * hd:(group + 1) * hd]
+                vb = slab_ref[0, pl.ds(j * block_k, block_k),
+                              (group + 1) * hd:(group + 2) * hd]
                 s = _dot_bf16(qb, kb.T) * (scale * LOG2E)
                 if masked:
                     rows = i * block_q + lax.broadcasted_iota(
@@ -926,9 +962,9 @@ def _bwd_fused_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                 else:
                     pv = p
                 ds = p * (dp - delta) * scale
-                dsb = ds.astype(q_ref.dtype)
+                dsb = ds.astype(slab_ref.dtype)
                 sl = pl.ds(j * block_k, block_k)
-                dv_scr[sl, :] += _dot_bf16(pv.astype(q_ref.dtype).T, dob)
+                dv_scr[sl, :] += _dot_bf16(pv.astype(slab_ref.dtype).T, dob)
                 dk_scr[sl, :] += _dot_bf16(dsb.T, qb)
                 return dq + _dot_bf16(dsb, kb)
 
@@ -943,14 +979,17 @@ def _bwd_fused_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             else:
                 dq = lax.fori_loop(
                     0, S // block_k, lambda j, d: ktile(j, d, False), dq0)
-            dq_ref[0, pl.ds(i * block_q, block_q),
-                   member * hd:(member + 1) * hd] = dq.astype(dq_ref.dtype)
+            dqkv_ref[0, pl.ds(i * block_q, block_q),
+                     member * hd:(member + 1) * hd] = dq.astype(
+                dqkv_ref.dtype)
             return 0
 
         lax.fori_loop(0, n_q, qtile, 0)
 
-    dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-    dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+    dqkv_ref[0, :, group * hd:(group + 1) * hd] = dk_scr[...].astype(
+        dqkv_ref.dtype)
+    dqkv_ref[0, :, (group + 1) * hd:(group + 2) * hd] = dv_scr[...].astype(
+        dqkv_ref.dtype)
 
 
 def _bwd_call_qkv_fused(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
@@ -960,32 +999,22 @@ def _bwd_call_qkv_fused(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     bq, bk = _block_sizes(S, block_q, block_k)
 
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    slab = pl.BlockSpec((1, S, (G + 2) * hd), lambda b, g: (b, 0, g),
+                        memory_space=pltpu.VMEM)
     qg = pl.BlockSpec((1, S, G * hd), lambda b, g: (b, 0, g),
-                      memory_space=pltpu.VMEM)
-    kf = pl.BlockSpec((1, S, hd), lambda b, g: (b, 0, H + g),
-                      memory_space=pltpu.VMEM)
-    vf = pl.BlockSpec((1, S, hd), lambda b, g: (b, 0, H + KV + g),
                       memory_space=pltpu.VMEM)
     lseg = pl.BlockSpec((1, G, S, LSE_W), lambda b, g: (b, g, 0, 0),
                         memory_space=pltpu.VMEM)
-    dq_out = pl.BlockSpec((1, S, G * hd), lambda b, g: (b, 0, g),
-                          memory_space=pltpu.VMEM)
-    dkv_out = pl.BlockSpec((1, S, hd), lambda b, g: (b, 0, g),
-                           memory_space=pltpu.VMEM)
 
     flops_bwd = 7 * B * H * S * S * hd // (2 if causal else 1)
-    dq, dk, dv = pl.pallas_call(
+    d_qkv = pl.pallas_call(
         functools.partial(_bwd_fused_kernel_qkv, scale=scale, block_q=bq,
                           block_k=bk, causal=causal, dropout=dropout,
                           group=G, interpret=interpret),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
-            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
-            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), qkv.dtype),
         grid=(B, KV),
-        in_specs=[qg, kf, vf, qg, qg, lseg, seed_spec],
-        out_specs=(dq_out, dkv_out, dkv_out),
+        in_specs=[slab, qg, qg, lseg, seed_spec],
+        out_specs=slab,
         scratch_shapes=[
             pltpu.VMEM((S, hd), jnp.float32),
             pltpu.VMEM((S, hd), jnp.float32),
@@ -999,5 +1028,5 @@ def _bwd_call_qkv_fused(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             transcendentals=B * H * S * S // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, do, out, lse, _seed_arr(seed))
-    return jnp.concatenate([dq, dk, dv], axis=-1)
+    )(qkv, do, out, lse, _seed_arr(seed))
+    return d_qkv

@@ -51,6 +51,16 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native (C++) tier in-place when a toolchain is present, so the
+# walker / CSV fast-path tests run against real extensions instead of
+# skipping (the Python fallbacks still cover toolchain-less environments).
+try:
+    from neuronika_tpu._build import ensure_native_built
+
+    ensure_native_built()
+except Exception:  # noqa: BLE001 - never block the test run on a build
+    pass
+
 # Reference numeric tolerance: F16_EPSILON = 4.88e-4
 # (neuronika-variable/src/utils.rs:500-517). We target the tighter 1e-5 from
 # BASELINE.md for f32 ops and keep the reference tolerance for goldens.

@@ -333,3 +333,60 @@ def test_flash_qkv_fused_bwd_matches_split(kv, drop):
     g_split = jax.grad(lambda x: loss(x, False))(qkv)
     g_fused = jax.grad(lambda x: loss(x, True))(qkv)
     assert_close(g_fused, g_split, tol=1e-6)
+
+
+@pytest.mark.parametrize("kv", [4, 2, 1])
+def test_flash_qkv_group_major_layout_vs_reference(kv):
+    """Pins the packed-qkv layout convention: kv-group-major — KV groups
+    of (G+2) hd-wide chunks, group g = [q_{gG} … q_{gG+G-1} | k_g | v_g].
+    The kernel on the packed tensor must equal reference attention on the
+    unpacked heads, with GQA repeating kv head g over q heads gG..gG+G-1
+    (the convention models/transformer._unpack_qkv also follows)."""
+    from neuronika_tpu.ops.pallas.attention import flash_attention_qkv
+
+    H, hd, B, S = 4, 64, 2, 256
+    G = H // kv
+    W = (H + 2 * kv) * hd
+    qkv = jax.random.normal(jax.random.key(0), (B, S, W), jnp.float32)
+
+    parts = qkv.reshape(B, S, kv, G + 2, hd)
+    q = parts[:, :, :, :G].reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    k = parts[:, :, :, G].transpose(0, 2, 1, 3)
+    v = parts[:, :, :, G + 1].transpose(0, 2, 1, 3)
+    k = jnp.repeat(k, G, axis=1)
+    v = jnp.repeat(v, G, axis=1)
+
+    out = flash_attention_qkv(qkv, None, H, kv, True, None, 128, 128, True)
+    ref = reference_attention(q, k, v, True)          # (B, H, S, hd)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    assert_close(out, ref, tol=2e-5)
+
+
+@pytest.mark.parametrize("kv", [4, 2])
+def test_flash_qkv_group_major_gradients_vs_reference(kv):
+    """Backward parity of the packed kernels against autodiff through the
+    unpack + reference composite, mapped back into the packed layout."""
+    from neuronika_tpu.ops.pallas.attention import flash_attention_qkv
+
+    H, hd, B, S = 4, 64, 1, 128
+    G = H // kv
+    W = (H + 2 * kv) * hd
+    qkv = jax.random.normal(jax.random.key(3), (B, S, W), jnp.float32)
+    w = jax.random.normal(jax.random.key(4), (B, S, H * hd), jnp.float32)
+
+    def via_kernel(x):
+        return (flash_attention_qkv(
+            x, None, H, kv, True, None, 128, 128, True) * w).sum()
+
+    def via_reference(x):
+        parts = x.reshape(B, S, kv, G + 2, hd)
+        q = parts[:, :, :, :G].reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        k = jnp.repeat(parts[:, :, :, G].transpose(0, 2, 1, 3), G, axis=1)
+        v = jnp.repeat(parts[:, :, :, G + 1].transpose(0, 2, 1, 3), G,
+                       axis=1)
+        o = reference_attention(q, k, v, True)
+        return (o.transpose(0, 2, 1, 3).reshape(B, S, H * hd) * w).sum()
+
+    g_a = jax.grad(via_kernel)(qkv)
+    g_b = jax.grad(via_reference)(qkv)
+    assert_close(g_a, g_b, tol=5e-5)

@@ -417,3 +417,57 @@ def test_pipelined_1f1b_step_matches_reference(n_experts):
     assert_close(staged["blocks"]["qkv"], p_ref["blocks"]["qkv"], tol=1e-5)
     assert_close(staged["wte"], p_ref["wte"], tol=1e-5)
     assert_close(staged["wpe"], p_ref["wpe"], tol=1e-5)
+
+
+def test_sharded_packed_qkv_flash_matches_unsharded():
+    """hd=128, tp | KV: the sharded train step keeps the layout-native
+    packed-qkv flash kernel (no split/transpose/GQA-repeat copies) by
+    shard_mapping it over whole kv groups — the group-major packed layout
+    makes every tp shard of the W axis a valid packed tensor. Verifies
+    (a) the packed kernel is what actually runs under the mesh, and
+    (b) loss/grads match the unsharded step."""
+    import jax.numpy as jnp
+
+    from neuronika_tpu.config import config
+    from neuronika_tpu.ops.pallas import attention as A
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=4, d_model=512,
+                      d_ff=256, max_seq=128, dtype=jnp.float32,
+                      flash="on", remat=False, flash_block=128,
+                      flash_bwd="fused")
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    toks = jax.random.randint(jax.random.key(1), (8, 128), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    calls = []
+    real = A.flash_attention_qkv
+
+    def spy(qkv, seed, n_head, *a, **kw):
+        calls.append((qkv.shape, n_head))
+        return real(qkv, seed, n_head, *a, **kw)
+
+    config.pallas_interpret = True
+    A.flash_attention_qkv = spy
+    try:
+        params = T.init_params(jax.random.key(0), cfg)
+        sh_step = T.make_sharded_train_step(mesh, cfg)
+        p_a, _, loss_a = sh_step(
+            jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+            jnp.float32(1e-3), jax.random.key(2),
+        )
+        # the packed kernel ran per-shard: local batch 8/4, local heads 4/2,
+        # local packed width (2 + 2·2)·128
+        assert any(shape == (2, 128, 768) and h == 2 for shape, h in calls), \
+            calls
+        step = T.make_train_step(cfg)
+        p_b, _, loss_b = step(
+            jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+            jnp.float32(1e-3), jax.random.key(2),
+        )
+    finally:
+        A.flash_attention_qkv = real
+        config.pallas_interpret = False
+
+    assert_close(loss_a, loss_b, tol=1e-4)
+    assert_close(p_a["blocks"]["qkv"], p_b["blocks"]["qkv"], tol=1e-4)
+    assert_close(p_a["blocks"]["proj"], p_b["blocks"]["proj"], tol=1e-4)
