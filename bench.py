@@ -346,21 +346,47 @@ def _kernel_rooflines(peak: float) -> dict:
         except Exception:  # noqa: BLE001
             traceback.print_exc()
     try:
-        from neuronika_tpu.ops.pallas.conv import conv2d_direct_nhwc
+        from neuronika_tpu.ops.pallas.conv import conv2d_pallas_nhwc
 
         B, C, HW = 64, 256, 56
         xh = jax.random.normal(jax.random.key(0), (B, HW, HW, C),
                                jnp.bfloat16)
         wh = jax.random.normal(jax.random.key(1), (3, 3, C, C),
                                jnp.bfloat16) / (C * 9) ** 0.5
-        flv = 2 * B * C * C * 9 * (HW - 2) * (HW - 2)
+        flv = 2 * B * C * C * 9 * HW * HW  # SAME: all positions
 
-        def chain(x):
-            y = conv2d_direct_nhwc(x, wh)  # VALID: (HW-2)^2
-            return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-        dt = _timed_chain(chain, xh, rtt)
+        dt = _timed_chain(
+            lambda x: conv2d_pallas_nhwc(x, wh).astype(jnp.bfloat16),
+            xh, rtt)
         out["pallas_conv2d_fwd_mfu"] = round(flv / dt / peak, 4)
+
+        g = jax.grad(
+            lambda x, w: jnp.tanh(
+                conv2d_pallas_nhwc(x, w).astype(jnp.float32)).sum(),
+            argnums=(0, 1))
+
+        def chain(state):
+            x_, wa = state
+            dx, dw = g(x_, wh)
+            return jnp.tanh(dx).astype(jnp.bfloat16), wa + dw
+
+        dt = _timed_chain(chain, (xh, jnp.zeros_like(wh, jnp.float32)), rtt,
+                          iters=16)
+        out["pallas_conv2d_fwdbwd_mfu"] = round(3 * flv / dt / peak, 4)
+
+        # stride-2 phase-decomposed path (the NHWC ResNet downsample conv)
+        w2 = jax.random.normal(jax.random.key(2), (3, 3, C, 2 * C),
+                               jnp.bfloat16) / (C * 9) ** 0.5
+        fl2 = 2 * B * (HW // 2) * (HW // 2) * C * 2 * C * 9
+
+        def s2_chain(x):
+            y = conv2d_pallas_nhwc(x, w2, (2, 2))  # (B, 28, 28, 2C)
+            # output shape != input: thread the dependence through one
+            # element of the carry (in-place loop-carry update)
+            return x.at[0, 0, 0, 0].set(y[0, 0, 0, 0].astype(x.dtype))
+
+        dt = _timed_chain(s2_chain, xh, rtt)
+        out["pallas_conv2d_s2_fwd_mfu"] = round(fl2 / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     return out

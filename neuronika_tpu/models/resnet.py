@@ -36,9 +36,19 @@ class ResNetConfig:
     groups: int = 8                           # GroupNorm groups
     stem: str = "cifar"                       # "cifar" 3x3/s1 | "imagenet" 7x7/s2
     dtype: object = jnp.float32
+    conv_impl: str = "xla"                    # "xla" | "pallas" (direct kernel)
 
 
-def _conv(x, w, stride=1):
+def _conv(x, w, stride=1, impl="xla"):
+    if impl == "pallas":
+        # direct Pallas kernel, NHWC end-to-end — no boundary transposes
+        # (strided convs phase-decompose onto the same stride-1 kernel;
+        # backward runs the Pallas dx/dw kernels for stride 1)
+        from ..config import config as _cfg
+        from ..ops.pallas.conv import conv2d_pallas_nhwc
+
+        return conv2d_pallas_nhwc(x, w, (stride, stride), "SAME",
+                                  _cfg.pallas_interpret)
     return lax.conv_general_dilated(
         x, w, (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -101,12 +111,12 @@ def init_params(key, cfg: ResNetConfig):
 
 
 def _block(x, blk, cfg, stride):
-    h = _conv(x, blk["w1"], stride)
+    h = _conv(x, blk["w1"], stride, cfg.conv_impl)
     h = jax.nn.relu(_gn(h, blk["gn1"], cfg.groups))
-    h = _conv(h, blk["w2"], 1)
+    h = _conv(h, blk["w2"], 1, cfg.conv_impl)
     h = _gn(h, blk["gn2"], cfg.groups)
     if "proj" in blk:
-        x = _conv(x, blk["proj"], stride)
+        x = _conv(x, blk["proj"], stride, cfg.conv_impl)
     return jax.nn.relu(x + h)
 
 
@@ -114,7 +124,7 @@ def forward(params, x, cfg: ResNetConfig):
     """x (B, H, W, 3) float in [0,1] -> logits (B, num_classes) f32."""
     x = x.astype(cfg.dtype)
     stride = 1 if cfg.stem == "cifar" else 2
-    x = jax.nn.relu(_gn(_conv(x, params["stem"]["w"], stride),
+    x = jax.nn.relu(_gn(_conv(x, params["stem"]["w"], stride, cfg.conv_impl),
                         params["stem"]["gn"], cfg.groups))
     if cfg.stem == "imagenet":
         x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),

@@ -436,13 +436,13 @@ def _conv_fwd(e, kernel, inp):
     if (
         _use_pallas()
         and len(stride) == 2
-        and stride == (1, 1)
         and groups == 1
+        and (stride == (1, 1) or dilation == (1, 1))
     ):
         from ..config import config
         from .pallas.conv import conv2d_direct
 
-        return conv2d_direct(inp, kernel, dilation,
+        return conv2d_direct(inp, kernel, dilation, stride,
                              interpret=config.pallas_interpret)
     return _conv_fwd_lax(e, kernel, inp)
 

@@ -6,21 +6,31 @@ sum of shifted MXU matmuls: for every kernel tap (i, j)
 
     out[n, rows, :, :] += x[n, rows + i·dh, j·dw :, :] @ W[i, j]    (NHWC)
 
-**Layout is the whole game for Mosaic.** The r1 NCHW prototype needed a
-(Ci, bh, Wout) → (Ci, bh·Wout) cast that merges sublanes INTO the lane
-dimension — Mosaic rejects it unless 128-aligned. In NHWC the tap slab is
-(bh, Wout, Ci) → (bh·Wout, Ci): only *leading* (non-lane) dims merge, the
-lane dim (Ci) is untouched, and the tap offsets land on sublane dims where
-static offsets are free. This NHWC kernel compiles on real TPUs and is the
-`use_pallas` conv path (NCHW callers pay two transposes at the boundary;
-the kernel itself is the roofline demonstrator — XLA's conv remains the
-default production path, ops/functional.py).
+**Layout is the whole game for Mosaic.** Two load-bearing choices:
 
-Scope: stride 1, arbitrary dilation, groups=1. Backwards by kernel
-composition: d(input) is a full-correlation with the flipped/io-swapped
-kernel; d(kernel) is a correlation contracting the batch — both run on the
-SAME kernel (node/convolution/mod.rs:146-294 is the reference's col2im
-equivalent).
+* NHWC + HWIO: the channel dim lands on the 128-wide lane axis, tap
+  offsets land on sublane dims where static offsets are free, and leading
+  (non-lane) dims merge for free in reshapes. (The r1 NCHW prototype
+  needed lane-merging casts Mosaic rejects.)
+* **flat-window addressing**: the naive per-tap slice
+  `window[i:i+bh, j:j+wout, :]` is a *shifted crop* whose reshape to
+  (bh·wout, Ci) repacks VMEM on every tap — 9 VPU copies per program
+  dominated the r2 kernel (0.45 MFU vs XLA's 0.88). Instead the window
+  is flattened ONCE to ((bh+kh-1)·W, Ci) and tap (i, j) is the contiguous
+  slice starting at i·W + j: row-ends wrap into the next row's start, but
+  those wrapped entries only affect the last kw-1 output columns, which
+  the VALID crop throws away. Zero per-tap repacks; every tap is a pure
+  (bh·W, Ci) @ (Ci, co_block) MXU dot.
+
+Stride-s convs run as a sum of s·s phase convolutions (space-to-batch on
+input parities: out = Σ_{pi,pj} conv1(x[pi::s, pj::s], w[pi::s, pj::s])),
+each on the same stride-1 kernel — this is how the NHWC ResNet stem
+(7x7/s2) and downsample convs run on the Pallas tier.
+
+Backwards by kernel composition: d(input) is a full-correlation with the
+flipped/io-swapped kernel on the SAME forward kernel; d(kernel) is its own
+accumulating GEMM kernel (grid revisits over the batch) — the reference's
+col2im equivalent (node/convolution/mod.rs:146-294).
 """
 
 from __future__ import annotations
@@ -33,34 +43,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv2d_nhwc_kernel(x_ref, w_ref, o_ref, *, kh, kw, dh, dw, wout, bh):
-    # x_ref: (1, Hpad, W, Ci) full sample; w_ref: (kh, kw, Ci, Co)
-    # o_ref: (1, bh, Wout, Co) — output rows [qi·bh, qi·bh + bh)
+def _conv2d_nhwc_kernel(x_ref, w_ref, o_ref, *, kh, kw, dh, dw, bh):
+    # x_ref (1, Hpad, W, Ci) full sample; w_ref (kh, kw, Ci, co_b);
+    # o_ref (1, bh, W, co_b) FULL width — the caller crops the last
+    # dw·(kw-1) columns (they carry the flat-window wraparound).
+    #
+    # Sublane alignment is the perf story here: the caller pads W to a
+    # multiple of 16, so the (rows, W, Ci) -> (rows·W, Ci) flat view is a
+    # layout no-op and row offsets (i·dh·W) hit sublane-tile boundaries.
+    # Only the kw column shifts are misaligned — they are paid ONCE as kw
+    # pre-shifted copies of the window (the naive per-tap flat slice paid
+    # a full repack on every one of the kh·kw taps).
     ci = x_ref.shape[3]
     co = o_ref.shape[3]
-    qi = pl.program_id(1)
-    row0 = pl.multiple_of(qi * bh, bh)
+    W = x_ref.shape[2]
+    span = bh + dh * (kh - 1)           # rows any single shift must cover
+    rows = span + (1 if kw > 1 else 0)
 
-    # one dynamic (row-block) slice on a SUBLANE dim; the tap offsets below
-    # are then static, and the (bh, wout, Ci) -> (bh·wout, Ci) casts keep
-    # the lane dim intact — all Mosaic-lowerable.
-    window = x_ref[0, pl.ds(row0, bh + dh * (kh - 1)), :, :]
-
-    acc = jnp.zeros((bh * wout, co), jnp.float32)
+    if x_ref.shape[1] == rows:          # one row-block: static, no ds copy
+        window = x_ref[0].reshape(rows * W, ci)
+    else:
+        qi = pl.program_id(1)
+        row0 = pl.multiple_of(qi * bh, bh)
+        window = x_ref[0, pl.ds(row0, rows), :, :].reshape(rows * W, ci)
+    shifted = [window[j * dw:j * dw + span * W, :] for j in range(kw)]
+    acc = jnp.zeros((bh * W, co), jnp.float32)
     for i in range(kh):
         for j in range(kw):
-            xs = window[i * dh:i * dh + bh, j * dw:j * dw + wout, :]
-            flat = xs.reshape(bh * wout, ci)
+            flat = shifted[j][i * dh * W:i * dh * W + bh * W, :]
             acc = acc + jnp.dot(flat, w_ref[i, j],
                                 preferred_element_type=jnp.float32)
-    o_ref[0] = acc.reshape(bh, wout, co).astype(o_ref.dtype)
+    o_ref[0] = acc.reshape(bh, W, co).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilation", "block_h", "interpret")
+    jax.jit,
+    static_argnames=("dilation", "block_h", "block_co", "interpret"),
 )
-def conv2d_direct_nhwc(x, w, dilation=(1, 1), *, block_h: int = 8,
-                       interpret: bool = False):
+def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, block_h: int = 0,
+                    block_co: int = 256, interpret: bool = False):
     """x (N, H, W, Ci) ⊛ w (kh, kw, Ci, Co), stride 1, VALID → NHWC out."""
     N, H, W, Ci = x.shape
     kh, kw, Ci2, Co = w.shape
@@ -72,51 +93,209 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), *, block_h: int = 8,
     if Hout <= 0 or Wout <= 0:
         raise ValueError("kernel larger than input")
 
+    if block_h <= 0:
+        # auto: ~32-row blocks that tile Hout with minimal padding (v5e
+        # sweep: 0.71 MFU at even 28-row blocks vs 0.56 when a 24-row
+        # block forces 29% row padding), capped so the window + acc stay
+        # comfortably inside scoped VMEM at wide channel counts
+        n_b = max(1, -(-Hout // 32))
+        block_h = -(-Hout // n_b)
+        while block_h * (W + 16) * max(Ci, 128) * 6 > 8e6 and block_h > 8:
+            block_h = -(-block_h // 2)
     bh = min(block_h, Hout)
-    pad_h = (-Hout) % bh
-    if pad_h:  # pad input rows so output row-blocks tile evenly
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+    bco = min(block_co, Co)
+    pad_co = (-Co) % bco
+    if pad_co:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad_co)))
+    # pad W to the sublane tile (16) so the kernel's flat view and row
+    # shifts are layout no-ops (see the kernel comment); padded columns
+    # only feed wraparound outputs the final crop discards
+    pad_w = (-W) % 16
+    # pad input rows so (a) output row-blocks tile evenly and (b) the last
+    # block's flat window (bh + dh·(kh-1) + 1 rows) stays in bounds
+    pad_h = (-Hout) % bh + (1 if kw > 1 else 0)
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    W = x.shape[2]
     Hpad = x.shape[1]
-    grid = (N, (Hout + pad_h) // bh)
+    n_hb = (Hout + (-Hout) % bh) // bh
+    grid = (N, n_hb, (Co + pad_co) // bco)
 
     out = pl.pallas_call(
         functools.partial(
-            _conv2d_nhwc_kernel, kh=kh, kw=kw, dh=dh, dw=dw, wout=Wout, bh=bh
+            _conv2d_nhwc_kernel, kh=kh, kw=kw, dh=dh, dw=dw, bh=bh
         ),
-        out_shape=jax.ShapeDtypeStruct((N, Hout + pad_h, Wout, Co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, n_hb * bh, W, Co + pad_co), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hpad, W, Ci), lambda n, i: (n, 0, 0, 0),
+            pl.BlockSpec((1, Hpad, W, Ci), lambda n, i, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, kw, Ci, Co), lambda n, i: (0, 0, 0, 0),
+            pl.BlockSpec((kh, kw, Ci, bco), lambda n, i, c: (0, 0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, Wout, Co), lambda n, i: (n, i, 0, 0),
+        out_specs=pl.BlockSpec((1, bh, W, bco),
+                               lambda n, i, c: (n, i, 0, c),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * Hout * Wout * Ci * Co * kh * kw,
-            bytes_accessed=(N * Hpad * W * Ci + N * Hout * Wout * Co)
+            flops=2 * N * Hout * W * Ci * (Co + pad_co) * kh * kw,
+            bytes_accessed=(N * Hpad * W * Ci + N * Hout * W * Co)
             * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, w)
-    return out[:, :Hout, :, :]
+    return out[:, :Hout, :Wout, :Co]
 
 
-def conv2d_direct(x, w, dilation=(1, 1), *, block_h: int = 8,
+def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
+                       block_h: int = 0, block_co: int = 256,
+                       interpret: bool = False):
+    """x (N, H, W, Ci) ⊛ w (kh, kw, Ci, Co), VALID → NHWC out.
+
+    Stride 1 runs the direct kernel; stride s decomposes into s·s phase
+    convolutions on the same kernel (the phase split is one strided
+    gather of x — O(input) traffic, amortised over kh·kw/s² taps each)."""
+    sh, sw = stride
+    if (sh, sw) == (1, 1):
+        return _conv2d_s1_nhwc(x, w, dilation, block_h=block_h,
+                               block_co=block_co, interpret=interpret)
+    if dilation != (1, 1):
+        raise ValueError("strided Pallas conv supports dilation 1 only")
+    N, H, W, Ci = x.shape
+    kh, kw, _, Co = w.shape
+    Hout = (H - kh) // sh + 1
+    Wout = (W - kw) // sw + 1
+    out = None
+    for pi in range(min(sh, kh)):
+        for pj in range(min(sw, kw)):
+            wp = w[pi::sh, pj::sw]              # (ceil((kh-pi)/sh), …)
+            khp, kwp = wp.shape[0], wp.shape[1]
+            # phase rows pi, pi+sh, … must cover r + a for r < Hout,
+            # a < khp  →  exactly (Hout - 1 + khp) phase rows (pad with
+            # zeros when the tail phase runs short; extra rows only feed
+            # outputs the crop below discards)
+            xp = x[:, pi::sh, pj::sw, :]
+            nh, nw = Hout - 1 + khp, Wout - 1 + kwp
+            if xp.shape[1] < nh or xp.shape[2] < nw:
+                xp = jnp.pad(xp, ((0, 0), (0, max(0, nh - xp.shape[1])),
+                                  (0, max(0, nw - xp.shape[2])), (0, 0)))
+            xp = xp[:, :nh, :nw, :]
+            o = _conv2d_s1_nhwc(xp, wp, (1, 1), block_h=block_h,
+                                block_co=block_co, interpret=interpret)
+            o = o[:, :Hout, :Wout, :]
+            out = o if out is None else out + o
+    return out
+
+
+def conv2d_direct(x, w, dilation=(1, 1), stride=(1, 1), *, block_h: int = 0,
                   interpret: bool = False):
     """NCHW façade over the NHWC kernel: x (N, Ci, H, W) ⊛
-    w (Co, Ci, kh, kw) → (N, Co, Hout, Wout), stride 1, VALID."""
+    w (Co, Ci, kh, kw) → (N, Co, Hout, Wout), VALID."""
     xt = x.transpose(0, 2, 3, 1)
     wt = w.transpose(2, 3, 1, 0)
-    out = conv2d_direct_nhwc(xt, wt, dilation, block_h=block_h,
+    out = conv2d_direct_nhwc(xt, wt, dilation, stride, block_h=block_h,
                              interpret=interpret)
     return out.transpose(0, 3, 1, 2)
 
 
 # --------------------------------------------------------------------------
 # backward on the Pallas tier, by kernel composition (stride 1)
+
+
+def _dw_kernel(x_ref, g_ref, o_ref, *, kh, kw, dh, dw, ho):
+    # d(kernel) as an accumulating GEMM: grid (CiB, CoB, N), revisiting
+    # the (kh, kw, bci, bco) output block across n; per program and
+    # STATICALLY-unrolled tap:
+    # dw[i, j] += Xflat[i·dh·W + j·dw :][:ho·W].T @ Gflat  — g is padded
+    # to full width W with ZEROS in the cropped columns, which also kills
+    # the flat-window wraparound terms (they multiply g's zero columns).
+    # (Static taps because Mosaic has no dynamic_slice on loaded values;
+    # channel blocking keeps the per-program footprint under the 16M
+    # scoped-VMEM limit at production shapes.)
+    ci = x_ref.shape[3]
+    co = g_ref.shape[3]
+    W = x_ref.shape[2]
+    n = pl.program_id(2)
+
+    xflat = x_ref[0].reshape(x_ref.shape[1] * W, ci)
+    gflat = g_ref[0].reshape(ho * W, co)
+    for i in range(kh):
+        for j in range(kw):
+            off = i * dh * W + j * dw
+            part = jax.lax.dot_general(
+                xflat[off:off + ho * W, :], gflat,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(n == 0)
+            def _init(part=part, i=i, j=j):
+                o_ref[i, j] = part
+
+            @pl.when(n != 0)
+            def _acc(part=part, i=i, j=j):
+                o_ref[i, j] += part
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "kw", "dilation", "interpret")
+)
+def conv2d_dw_nhwc(x, g, kh: int, kw: int, dilation=(1, 1), *,
+                   interpret: bool = False):
+    """d(kernel) for the stride-1 VALID NHWC conv: correlate input with the
+    out-gradient, contracting batch and space on the MXU.
+    x (N, H, W, Ci), g (N, Ho, Wo, Co) → (kh, kw, Ci, Co) f32."""
+    N, H, W, Ci = x.shape
+    _, Ho, Wo, Co = g.shape
+    dh, dw = dilation
+    # pad W to the sublane tile so the flat views are layout no-ops, and
+    # zero-pad g to full width: flat-slice wraparound terms hit zeros
+    Wp = W + (-W) % 16
+    if Wo != Wp:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, Wp - Wo), (0, 0)))
+    need = (Ho - 1) + dh * (kh - 1) + 1 + (1 if kw > 1 else 0)
+    if H < need or W != Wp:
+        x = jnp.pad(x, ((0, 0), (0, max(0, need - H)), (0, Wp - W), (0, 0)))
+    W = Wp
+
+    bci = min(128, Ci)
+    bco = min(128, Co)
+    pci, pco = (-Ci) % bci, (-Co) % bco
+    if pci:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pci)))
+    if pco:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pco)))
+    out = pl.pallas_call(
+        functools.partial(_dw_kernel, kh=kh, kw=kw, dh=dh, dw=dw, ho=Ho),
+        out_shape=jax.ShapeDtypeStruct(
+            (kh, kw, Ci + pci, Co + pco), jnp.float32),
+        grid=((Ci + pci) // bci, (Co + pco) // bco, N),
+        in_specs=[
+            pl.BlockSpec((1, x.shape[1], W, bci),
+                         lambda a, b, n: (n, 0, 0, a),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ho, W, bco), lambda a, b, n: (n, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kh, kw, bci, bco),
+                               lambda a, b, n: (0, 0, a, b),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * Ho * W * Ci * Co * kh * kw,
+            bytes_accessed=(N * H * W * Ci + N * Ho * W * Co
+                            + kh * kw * Ci * Co) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, g)
+    return out[:, :, :Ci, :Co]
 
 
 def conv2d_direct_input_grad(g, w, dilation=(1, 1), *, interpret=False):
@@ -132,19 +311,22 @@ def conv2d_direct_input_grad(g, w, dilation=(1, 1), *, interpret=False):
 
 
 def conv2d_direct_kernel_grad(x, g, *, interpret=False):
-    """d(kernel) for stride-1, dilation-1 VALID conv (NCHW API): correlate
-    input with the out-gradient, contracting over the batch."""
-    xt = x.transpose(1, 0, 2, 3)  # (Ci, N, H, W)
-    gt = g.transpose(1, 0, 2, 3)  # (Co, N, Ho, Wo) as the "kernel"
-    dw = conv2d_direct(xt, gt, (1, 1), interpret=interpret)
-    return dw.transpose(1, 0, 2, 3)  # (Co, Ci, kh, kw)
+    """d(kernel) for stride-1, dilation-1 VALID conv (NCHW API), on the
+    accumulating dw GEMM kernel."""
+    kh = x.shape[2] - g.shape[2] + 1
+    kw = x.shape[3] - g.shape[3] + 1
+    dw = conv2d_dw_nhwc(
+        x.transpose(0, 2, 3, 1), g.transpose(0, 2, 3, 1), kh, kw,
+        interpret=interpret,
+    )  # (kh, kw, Ci, Co)
+    return dw.transpose(3, 2, 0, 1).astype(x.dtype)  # (Co, Ci, kh, kw)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv2d_pallas(x, w, dilation=(1, 1), interpret: bool = False):
     """Stride-1 VALID Conv2d (NCHW) where forward AND both backward passes
-    run on the direct Pallas kernel (dilation-1 for the kernel gradient;
-    other configurations use the XLA path in ops.functional)."""
+    run on the direct Pallas kernels (other configurations use the XLA
+    path in ops.functional)."""
     return conv2d_direct(x, w, dilation, interpret=interpret)
 
 
@@ -169,3 +351,78 @@ def _conv2d_pallas_bwd(dilation, interpret, res, g):
 
 
 conv2d_pallas.defvjp(_conv2d_pallas_fwd, _conv2d_pallas_bwd)
+
+
+# --------------------------------------------------------------------------
+# NHWC custom-VJP entry (the models/resnet.py path)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv2d_pallas_nhwc(x, w, stride=(1, 1), padding="SAME",
+                       interpret: bool = False):
+    """NHWC ⊛ HWIO conv on the Pallas tier, SAME or VALID, stride 1 or 2 —
+    the layouts models/resnet.py already uses, so no boundary transposes.
+    Forward runs the direct kernel (phase-decomposed when strided);
+    stride-1 backward stays on the Pallas tier (dx on the forward kernel,
+    dw on the accumulating GEMM kernel); strided backward falls back to
+    the XLA transpose."""
+    return _nhwc_fwd_impl(x, w, stride, padding, interpret)
+
+
+def _same_pads(size, k, s):
+    # lax/TF SAME: out = ceil(size / s); pad split low-first
+    out = -(-size // s)
+    pad = max((out - 1) * s + k - size, 0)
+    lo = pad // 2
+    return lo, pad - lo
+
+
+def _nhwc_fwd_impl(x, w, stride, padding, interpret):
+    kh, kw = w.shape[0], w.shape[1]
+    if padding == "SAME":
+        ph = _same_pads(x.shape[1], kh, stride[0])
+        pw = _same_pads(x.shape[2], kw, stride[1])
+        x = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+    elif padding != "VALID":
+        raise ValueError(f"unknown padding {padding!r}")
+    return conv2d_direct_nhwc(x, w, (1, 1), stride, interpret=interpret)
+
+
+def _nhwc_fwd(x, w, stride, padding, interpret):
+    return _nhwc_fwd_impl(x, w, stride, padding, interpret), (x, w)
+
+
+def _nhwc_bwd(stride, padding, interpret, res, g):
+    x, w = res
+    kh, kw, _, _ = w.shape
+    if padding == "SAME":
+        ph = _same_pads(x.shape[1], kh, stride[0])
+        pw = _same_pads(x.shape[2], kw, stride[1])
+    else:
+        ph = pw = (0, 0)
+    if stride == (1, 1):
+        # dx: full-correlate g with the flipped, io-swapped kernel on the
+        # SAME forward kernel, then crop the padding border
+        gpad = jnp.pad(g, ((0, 0), (kh - 1,) * 2, (kw - 1,) * 2, (0, 0)))
+        w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx_full = conv2d_direct_nhwc(gpad, w_t, interpret=interpret)
+        dx = dx_full[:, ph[0]:dx_full.shape[1] - ph[1],
+                     pw[0]:dx_full.shape[2] - pw[1], :]
+        xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+        dw = conv2d_dw_nhwc(xp, g, kh, kw, interpret=interpret).astype(
+            w.dtype)
+        return dx, dw
+    # strided: XLA transpose of the equivalent lax conv
+    from jax import lax
+
+    def f(x_, w_):
+        return lax.conv_general_dilated(
+            x_, w_, stride, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    dx = jax.linear_transpose(lambda x_: f(x_, w), x)(g)[0]
+    dw = jax.linear_transpose(lambda w_: f(x, w_), w)(g)[0]
+    return dx, dw
+
+
+conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)

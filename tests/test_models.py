@@ -763,6 +763,36 @@ class TestResNet:
         x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
         assert R.forward(p, x, cfg).shape == (2, 3)
 
+    def test_pallas_conv_impl_matches_xla(self):
+        """conv_impl="pallas" (direct NHWC kernel, strided via phase
+        decomposition, Pallas dx/dw for stride 1) == the XLA conv path —
+        logits AND parameter gradients, cifar (3x3/s1 + s2 downsample
+        stage) and imagenet (7x7/s2 stem) variants."""
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.config import config
+        from neuronika_tpu.models import resnet as R
+
+        config.pallas_interpret = True
+        try:
+            for stem, hw in (("cifar", 16), ("imagenet", 18)):
+                cfg_x = R.ResNetConfig(stages=(1, 1), width=8, num_classes=3,
+                                       stem=stem)
+                cfg_p = R.ResNetConfig(stages=(1, 1), width=8, num_classes=3,
+                                       stem=stem, conv_impl="pallas")
+                p = R.init_params(jax.random.key(0), cfg_x)
+                x = jax.random.uniform(jax.random.key(1), (2, hw, hw, 3))
+                y = jax.random.randint(jax.random.key(2), (2,), 0, 3)
+                assert_close(R.forward(p, x, cfg_p),
+                             R.forward(p, x, cfg_x), tol=1e-4)
+                ga = jax.grad(R.loss_fn)(p, x, y, cfg_p)
+                gb = jax.grad(R.loss_fn)(p, x, y, cfg_x)
+                jax.tree.map(lambda a, b: assert_close(a, b, tol=1e-4),
+                             ga, gb)
+        finally:
+            config.pallas_interpret = False
+
     def test_groupnorm_batch_independent(self):
         """GN: per-sample stats — row 0's output can't depend on row 1."""
         import jax
