@@ -230,6 +230,18 @@ def _kernel_rooflines(peak: float) -> dict:
 
         dt = _timed_chain(chain, q, rtt, iters=16)
         out["flash_fwdbwd_mfu"] = round((fl * 9 // 2) / dt / peak, 4)
+        # independent context baseline: JAX's bundled TPU flash kernel at
+        # the same shape (r3 diag: 0.088 vs our 0.36-0.42 — the repo's
+        # kernels are ~4x the installed public kernel; the docs' old 0.77
+        # claim was a short-timing-window artifact, see docs/PERF.md)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as _jax_flash,
+        )
+
+        dt = _timed_chain(
+            lambda x: _jax_flash(x, k, v, causal=True,
+                                 sm_scale=1.0 / (D ** 0.5)), q, rtt)
+        out["flash_fwd_bundled_jax_mfu"] = round(fl / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     try:

@@ -433,17 +433,39 @@ def _conv_fwd(e, kernel, inp):
     # genuinely switches tiers on hardware too. XLA's conv remains the
     # default production path. Cotangents below always transpose the lax
     # form (same math either way).
-    if (
-        _use_pallas()
-        and len(stride) == 2
-        and groups == 1
-        and (stride == (1, 1) or dilation == (1, 1))
-    ):
+    if _use_pallas():
         from ..config import config
-        from .pallas.conv import conv2d_direct
+        from .pallas.conv import (
+            conv1d_direct_nwc,
+            conv2d_direct,
+            conv3d_direct_ndhwc,
+        )
 
-        return conv2d_direct(inp, kernel, dilation, stride,
-                             interpret=config.pallas_interpret)
+        interp = config.pallas_interpret
+        # grouped convs route to the kernel when the per-group channel
+        # slices are lane-aligned (or in interpret mode, where Mosaic's
+        # tiling rules don't apply); otherwise fall through to XLA
+        ok_groups = groups == 1 or interp or (
+            kernel.shape[1] % 128 == 0
+            and (kernel.shape[0] // groups) % 128 == 0
+        )
+        if (len(stride) == 2 and ok_groups
+                and (stride == (1, 1) or dilation == (1, 1))):
+            return conv2d_direct(inp, kernel, dilation, stride,
+                                 groups=groups, interpret=interp)
+        if groups != 1:
+            return _conv_fwd_lax(e, kernel, inp)
+        if len(stride) == 1:
+            out = conv1d_direct_nwc(
+                inp.transpose(0, 2, 1), kernel.transpose(2, 1, 0),
+                dilation[0], stride[0], interpret=interp)
+            return out.transpose(0, 2, 1)
+        if len(stride) == 3 and stride == (1, 1, 1):
+            out = conv3d_direct_ndhwc(
+                inp.transpose(0, 2, 3, 4, 1),
+                kernel.transpose(2, 3, 4, 1, 0),
+                dilation, interpret=interp)
+            return out.transpose(0, 4, 1, 2, 3)
     return _conv_fwd_lax(e, kernel, inp)
 
 

@@ -78,15 +78,20 @@ def _conv2d_nhwc_kernel(x_ref, w_ref, o_ref, *, kh, kw, dh, dw, bh):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilation", "block_h", "block_co", "interpret"),
+    static_argnames=("dilation", "groups", "block_h", "block_co",
+                     "interpret"),
 )
-def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, block_h: int = 0,
+def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, groups: int = 1,
+                    block_h: int = 0,
                     block_co: int = 256, interpret: bool = False):
-    """x (N, H, W, Ci) ⊛ w (kh, kw, Ci, Co), stride 1, VALID → NHWC out."""
+    """x (N, H, W, Ci) ⊛ w (kh, kw, Ci/groups, Co), stride 1, VALID →
+    NHWC out. Grouped convs map each co-block's grid step to its group's
+    lane slice of x (needs Ci/groups and Co/groups lane-aligned — the
+    caller gates on that)."""
     N, H, W, Ci = x.shape
-    kh, kw, Ci2, Co = w.shape
-    if Ci != Ci2:
-        raise ValueError("channel mismatch (groups != 1 not supported here)")
+    kh, kw, Cik, Co = w.shape
+    if Cik * groups != Ci or Co % groups:
+        raise ValueError("channel/group mismatch")
     dh, dw = dilation
     Hout = H - dh * (kh - 1)
     Wout = W - dw * (kw - 1)
@@ -103,10 +108,14 @@ def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, block_h: int = 0,
         while block_h * (W + 16) * max(Ci, 128) * 6 > 8e6 and block_h > 8:
             block_h = -(-block_h // 2)
     bh = min(block_h, Hout)
-    bco = min(block_co, Co)
-    pad_co = (-Co) % bco
+    bco = min(block_co, Co // groups)
+    pad_co = (-Co) % bco if groups == 1 else 0
     if pad_co:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad_co)))
+    if groups > 1 and (Co // groups) % bco:
+        raise ValueError("grouped conv needs Co/groups % block_co == 0")
+    cob_per_g = (Co + pad_co) // groups // bco if groups > 1 else \
+        (Co + pad_co) // bco
     # pad W to the sublane tile (16) so the kernel's flat view and row
     # shifts are layout no-ops (see the kernel comment); padded columns
     # only feed wraparound outputs the final crop discards
@@ -129,9 +138,10 @@ def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, block_h: int = 0,
             (N, n_hb * bh, W, Co + pad_co), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hpad, W, Ci), lambda n, i, c: (n, 0, 0, 0),
+            pl.BlockSpec((1, Hpad, W, Cik),
+                         lambda n, i, c: (n, 0, 0, c // cob_per_g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, kw, Ci, bco), lambda n, i, c: (0, 0, 0, c),
+            pl.BlockSpec((kh, kw, Cik, bco), lambda n, i, c: (0, 0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bh, W, bco),
@@ -141,7 +151,7 @@ def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, block_h: int = 0,
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * Hout * W * Ci * (Co + pad_co) * kh * kw,
+            flops=2 * N * Hout * W * Cik * (Co + pad_co) * kh * kw,
             bytes_accessed=(N * Hpad * W * Ci + N * Hout * W * Co)
             * x.dtype.itemsize,
             transcendentals=0,
@@ -152,6 +162,7 @@ def _conv2d_s1_nhwc(x, w, dilation=(1, 1), *, block_h: int = 0,
 
 
 def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
+                       groups: int = 1,
                        block_h: int = 0, block_co: int = 256,
                        interpret: bool = False):
     """x (N, H, W, Ci) ⊛ w (kh, kw, Ci, Co), VALID → NHWC out.
@@ -160,8 +171,14 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
     convolutions on the same kernel (the phase split is one strided
     gather of x — O(input) traffic, amortised over kh·kw/s² taps each)."""
     sh, sw = stride
+    if groups > 1:
+        bco = min(block_co, w.shape[3] // groups)
+        while (w.shape[3] // groups) % bco:
+            bco -= 1
+        block_co = bco
     if (sh, sw) == (1, 1):
-        return _conv2d_s1_nhwc(x, w, dilation, block_h=block_h,
+        return _conv2d_s1_nhwc(x, w, dilation, groups=groups,
+                               block_h=block_h,
                                block_co=block_co, interpret=interpret)
     if dilation != (1, 1):
         raise ValueError("strided Pallas conv supports dilation 1 only")
@@ -184,21 +201,22 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
                 xp = jnp.pad(xp, ((0, 0), (0, max(0, nh - xp.shape[1])),
                                   (0, max(0, nw - xp.shape[2])), (0, 0)))
             xp = xp[:, :nh, :nw, :]
-            o = _conv2d_s1_nhwc(xp, wp, (1, 1), block_h=block_h,
+            o = _conv2d_s1_nhwc(xp, wp, (1, 1), groups=groups,
+                                block_h=block_h,
                                 block_co=block_co, interpret=interpret)
             o = o[:, :Hout, :Wout, :]
             out = o if out is None else out + o
     return out
 
 
-def conv2d_direct(x, w, dilation=(1, 1), stride=(1, 1), *, block_h: int = 0,
-                  interpret: bool = False):
+def conv2d_direct(x, w, dilation=(1, 1), stride=(1, 1), *, groups: int = 1,
+                  block_h: int = 0, interpret: bool = False):
     """NCHW façade over the NHWC kernel: x (N, Ci, H, W) ⊛
-    w (Co, Ci, kh, kw) → (N, Co, Hout, Wout), VALID."""
+    w (Co, Ci/groups, kh, kw) → (N, Co, Hout, Wout), VALID."""
     xt = x.transpose(0, 2, 3, 1)
     wt = w.transpose(2, 3, 1, 0)
-    out = conv2d_direct_nhwc(xt, wt, dilation, stride, block_h=block_h,
-                             interpret=interpret)
+    out = conv2d_direct_nhwc(xt, wt, dilation, stride, groups=groups,
+                             block_h=block_h, interpret=interpret)
     return out.transpose(0, 3, 1, 2)
 
 
@@ -426,3 +444,128 @@ def _nhwc_bwd(stride, padding, interpret, res, g):
 
 
 conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)
+
+
+# --------------------------------------------------------------------------
+# rank-generic direct convs: 1-d and 3-d on the same flat-window scheme
+# (SURVEY.md §7 "Pallas tier": im2col-free direct conv kernels for 1/2/3-d.
+# The flat-window wraparound argument composes across spatial dims — taps
+# along any dim only contaminate positions the VALID crop discards.)
+
+
+def conv1d_direct_nwc(x, w, dilation=1, stride=1, *, interpret=False):
+    """x (N, L, Ci) ⊛ w (k, Ci, Co), VALID → (N, Lout, Co).
+
+    Lowered onto the 2-d kernel as a (1, L) image with (1, k) taps: the
+    width axis carries the sequence, so the flat-window addressing and
+    sublane padding apply unchanged."""
+    a = conv2d_direct_nhwc(
+        x[:, None], w[None], (1, dilation), (1, stride),
+        interpret=interpret,
+    )
+    return a[:, 0]
+
+
+def _conv3d_kernel(x_ref, w_ref, o_ref, *, kd, kh, kw, dd, dh, dw, bd):
+    # x_ref (1, Dpad, H, W, Ci); w_ref (kd, kh, kw, Ci, co_b);
+    # o_ref (1, bd, H, W, co_b) — FULL H and W (caller crops the last
+    # dh·(kh-1) rows and dw·(kw-1) cols: flat-window wraparound).
+    ci = x_ref.shape[4]
+    co = o_ref.shape[4]
+    H, W = x_ref.shape[2], x_ref.shape[3]
+    span = bd + dd * (kd - 1)
+    rows = span + (1 if (kh > 1 or kw > 1) else 0)
+
+    if x_ref.shape[1] == rows:
+        window = x_ref[0].reshape(rows * H * W, ci)
+    else:
+        qi = pl.program_id(1)
+        d0 = pl.multiple_of(qi * bd, bd)
+        window = x_ref[0, pl.ds(d0, rows), :, :, :].reshape(
+            rows * H * W, ci)
+    # pre-shift once per (j, l) in-plane tap (kh·kw copies); the kd depth
+    # offsets below are then aligned H·W-stride views
+    shifted = {}
+    for j in range(kh):
+        for l in range(kw):
+            off = j * dh * W + l * dw
+            shifted[(j, l)] = window[off:off + span * H * W, :]
+    acc = jnp.zeros((bd * H * W, co), jnp.float32)
+    for i in range(kd):
+        for j in range(kh):
+            for l in range(kw):
+                flat = shifted[(j, l)][
+                    i * dd * H * W:i * dd * H * W + bd * H * W, :]
+                acc = acc + jnp.dot(flat, w_ref[i, j, l],
+                                    preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(bd, H, W, co).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilation", "block_d", "block_co", "interpret")
+)
+def conv3d_direct_ndhwc(x, w, dilation=(1, 1, 1), *, block_d: int = 0,
+                        block_co: int = 256, interpret: bool = False):
+    """x (N, D, H, W, Ci) ⊛ w (kd, kh, kw, Ci, Co), stride 1, VALID →
+    NDHWC out. Same flat-window scheme as 2-d, one rank up: the window
+    flattens (depth, rows, cols) and each tap is one MXU dot."""
+    N, D, H, W, Ci = x.shape
+    kd, kh, kw, Ci2, Co = w.shape
+    if Ci != Ci2:
+        raise ValueError("channel mismatch (groups != 1 not supported here)")
+    dd, dh, dw = dilation
+    Dout = D - dd * (kd - 1)
+    Hout = H - dh * (kh - 1)
+    Wout = W - dw * (kw - 1)
+    if min(Dout, Hout, Wout) <= 0:
+        raise ValueError("kernel larger than input")
+
+    if block_d <= 0:
+        n_b = max(1, -(-Dout // 8))
+        block_d = -(-Dout // n_b)
+        while block_d * (H + 1) * (W + 16) * max(Ci, 128) * 6 > 8e6 \
+                and block_d > 1:
+            block_d = -(-block_d // 2)
+    bd = min(block_d, Dout)
+    bco = min(block_co, Co)
+    pad_co = (-Co) % bco
+    if pad_co:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad_co)))
+    pad_w = (-W) % 16
+    pad_d = (-Dout) % bd + (1 if (kh > 1 or kw > 1) else 0)
+    if pad_d or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_d), (0, 0), (0, pad_w), (0, 0)))
+    W = x.shape[3]
+    Dpad = x.shape[1]
+    n_db = (Dout + (-Dout) % bd) // bd
+    grid = (N, n_db, (Co + pad_co) // bco)
+
+    out = pl.pallas_call(
+        functools.partial(_conv3d_kernel, kd=kd, kh=kh, kw=kw,
+                          dd=dd, dh=dh, dw=dw, bd=bd),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, n_db * bd, H, W, Co + pad_co), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Dpad, H, W, Ci),
+                         lambda n, i, c: (n, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kd, kh, kw, Ci, bco),
+                         lambda n, i, c: (0, 0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bd, H, W, bco),
+                               lambda n, i, c: (n, i, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * Dout * H * W * Ci * (Co + pad_co) * kd * kh * kw,
+            bytes_accessed=(N * Dpad * H * W * Ci
+                            + N * Dout * H * W * Co) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w)
+    return out[:, :Dout, :Hout, :Wout, :Co]

@@ -390,3 +390,153 @@ def test_flash_qkv_group_major_gradients_vs_reference(kv):
     g_a = jax.grad(via_kernel)(qkv)
     g_b = jax.grad(via_reference)(qkv)
     assert_close(g_a, g_b, tol=5e-5)
+
+
+class TestDirectConv:
+    """The r3 flat-window direct conv tier: stride-1 kernel, phase-
+    decomposed strided path, NHWC custom VJP, accumulating dw kernel —
+    all vs the lax composite (interpret mode; same kernels compile on
+    TPU, measured in BENCH kernel_rooflines)."""
+
+    def _ref(self, x, w, stride, padding, dilation=(1, 1)):
+        return jax.lax.conv_general_dilated(
+            x, w, stride, padding, rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @pytest.mark.parametrize("stride", [(1, 1), (2, 2), (3, 2)])
+    def test_forward_valid(self, stride):
+        from neuronika_tpu.ops.pallas.conv import conv2d_direct_nhwc
+
+        x = jnp.asarray(np.random.randn(2, 13, 12, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 3, 8, 16), jnp.float32) * 0.1
+        a = conv2d_direct_nhwc(x, w, (1, 1), stride, interpret=True)
+        b = self._ref(x, w, stride, "VALID")
+        assert a.shape == b.shape
+        assert_close(a, b, tol=1e-5)
+
+    def test_forward_dilated_and_co_tiling(self):
+        from neuronika_tpu.ops.pallas.conv import conv2d_direct_nhwc
+
+        x = jnp.asarray(np.random.randn(1, 14, 14, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 3, 8, 300), jnp.float32) * 0.1
+        a = conv2d_direct_nhwc(x, w, (2, 2), (1, 1), interpret=True)
+        b = self._ref(x, w, (1, 1), "VALID", (2, 2))
+        assert_close(a, b, tol=1e-5)
+
+    @pytest.mark.parametrize("stride,pad", [
+        ((1, 1), "SAME"), ((1, 1), "VALID"),
+        ((2, 2), "SAME"), ((2, 2), "VALID")])
+    def test_nhwc_vjp(self, stride, pad):
+        """Forward + input/kernel grads of the NHWC custom-VJP entry
+        (stride-1 backward runs the Pallas dx/dw kernels; strided falls
+        back to the XLA transpose). SAME padding follows lax's
+        input-size-dependent strided split."""
+        from neuronika_tpu.ops.pallas.conv import conv2d_pallas_nhwc
+
+        x = jnp.asarray(np.random.randn(2, 11, 10, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 3, 8, 16), jnp.float32) * 0.1
+        a = conv2d_pallas_nhwc(x, w, stride, pad, True)
+        b = self._ref(x, w, stride, pad)
+        assert_close(a, b, tol=1e-5)
+
+        ga = jax.grad(lambda x, w: jnp.tanh(
+            conv2d_pallas_nhwc(x, w, stride, pad, True)).sum(), (0, 1))(x, w)
+        gb = jax.grad(lambda x, w: jnp.tanh(
+            self._ref(x, w, stride, pad)).sum(), (0, 1))(x, w)
+        assert_close(ga[0], gb[0], tol=1e-4)
+        assert_close(ga[1], gb[1], tol=1e-4)
+
+    def test_dw_kernel_channel_blocking(self):
+        """The accumulating dw GEMM kernel with Ci/Co bigger than one
+        channel block (padded lanes must not leak into the result)."""
+        from neuronika_tpu.ops.pallas.conv import conv2d_dw_nhwc
+
+        x = jnp.asarray(np.random.randn(3, 10, 10, 200), jnp.float32)
+        g = jnp.asarray(np.random.randn(3, 8, 8, 140), jnp.float32)
+        dw = conv2d_dw_nhwc(x, g, 3, 3, interpret=True)
+        ref = jax.grad(lambda w: (self._ref(x, w, (1, 1), "VALID")
+                                  * g).sum())(
+            jnp.zeros((3, 3, 200, 140), jnp.float32))
+        assert_close(dw, ref, tol=1e-4)
+
+
+@pytest.mark.parametrize("rank,stride", [(1, 1), (1, 2), (2, 2), (3, 1)])
+def test_ops_pallas_conv_gate_ranks(rank, stride):
+    """config.use_pallas now routes conv1d (any stride), strided conv2d,
+    and stride-1 conv3d through the direct kernels — Var-tier numbers
+    must match the XLA path fwd+bwd."""
+    import neuronika_tpu as nk
+    from neuronika_tpu.config import enable_pallas
+
+    spatial_k = {1: (3,), 2: (3, 3), 3: (2, 2, 2)}[rank]
+    spatial_x = {1: (12,), 2: (9, 9), 3: (5, 6, 7)}[rank]
+    kv = np.random.randn(4, 3, *spatial_k).astype(np.float32)
+    xv = np.random.randn(2, 3, *spatial_x).astype(np.float32)
+    s = (stride,) * rank
+    d = (1,) * rank
+
+    def run():
+        k = nk.from_ndarray(kv).requires_grad()
+        loss = k.convolution(nk.from_ndarray(xv), s, d).pow(2).mean()
+        loss.forward()
+        loss.backward(1.0)
+        return np.asarray(loss.data()).copy(), np.asarray(k.grad()).copy()
+
+    base_loss, base_grad = run()
+    try:
+        enable_pallas(True, interpret=True)
+        pl_loss, pl_grad = run()
+    finally:
+        enable_pallas(False)
+    assert_close(pl_loss, base_loss, tol=1e-5)
+    assert_close(pl_grad, base_grad, tol=1e-4)
+
+
+class TestDirectConvRanks:
+    """Rank-generic direct conv tier: 1-d (2-d kernel specialisation),
+    3-d (one rank up on the same flat-window scheme), grouped 2-d
+    (per-group lane slices via the co-block grid index)."""
+
+    @pytest.mark.parametrize("d,s", [(1, 1), (2, 1), (1, 2)])
+    def test_conv1d(self, d, s):
+        from neuronika_tpu.ops.pallas.conv import conv1d_direct_nwc
+
+        x = jnp.asarray(np.random.randn(2, 33, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 8, 16), jnp.float32) * 0.1
+        a = conv1d_direct_nwc(x, w, d, s, interpret=True)
+        b = jax.lax.conv_general_dilated(
+            x, w, (s,), "VALID", rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        assert a.shape == b.shape
+        assert_close(a, b, tol=1e-5)
+
+    @pytest.mark.parametrize("k,dil", [
+        ((3, 3, 3), (1, 1, 1)), ((2, 3, 2), (1, 1, 1)),
+        ((2, 2, 2), (2, 2, 2))])
+    def test_conv3d(self, k, dil):
+        from neuronika_tpu.ops.pallas.conv import conv3d_direct_ndhwc
+
+        x = jnp.asarray(np.random.randn(2, 6, 7, 9, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(*k, 8, 16), jnp.float32) * 0.1
+        a = conv3d_direct_ndhwc(x, w, dil, interpret=True)
+        b = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "VALID", rhs_dilation=dil,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        assert a.shape == b.shape
+        assert_close(a, b, tol=1e-5)
+
+    @pytest.mark.parametrize("G,stride", [(2, (1, 1)), (4, (1, 1)),
+                                          (2, (2, 2))])
+    def test_grouped(self, G, stride):
+        from neuronika_tpu.ops.pallas.conv import conv2d_direct_nhwc
+
+        Ci, Co = 8, 12 if G == 2 else 8
+        x = jnp.asarray(np.random.randn(2, 10, 10, Ci), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 3, Ci // G, Co),
+                        jnp.float32) * 0.1
+        a = conv2d_direct_nhwc(x, w, (1, 1), stride, groups=G,
+                               interpret=True)
+        b = jax.lax.conv_general_dilated(
+            x, w, stride, "VALID", feature_group_count=G,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert_close(a, b, tol=1e-5)
