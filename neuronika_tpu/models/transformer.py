@@ -1494,7 +1494,7 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
 def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
                   top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
                   repetition_penalty: float = 1.0,
-                  quant: str | None = None):
+                  quant: str | None = None, mesh=None):
     """Fully on-device generation: ONE compiled program runs a batched
     prefill (one MXU pass over the whole prompt) + `max_new` scanned
     decode steps, so serving pays a single host<->device round trip per
@@ -1511,14 +1511,34 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
     once per call, outside the scans) — halves the weight HBM traffic
     that bounds decode throughput.
 
+    With `mesh`, serving runs tensor-parallel: params keep the Megatron
+    column/row layout (`param_shardings`), the KV cache shards batch
+    over "dp" and kv heads over "tp", and GSPMD partitions the decode
+    einsums over heads — one all-reduce per layer at the output
+    projection, weight reads split tp-ways (decode is weight-bandwidth
+    bound, so tp multiplies the aggregate weight bandwidth). Requires
+    kv_heads % tp == 0 and B % dp == 0.
+
     Returns gen(params, prompt (B, P) int32, key) -> (B, P + max_new).
     Prompt length + max_new must fit cfg.max_seq."""
     rp = repetition_penalty
 
+    def _shard_cache(cache):
+        if mesh is None:
+            return cache
+        spec = P(None, "dp", "tp", None, None)
+        out = dict(cache)
+        for name in ("k", "v", "ks", "vs"):
+            if name in out:
+                out[name] = lax.with_sharding_constraint(
+                    out[name], NamedSharding(mesh, P(*spec[:out[name].ndim]))
+                )
+        return out
+
     def gen(params, prompt, key):
         params = _prep_decode_params(params, cfg, quant)  # outside the scans
         B = prompt.shape[0]
-        cache = init_kv_cache(cfg, B, quant=quant)
+        cache = _shard_cache(init_kv_cache(cfg, B, quant=quant))
         logits, cache = _prefill_body(params, cache, prompt, cfg)
         seen = (jax.nn.one_hot(prompt, cfg.vocab_size,
                                dtype=jnp.float32).sum(1) > 0)  # (B, V)
@@ -1539,7 +1559,23 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
         (_, _, _), toks = lax.scan(body, (cache, logits, seen), keys)
         return jnp.concatenate([prompt, toks.T], axis=1)
 
-    return jax.jit(gen)
+    if mesh is None:
+        return jax.jit(gen)
+    if not {"dp", "tp"} <= set(mesh.axis_names):
+        raise ValueError(
+            "sharded serving needs a mesh with 'dp' and 'tp' axes "
+            "(either may have size 1)")
+    if _kv_heads(cfg) % mesh.shape["tp"]:
+        raise ValueError("tensor-parallel serving needs kv_heads % tp == 0")
+    return jax.jit(
+        gen,
+        in_shardings=(
+            param_shardings(mesh, cfg),
+            NamedSharding(mesh, P("dp", None)),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=NamedSharding(mesh, P("dp", None)),
+    )
 
 
 def sample_logits(logits, key, temperature: float = 0.0, top_k: int = 0,

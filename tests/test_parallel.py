@@ -471,3 +471,37 @@ def test_sharded_packed_qkv_flash_matches_unsharded():
     assert_close(loss_a, loss_b, tol=1e-4)
     assert_close(p_a["blocks"]["qkv"], p_b["blocks"]["qkv"], tol=1e-4)
     assert_close(p_a["blocks"]["proj"], p_b["blocks"]["proj"], tol=1e-4)
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_sharded_generate_matches_single_device(quant):
+    """make_generate(mesh=...) — tensor-parallel serving: params in the
+    Megatron layout, KV cache sharded (dp on batch, tp on kv heads),
+    decode einsums partitioned by GSPMD. Greedy output must equal the
+    unsharded program token-for-token."""
+    import jax.numpy as jnp
+
+    cfg = T.GPTConfig(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                      d_ff=128, max_seq=64, dtype=jnp.float32, flash="off")
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    params = T.init_params(jax.random.key(0), cfg)
+    prompt = jax.random.randint(jax.random.key(1), (8, 8), 0, 64)
+
+    gen_s = T.make_generate(cfg, max_new=12, quant=quant, mesh=mesh)
+    gen_1 = T.make_generate(cfg, max_new=12, quant=quant)
+    a = np.asarray(gen_s(params, prompt, jax.random.key(2)))
+    b = np.asarray(gen_1(params, prompt, jax.random.key(2)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_generate_rejects_bad_mesh():
+    import jax.numpy as jnp
+
+    cfg = T.GPTConfig(vocab_size=64, n_layer=1, n_head=3, d_model=48,
+                      d_ff=96, max_seq=32, dtype=jnp.float32, flash="off")
+    with pytest.raises(ValueError, match="dp"):
+        T.make_generate(cfg, max_new=4,
+                        mesh=parallel.make_mesh([("pp", 8)]))
+    with pytest.raises(ValueError, match="kv_heads"):
+        T.make_generate(cfg, max_new=4,
+                        mesh=parallel.make_mesh([("dp", 4), ("tp", 2)]))
