@@ -463,10 +463,10 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     return (out + blk["proj_b"]).astype(cfg.dtype)
 
 
-def _mlp(x, blk, cfg: GPTConfig):
+def _mlp(x, blk, cfg: GPTConfig, mesh=None):
     """Returns (out, moe_aux_loss) — aux is 0 for the dense MLP."""
     if cfg.n_experts:
-        return _moe_mlp(x, blk, cfg)
+        return _moe_mlp(x, blk, cfg, mesh)
     from jax.ad_checkpoint import checkpoint_name
 
     h = _body_dot(x, blk["fc_in"], cfg)
@@ -476,7 +476,7 @@ def _mlp(x, blk, cfg: GPTConfig):
     return (o + blk["fc_out_b"]).astype(cfg.dtype), jnp.zeros((), jnp.float32)
 
 
-def _moe_mlp(x, blk, cfg: GPTConfig):
+def _moe_mlp(x, blk, cfg: GPTConfig, mesh=None):
     # Single-token decode always uses the dense (no-drop) dispatch:
     # expert CAPACITY is a training-time construct — at S=1 the capacity
     # count runs over the batch axis, so a popular expert would silently
@@ -485,6 +485,10 @@ def _moe_mlp(x, blk, cfg: GPTConfig):
     # HBM traffic that dominates decode anyway.
     if x.shape[1] == 1:
         return _moe_mlp_dense(x, blk, cfg)
+    if cfg.moe_impl == "ep":
+        if mesh is not None and "ep" in mesh.axis_names:
+            return _moe_mlp_ep(x, blk, cfg, mesh)
+        return _moe_mlp_sparse(x, blk, cfg)  # single-device semantics
     if cfg.moe_impl == "sparse":
         return _moe_mlp_sparse(x, blk, cfg)
     if cfg.moe_impl == "sort":
@@ -576,6 +580,102 @@ def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
         preferred_element_type=jnp.float32,
     ).astype(cfg.dtype)
     return y.reshape(B, S, D), aux
+
+
+def _moe_mlp_ep(x, blk, cfg: GPTConfig, mesh):
+    """Expert-parallel Switch MoE — the GShard/Switch all-to-all pattern
+    (`moe_impl="ep"` on a mesh with an "ep" axis).
+
+    Tokens are sharded over ("dp" on batch, "ep" on sequence); each
+    device routes its LOCAL tokens into an (E, C, D) capacity buffer,
+    one tiled `lax.all_to_all` over "ep" regroups it to (E/ep, ep·C, D)
+    — every device now holds exactly its own experts' tokens — the
+    expert FFN runs on resident ep-local (and tp-column-sharded) weights
+    with a psum over "tp", and a second all-to-all restores dispatch
+    order for the local combine. Expert weights never move; token
+    traffic is 2 x capacity buffers over ICI. The dense fallback instead
+    runs every expert on every token (E x FLOPs); `sparse` keeps the
+    capacity math but makes GSPMD move WEIGHTS to tokens under ep
+    sharding. Capacity ranking is per-shard (C = ceil(cap·N_local / E)),
+    so overflow drops can differ from the single-device impls — with no
+    overflow the outputs are identical (tested)."""
+    from ..parallel.mesh import shard_map_compat as shard_map
+
+    E = cfg.n_experts
+    ep = mesh.shape["ep"]
+    has_dp = "dp" in mesh.axis_names
+    has_tp = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
+    if E % ep:
+        raise ValueError("moe_impl='ep' needs n_experts % ep == 0")
+    tok_axes = ("dp", "ep") if has_dp else ("ep",)
+
+    def local_fn(xl, gate_w, w_in, b_in, w_out, b_out):
+        Bl, Sl, D = xl.shape
+        Nl = Bl * Sl
+        C = max(int(math.ceil(cfg.moe_capacity * Nl / E)), 1)
+        xf = xl.reshape(Nl, D)
+        logits = jnp.dot(xf, gate_w.astype(cfg.dtype),
+                         preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top, sel = probs.max(-1), probs.argmax(-1)
+        onehot = jax.nn.one_hot(sel, E, dtype=jnp.float32)
+        # load-balancing aux from GLOBAL routing statistics: aux is
+        # nonlinear in (f, P), so per-shard aux then pmean would differ
+        # from the single-device impls — pmean the statistics instead
+        f = lax.pmean(onehot.mean(0), tok_axes)
+        pbar = lax.pmean(probs.mean(0), tok_axes)
+        aux = E * jnp.sum(f * pbar)
+        rank = jnp.cumsum(onehot, axis=0) * onehot - 1.0
+        keep = (rank < C) & (onehot > 0)
+        rank = jnp.where(keep, rank, 0.0).astype(jnp.int32)
+        slot = jax.nn.one_hot(rank, C, dtype=jnp.float32) * keep[..., None]
+        ein = jnp.einsum(
+            "nec,nd->ecd", slot.astype(cfg.dtype), xf,
+            preferred_element_type=jnp.float32,
+        ).astype(cfg.dtype)                                  # (E, C, D)
+        # dispatch a2a: every ep member keeps its E/ep experts and
+        # receives the peers' capacity buffers for them
+        ein = lax.all_to_all(ein, "ep", split_axis=0, concat_axis=1,
+                             tiled=True)                     # (El, ep·C, D)
+        h = jnp.einsum(
+            "ecd,edf->ecf", ein, w_in.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h = jax.nn.gelu((h + b_in[:, None, :]).astype(cfg.dtype))
+        o = jnp.einsum(
+            "ecf,efd->ecd", h, w_out.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if has_tp:  # Megatron column/row split inside the expert FFN
+            o = lax.psum(o, "tp")
+        o = (o + b_out[:, None, :]).astype(cfg.dtype)
+        # return a2a: restore dispatch order for the local combine
+        o = lax.all_to_all(o, "ep", split_axis=1, concat_axis=0,
+                           tiled=True)                       # (E, C, D)
+        combine = slot * top[:, None, None]
+        y = jnp.einsum(
+            "nec,ecd->nd", combine.astype(cfg.dtype), o,
+            preferred_element_type=jnp.float32,
+        ).astype(cfg.dtype)
+        return y.reshape(Bl, Sl, D), aux
+
+    tok_spec = P("dp" if has_dp else None, "ep", None)
+    tp_ax = "tp" if has_tp else None
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(
+            tok_spec,                      # x: batch over dp, seq over ep
+            P(),                           # gate (D, E) replicated
+            P("ep", None, tp_ax),          # fc_in  (E, D, F)
+            P("ep", tp_ax),                # fc_in_b (E, F)
+            P("ep", tp_ax, None),          # fc_out (E, F, D)
+            P("ep", None),                 # fc_out_b (E, D)
+        ),
+        out_specs=(tok_spec, P()),
+        check_rep=False,
+    )
+    return fn(x, blk["gate"], blk["fc_in"], blk["fc_in_b"],
+              blk["fc_out"], blk["fc_out_b"])
 
 
 def _moe_mlp_sort(x, blk, cfg: GPTConfig):
@@ -693,7 +793,7 @@ def _block(x, blk, cfg: GPTConfig, key, train: bool, mesh=None):
     x = x + _attention(h1, blk, cfg, key, train, mesh)
     x = _seq_shard(x, cfg, mesh)
     h2 = checkpoint_name(_layer_norm(x, blk["ln2"]), "ln2_out")
-    m, aux = _mlp(h2, blk, cfg)
+    m, aux = _mlp(h2, blk, cfg, mesh)
     return x + m, aux
 
 

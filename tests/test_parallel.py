@@ -505,3 +505,70 @@ def test_sharded_generate_rejects_bad_mesh():
     with pytest.raises(ValueError, match="kv_heads"):
         T.make_generate(cfg, max_new=4,
                         mesh=parallel.make_mesh([("dp", 4), ("tp", 2)]))
+
+
+def test_moe_expert_parallel_all_to_all_matches_dense():
+    """moe_impl="ep": the GShard-style all-to-all dispatch on a
+    dp x tp x ep mesh. At a no-overflow capacity every routed token is
+    kept, so the ep/a2a program must match the dense (every-expert)
+    dispatch exactly — loss and gradients — while the lowered HLO
+    actually contains the two all-to-alls."""
+    import jax.numpy as jnp
+
+    cfg_ep = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                         d_ff=64, max_seq=16, dtype=jnp.float32,
+                         flash="off", n_experts=4, moe_impl="ep",
+                         moe_capacity=8.0, moe_aux_weight=0.01)
+    cfg_dense = T.GPTConfig(**{**cfg_ep.__dict__, "moe_impl": "dense"})
+    mesh = parallel.make_mesh([("dp", 2), ("tp", 2), ("ep", 2)])
+    params = T.init_params(jax.random.key(0), cfg_ep)
+    # routing must be decisively tie-free: sharded vs unsharded gate
+    # matmuls differ by f32 reduction-order noise, and a near-tied argmax
+    # flipping experts would (correctly) change gradients O(1)
+    params["blocks"]["gate"] = 30.0 * params["blocks"]["gate"]
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    step_ep = T.make_sharded_train_step(mesh, cfg_ep)
+    p_a, _, loss_a = step_ep(
+        jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+        jnp.float32(1e-3), jax.random.key(2),
+    )
+    step_d = T.make_train_step(cfg_dense)
+    p_b, _, loss_b = step_d(
+        jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+        jnp.float32(1e-3), jax.random.key(2),
+    )
+    assert_close(loss_a, loss_b, tol=1e-4)
+    assert_close(p_a["blocks"]["fc_in"], p_b["blocks"]["fc_in"], tol=1e-4)
+    assert_close(p_a["blocks"]["gate"], p_b["blocks"]["gate"], tol=1e-4)
+
+    txt = jax.jit(
+        lambda p, o, t: step_ep(p, o, t, t, jnp.float32(1e-3),
+                                jax.random.key(0))
+    ).lower(params, T.adam_init(params), toks).compile().as_text()
+    assert "all-to-all" in txt, "ep dispatch should lower to all-to-all"
+
+
+def test_moe_ep_with_overflow_trains():
+    """Tight capacity (drops expected): the ep program stays finite and
+    the loss decreases — overflow tokens ride the residual."""
+    import jax.numpy as jnp
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32,
+                      flash="off", n_experts=4, moe_impl="ep",
+                      moe_capacity=1.0, moe_aux_weight=0.01)
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 1), ("ep", 2)])
+    params = T.init_params(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    step = T.make_sharded_train_step(mesh, cfg)
+    opt = T.adam_init(params)
+    losses = []
+    for i in range(6):
+        params, opt, loss = step(params, opt, toks, tgts,
+                                 jnp.float32(5e-3), jax.random.key(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
