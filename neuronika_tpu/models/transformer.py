@@ -1312,7 +1312,10 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
     att = jnp.einsum("bkgqd,bksd->bkgqs", q, lk,
                      preferred_element_type=jnp.float32) / math.sqrt(hd)
     idx = jax.lax.broadcasted_iota(jnp.int32, att.shape, 4)
-    att = jnp.where(idx <= pos, att, -1e30)
+    # pos is a scalar (lockstep decode) or (B,) (slot-based serving with
+    # per-slot positions — see make_slot_decode_step)
+    pos_b = pos if jnp.ndim(pos) == 0 else pos.reshape(B, 1, 1, 1, 1)
+    att = jnp.where(idx <= pos_b, att, -1e30)
     att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
     ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
@@ -1587,6 +1590,93 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
     def step(params, cache, token):
         return _decode_step_body(_prep_decode_params(params, cfg, quant),
                                  cache, token, cfg)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def init_slot_cache(cfg: GPTConfig, n_slots: int, quant: str | None = None):
+    """KV cache for slot-based serving: same layout as `init_kv_cache`
+    but with a PER-SLOT position vector (n_slots,) — each slot advances
+    independently (continuous batching)."""
+    cache = init_kv_cache(cfg, n_slots, quant=quant)
+    cache["pos"] = jnp.zeros((n_slots,), jnp.int32)
+    return cache
+
+
+def make_slot_prefill(cfg: GPTConfig, quant: str | None = None):
+    """Jitted per-request prefill for slot-based serving:
+    (params, cache, prompt (1, P), slot) -> (last-position logits (V,),
+    cache with slot's K/V rows replaced and pos[slot] = P). The other
+    slots' rows and positions are untouched, so requests join a running
+    batch without disturbing it."""
+
+    def pre(params, cache, prompt, slot):
+        params = _prep_decode_params(params, cfg, quant)
+        mini = init_kv_cache(cfg, 1, quant=quant)
+        logits, mini = _prefill_body(params, mini, prompt, cfg)
+        out = dict(cache)
+        for n in ("k", "v", "ks", "vs"):
+            if n in out:
+                out[n] = lax.dynamic_update_slice(
+                    out[n], mini[n], (0, slot, 0, 0, 0))
+        out["pos"] = out["pos"].at[slot].set(prompt.shape[1])
+        return logits[0], out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
+def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
+    """Jitted decode across slots with PER-SLOT positions (continuous
+    batching): (params, cache, tokens (B,), active (B,) bool) ->
+    (logits (B, V), cache). Each active slot writes its K/V at its own
+    position and attends its own causal range; inactive slots hold
+    position (their lanes compute but change nothing). Donates the
+    cache."""
+    if quant == "int8-kv":
+        raise NotImplementedError(
+            "slot serving supports quant=None/'int8' (int8-kv's scale "
+            "rows would need the same scatter plumbing)")
+
+    def step(params, cache, tokens, active):
+        params = _prep_decode_params(params, cfg, quant)
+        pos = cache["pos"]                              # (B,)
+        B = tokens.shape[0]
+        pos_w = jnp.minimum(pos, cfg.max_seq - 1)       # clamp idle slots
+        pe = params["wpe"][pos_w]                       # (B, D) gather
+        x = (params["wte"][tokens] + pe).astype(cfg.dtype)[:, None, :]
+        bar = jnp.arange(B)
+
+        def body(carry, inp):
+            x, ck, cv = carry
+            blk, l = inp
+            q, k_new, v_new = _decode_qkv(x, blk, cfg)  # (B,KV,1,hd)
+            lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+            lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+            lk = lk.at[bar, :, pos_w].set(
+                jnp.where(active[:, None, None], k_new[:, :, 0],
+                          lk[bar, :, pos_w]))
+            lv = lv.at[bar, :, pos_w].set(
+                jnp.where(active[:, None, None], v_new[:, :, 0],
+                          lv[bar, :, pos_w]))
+            ck = lax.dynamic_update_slice(ck, lk[None], (l, 0, 0, 0, 0))
+            cv = lax.dynamic_update_slice(cv, lv[None], (l, 0, 0, 0, 0))
+            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg)
+            return (x, ck, cv), None
+
+        (x, ks, vs), _ = lax.scan(
+            body, (x, cache["k"], cache["v"]),
+            (params["blocks"], jnp.arange(cfg.n_layer)))
+        x = _layer_norm(x, params["ln_f"])
+        head = params.get("head")
+        if head is not None:
+            logits = _qdot(x[:, 0], head, cfg)
+        else:
+            logits = jnp.dot(
+                x[:, 0], params["wte"].T.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        new_pos = jnp.where(active, jnp.minimum(pos + 1, cfg.max_seq), pos)
+        return logits, {"k": ks, "v": vs, "pos": new_pos}
 
     return jax.jit(step, donate_argnums=(1,))
 

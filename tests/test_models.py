@@ -877,3 +877,60 @@ def test_flash_small_head_dim_routes_to_split_layout():
         np.testing.assert_allclose(lf, lo, rtol=2e-4)
     finally:
         C.pallas_interpret = old
+
+
+class TestContinuousBatching:
+    def _cfg(self):
+        import jax.numpy as jnp
+
+        return T.GPTConfig(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                           d_ff=128, max_seq=48, dtype=jnp.float32,
+                           flash="off")
+
+    @pytest.mark.parametrize("quant", [None, "int8"])
+    def test_matches_one_shot_generate(self, quant):
+        """Three requests of different lengths through TWO slots: every
+        request's greedy tokens must equal its own one-shot
+        make_generate run (slot batching and mid-flight admission must
+        not perturb decoding)."""
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts = [
+            np.array([1, 2, 3, 4], np.int32),
+            np.array([7, 8], np.int32),
+            np.array([9, 10, 11, 12, 13, 14, 15, 16], np.int32),
+        ]
+        max_news = [10, 4, 7]
+
+        cb = ContinuousBatcher(params, cfg, n_slots=2, quant=quant)
+        rids = [cb.submit(p, m) for p, m in zip(prompts, max_news)]
+        assert cb.stats[1] == 1  # third request queued behind 2 slots
+        done = cb.run()
+        assert set(done) == set(rids)
+
+        for p, m, rid in zip(prompts, max_news, rids):
+            gen = T.make_generate(cfg, max_new=m, quant=quant)
+            ref = np.asarray(gen(params, p[None], jax.random.key(1)))[0]
+            np.testing.assert_array_equal(done[rid], ref[len(p):])
+
+    def test_eos_frees_slot_early(self):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        # find the greedy first token of this prompt, then use it as eos
+        gen = T.make_generate(cfg, max_new=2)
+        p = np.array([5, 6, 7], np.int32)
+        first = int(np.asarray(gen(params, p[None], jax.random.key(1))
+                               )[0, len(p)])
+        cb = ContinuousBatcher(params, cfg, n_slots=1, eos_id=first)
+        rid = cb.submit(p, max_new=20)
+        done = cb.run()
+        assert done[rid].shape[0] == 1      # stopped at eos immediately
+        assert done[rid][0] == first
