@@ -572,3 +572,24 @@ def test_moe_ep_with_overflow_trains():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_orbax_checkpoint_sharded_restore(tmp_path):
+    """Checkpoint saved from sharded arrays restores STRAIGHT INTO a
+    mesh sharding (each host/device gets its shards) via `like=` — the
+    large-model resume path."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as SP
+
+    from neuronika_tpu.utils.checkpoint import Checkpointer
+
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    sh = NamedSharding(mesh, SP("dp", "tp"))
+    x = jax.device_put(jnp.arange(64.0).reshape(8, 8), sh)
+    with Checkpointer(str(tmp_path / "ck"), async_save=False) as ck:
+        ck.save(1, {"x": x})
+        ck.wait()
+        like = {"x": jax.ShapeDtypeStruct((8, 8), jnp.float32, sharding=sh)}
+        out = ck.restore(like=like)
+    assert out["x"].sharding == sh
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.asarray(x))

@@ -121,3 +121,79 @@ def test_optimizer_state_roundtrip(tmp_path):
     utils.serde.load_optimizer(path, opt2)
     assert opt2._step_count == opt._step_count
     assert_close(opt2._state[0]["exp_avg"], opt._state[0]["exp_avg"])
+
+
+class TestOrbaxCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.utils.checkpoint import Checkpointer
+
+        state = {
+            "params": {"w": jnp.arange(12.0).reshape(3, 4),
+                       "b": jnp.ones((4,), jnp.bfloat16)},
+            "opt": {"m": jnp.zeros((3, 4)), "step": jnp.int32(7)},
+        }
+        with Checkpointer(str(tmp_path / "ck"), keep=2) as ck:
+            ck.save(10, state)
+            ck.wait()
+            out = ck.restore()
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), state, out)
+        assert out["params"]["b"].dtype == jnp.bfloat16
+
+    def test_retention_and_step_selection(self, tmp_path):
+        import jax.numpy as jnp
+
+        from neuronika_tpu.utils.checkpoint import Checkpointer
+
+        with Checkpointer(str(tmp_path / "ck"), keep=2,
+                          async_save=False) as ck:
+            for s in (1, 2, 3):
+                ck.save(s, {"x": jnp.full((2,), float(s))})
+            ck.wait()
+            assert ck.latest_step() == 3
+            assert ck.steps() == [2, 3]      # keep=2 dropped step 1
+            two = ck.restore(step=2)
+            assert float(two["x"][0]) == 2.0
+
+    def test_training_resume_equivalence(self, tmp_path):
+        """Train 3 steps, checkpoint, train 2 more; vs restore at 3 and
+        train the same 2 — identical params (the resume contract)."""
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.models import transformer as T
+        from neuronika_tpu.utils.checkpoint import (
+            restore_train_state,
+            save_train_state,
+        )
+
+        cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                          d_ff=64, max_seq=16, dtype=jnp.float32,
+                          flash="off")
+        step = T.make_train_step(cfg)
+        params = T.init_params(jax.random.key(0), cfg)
+        opt = T.adam_init(params)
+        toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+        tgts = jnp.roll(toks, -1, axis=1)
+        for i in range(3):
+            params, opt, _ = step(params, opt, toks, tgts,
+                                  jnp.float32(1e-3), jax.random.key(i))
+        save_train_state(str(tmp_path / "ck"), 3,
+                         {"params": params, "opt": opt})
+        cont_p, cont_o = params, opt
+        for i in (3, 4):
+            cont_p, cont_o, _ = step(cont_p, cont_o, toks, tgts,
+                                     jnp.float32(1e-3), jax.random.key(i))
+
+        st = restore_train_state(str(tmp_path / "ck"))
+        res_p, res_o = st["params"], st["opt"]
+        for i in (3, 4):
+            res_p, res_o, _ = step(res_p, res_o, toks, tgts,
+                                   jnp.float32(1e-3), jax.random.key(i))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), cont_p, res_p)
