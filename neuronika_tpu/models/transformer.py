@@ -52,6 +52,12 @@ class GPTConfig:
     d_model: int = 256
     d_ff: int = 1024
     max_seq: int = 256
+    # position embedding: "learned" (GPT-2 wpe table) | "rope" (rotary,
+    # GPT-NeoX half-split convention applied to q/k; no wpe param — the
+    # modern-LLM family). RoPE'd keys are cached post-rotation, so decode
+    # reads need no re-rotation.
+    pos_emb: str = "learned"
+    rope_theta: float = 10000.0
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params live in f32
     # "auto": use the Pallas flash-attention kernel on TPU when the shape
@@ -166,7 +172,6 @@ def init_params(key, cfg: GPTConfig) -> Dict:
 
     params = {
         "wte": norm(keys[0], (cfg.vocab_size, D)),
-        "wpe": norm(keys[1], (cfg.max_seq, D)),
         "ln_f": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
         "blocks": {
             "ln1": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
@@ -177,6 +182,10 @@ def init_params(key, cfg: GPTConfig) -> Dict:
             "proj_b": jnp.zeros((L, D)),
         },
     }
+    if cfg.pos_emb == "learned":
+        params["wpe"] = norm(keys[1], (cfg.max_seq, D))
+    elif cfg.pos_emb != "rope":
+        raise ValueError(f"unknown pos_emb {cfg.pos_emb!r}")
     if cfg.n_experts:
         E = cfg.n_experts
         params["blocks"].update({
@@ -207,7 +216,6 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
     has_ep = cfg.n_experts and "ep" in mesh.axis_names
     shard = {
         "wte": ns(None, "tp"),
-        "wpe": rep,
         "ln_f": {"scale": rep, "bias": rep},
         "blocks": {
             "ln1": {"scale": rep, "bias": rep},
@@ -234,6 +242,8 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
             "fc_out": ns(None, "tp", None),
             "fc_out_b": rep,
         })
+    if cfg.pos_emb == "learned":
+        shard["wpe"] = rep
     return shard
 
 
@@ -285,6 +295,26 @@ def _unpack_qkv(qkv, cfg: GPTConfig):
     return parts[..., :G, :], parts[..., G, :], parts[..., G + 1, :]
 
 
+def _rope_cos_sin(cfg: GPTConfig, positions):
+    """cos/sin tables for rotary embedding: positions (...,) int ->
+    (..., hd/2) f32 each (GPT-NeoX half-split convention)."""
+    hd = cfg.d_model // cfg.n_head
+    inv = cfg.rope_theta ** (
+        -jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)          # (hd/2,)
+    ang = positions[..., None].astype(jnp.float32) * inv         # (..., hd/2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(x, cos, sin):
+    """Rotate the last axis of x (..., hd) by the (..., hd/2) tables
+    (broadcasting over leading axes)."""
+    x32 = x.astype(jnp.float32)
+    x1, x2 = jnp.split(x32, 2, axis=-1)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
 def _split_qkv(qkv, cfg: GPTConfig, B, S):
     """Group-major packed (B, S, W) -> q (B,H,S,hd), k/v (B,H,S,hd), KV
     heads repeated up to H for compute (GQA)."""
@@ -322,7 +352,10 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         mesh.shape["tp"] if mesh is not None and "tp" in mesh.axis_names
         else 1
     )
-    if use_flash and hd % 128 == 0 and KV % tp_size == 0:
+    if (use_flash and hd % 128 == 0 and KV % tp_size == 0
+            and cfg.pos_emb == "learned"):
+        # (rope routes through the split path below: rotation happens on
+        # the unpacked q/k, then the same flash kernels run)
         # layout-native path: the packed-qkv kernels read head blocks
         # straight from this tensor — no split / transpose / GQA-repeat
         # copies (the body is bandwidth-bound; those copies were ~18% of
@@ -390,6 +423,10 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         out = _body_dot(out, blk["proj"], cfg)
         return (out + blk["proj_b"]).astype(cfg.dtype)
     q, k, v = _split_qkv(qkv, cfg, B, S)
+    if cfg.pos_emb == "rope":
+        cos, sin = _rope_cos_sin(cfg, jnp.arange(S))     # (S, hd/2)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
     # tagged so the "names" remat policy keeps them: the flash backward's
     # primals then come from storage instead of a qkv-matmul re-run
     q = checkpoint_name(q, "attn_q")
@@ -813,7 +850,9 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
     if mesh is not None and cfg.seq_parallel and "tp" in mesh.axis_names:
         wte = lax.with_sharding_constraint(wte, NamedSharding(mesh, P()))
     x = _seq_shard(wte[tokens], cfg, mesh)
-    x = (x + params["wpe"][:S]).astype(cfg.dtype)
+    if cfg.pos_emb == "learned":
+        x = x + params["wpe"][:S]
+    x = x.astype(cfg.dtype)
     if key is None:
         key = jax.random.key(0)
     keys = jax.random.split(key, cfg.n_layer)
@@ -1038,7 +1077,10 @@ def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
 
     def loss_fn_pp(staged, tokens, targets):
         B, S = tokens.shape
-        x = (staged["wte"][tokens] + staged["wpe"][:S]).astype(cfg.dtype)
+        x = staged["wte"][tokens]
+        if cfg.pos_emb == "learned":
+            x = x + staged["wpe"][:S]
+        x = x.astype(cfg.dtype)
         micro = x.reshape(n_micro, B // n_micro, S, cfg.d_model)
         y = pipe(staged["blocks"], micro).reshape(B, S, cfg.d_model)
         y = _layer_norm(y, staged["ln_f"])
@@ -1060,7 +1102,8 @@ def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
 
     def shardings_of(staged):
         return {
-            "wte": rep, "wpe": rep,
+            "wte": rep,
+            **({"wpe": rep} if "wpe" in staged else {}),
             "ln_f": jax.tree.map(lambda _: rep, staged["ln_f"]),
             "blocks": jax.tree.map(
                 lambda _: NamedSharding(mesh, P("pp")), staged["blocks"]
@@ -1130,10 +1173,16 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
         lp = {"wte": staged["wte"], "ln_f": staged["ln_f"]}
 
         def embed(wte, wpe):
-            x = (wte[tokens] + wpe[:S]).astype(cfg.dtype)
+            x = wte[tokens]
+            if cfg.pos_emb == "learned":
+                x = x + wpe[:S]
+            x = x.astype(cfg.dtype)
             return x.reshape(n_micro, B // n_micro, S, cfg.d_model)
 
-        micro_x, embed_vjp = jax.vjp(embed, staged["wte"], staged["wpe"])
+        micro_x, embed_vjp = jax.vjp(
+            embed, staged["wte"],
+            staged["wpe"] if cfg.pos_emb == "learned"
+            else jnp.zeros((0,), jnp.float32))
         micro_t = targets.reshape(n_micro, B // n_micro, S)
         loss, gblocks, gloss, dmicro = pipe(
             staged["blocks"], lp, micro_x, micro_t
@@ -1142,9 +1191,10 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
         grads = {
             "blocks": gblocks,
             "wte": gloss["wte"] + d_wte_embed,
-            "wpe": d_wpe,
             "ln_f": gloss["ln_f"],
         }
+        if cfg.pos_emb == "learned":
+            grads["wpe"] = d_wpe
         return loss, grads
 
     def step(staged, opt_state, tokens, targets, lr):
@@ -1156,7 +1206,8 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
 
     def shardings_of(staged):
         return {
-            "wte": rep, "wpe": rep,
+            "wte": rep,
+            **({"wpe": rep} if "wpe" in staged else {}),
             "ln_f": jax.tree.map(lambda _: rep, staged["ln_f"]),
             "blocks": jax.tree.map(
                 lambda _: NamedSharding(mesh, P("pp")), staged["blocks"]
@@ -1232,7 +1283,8 @@ def _quant_decode_params(params, cfg: GPTConfig):
     dtype (dense no-drop dispatch reads them once per token anyway)."""
     p = dict(params)
     p["wte"] = params["wte"].astype(cfg.dtype)
-    p["wpe"] = params["wpe"].astype(cfg.dtype)
+    if "wpe" in params:
+        p["wpe"] = params["wpe"].astype(cfg.dtype)
     p["head"] = _quant_w(params["wte"].T, axis=0)  # (D, V), scale (1, V)
     b = dict(params["blocks"])
     for name in ("qkv", "proj", "fc_in", "fc_out"):
@@ -1274,7 +1326,8 @@ def _cast_decode_params(params, cfg: GPTConfig):
     `generate` and the scanned `make_generate` compute identically."""
     p = dict(params)
     p["wte"] = params["wte"].astype(cfg.dtype)
-    p["wpe"] = params["wpe"].astype(cfg.dtype)
+    if "wpe" in params:
+        p["wpe"] = params["wpe"].astype(cfg.dtype)
     b = dict(params["blocks"])
     for name in ("qkv", "proj", "fc_in", "fc_out", "gate"):
         if name in b:
@@ -1283,8 +1336,10 @@ def _cast_decode_params(params, cfg: GPTConfig):
     return p
 
 
-def _decode_qkv(x, blk, cfg: GPTConfig):
-    """q (B,KV,G,1,hd), new-token k/v (B,KV,1,hd) for one layer."""
+def _decode_qkv(x, blk, cfg: GPTConfig, pos=None):
+    """q (B,KV,G,1,hd), new-token k/v (B,KV,1,hd) for one layer. `pos`
+    (scalar or (B,)) rotates q/k under rope — keys enter the cache
+    post-rotation, so cached reads need no re-rotation."""
     B = x.shape[0]
     H = cfg.n_head
     hd = cfg.d_model // H
@@ -1296,6 +1351,15 @@ def _decode_qkv(x, blk, cfg: GPTConfig):
     # grouped-query attention without materialising repeated K/V: fold the
     # group axis into the query side (g = H/KV queries share a KV head)
     q, k, v = _unpack_qkv(qkv, cfg)        # q (B,1,KV,G,hd), k/v (B,1,KV,hd)
+    if cfg.pos_emb == "rope":
+        cos, sin = _rope_cos_sin(cfg, jnp.asarray(pos))
+        if jnp.ndim(pos):                  # per-slot positions (B,)
+            q = _apply_rope(q, cos[:, None, None, None, :],
+                            sin[:, None, None, None, :])
+            k = _apply_rope(k, cos[:, None, None, :], sin[:, None, None, :])
+        else:
+            q = _apply_rope(q, cos, sin)
+            k = _apply_rope(k, cos, sin)
     q = q.transpose(0, 2, 3, 1, 4)          # (B,KV,G,1,hd)
     k = k.transpose(0, 2, 1, 3)             # (B,KV,1,hd)
     v = v.transpose(0, 2, 1, 3)
@@ -1348,7 +1412,12 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
     hd = cfg.d_model // H
     G = H // KV
     quant_kv = "ks" in cache
-    x = (params["wte"][prompt] + params["wpe"][:P]).astype(cfg.dtype)
+    x = params["wte"][prompt]
+    if cfg.pos_emb == "learned":
+        x = x + params["wpe"][:P]
+    x = x.astype(cfg.dtype)
+    if cfg.pos_emb == "rope":
+        r_cos, r_sin = _rope_cos_sin(cfg, jnp.arange(P))    # (P, hd/2)
 
     def body(carry, inp):
         x, rest = carry[0], carry[1:]
@@ -1357,6 +1426,10 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
         qkv = _qdot(h, blk["qkv"], cfg)
         qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
         q, k, v = _unpack_qkv(qkv, cfg)
+        if cfg.pos_emb == "rope":      # q/k (B,P,KV,{G,}hd): rotate by P
+            q = _apply_rope(q, r_cos[:, None, None, :],
+                            r_sin[:, None, None, :])
+            k = _apply_rope(k, r_cos[:, None, :], r_sin[:, None, :])
         q = q.transpose(0, 2, 3, 1, 4)                     # (B,KV,G,P,hd)
         k = k.transpose(0, 2, 1, 3)                        # (B,KV,P,hd)
         v = v.transpose(0, 2, 1, 3)
@@ -1421,8 +1494,12 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
     G = H // KV
     pos = cache["pos"]
     quant_kv = "ks" in cache
-    pe = lax.dynamic_slice_in_dim(params["wpe"], pos, C)  # (C, D)
-    x = (params["wte"][tokens] + pe[None]).astype(cfg.dtype)
+    x = params["wte"][tokens]
+    if cfg.pos_emb == "learned":
+        x = x + lax.dynamic_slice_in_dim(params["wpe"], pos, C)[None]
+    x = x.astype(cfg.dtype)
+    if cfg.pos_emb == "rope":
+        r_cos, r_sin = _rope_cos_sin(cfg, pos + jnp.arange(C))  # (C, hd/2)
 
     def body(carry, inp):
         x, rest = carry[0], carry[1:]
@@ -1431,6 +1508,10 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
         qkv = _qdot(h, blk["qkv"], cfg)
         qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
         q, k, v = _unpack_qkv(qkv, cfg)
+        if cfg.pos_emb == "rope":
+            q = _apply_rope(q, r_cos[:, None, None, :],
+                            r_sin[:, None, None, :])
+            k = _apply_rope(k, r_cos[:, None, :], r_sin[:, None, :])
         q = q.transpose(0, 2, 3, 1, 4)                     # (B,KV,G,C,hd)
         k = k.transpose(0, 2, 1, 3)                        # (B,KV,C,hd)
         v = v.transpose(0, 2, 1, 3)
@@ -1502,15 +1583,17 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
     output: a full-cache rewrite per token, ~100x the necessary write
     traffic at large B·S.)"""
     pos = cache["pos"]
-    pe = lax.dynamic_slice_in_dim(params["wpe"], pos, 1)  # (1, D)
-    x = (params["wte"][token][:, None, :] + pe).astype(cfg.dtype)
+    x = params["wte"][token][:, None, :]
+    if cfg.pos_emb == "learned":
+        x = x + lax.dynamic_slice_in_dim(params["wpe"], pos, 1)  # (1, D)
+    x = x.astype(cfg.dtype)
     L = cfg.n_layer
 
     if "ks" in cache:  # int8 K/V cache (see init_kv_cache)
         def body(carry, inp):
             x, ck, cv, cks, cvs = carry
             blk, l = inp
-            q, k_new, v_new = _decode_qkv(x, blk, cfg)
+            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos)
             k8, ks_ = _quant_kv(k_new)
             v8, vs_ = _quant_kv(v_new)
             at = (l, 0, 0, pos, 0)
@@ -1548,7 +1631,7 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
     def body(carry, inp):
         x, ck, cv = carry
         blk, l = inp
-        q, k_new, v_new = _decode_qkv(x, blk, cfg)
+        q, k_new, v_new = _decode_qkv(x, blk, cfg, pos)
         ck = lax.dynamic_update_slice(ck, k_new[None], (l, 0, 0, pos, 0))
         cv = lax.dynamic_update_slice(cv, v_new[None], (l, 0, 0, pos, 0))
         lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
@@ -1642,14 +1725,16 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
         pos = cache["pos"]                              # (B,)
         B = tokens.shape[0]
         pos_w = jnp.minimum(pos, cfg.max_seq - 1)       # clamp idle slots
-        pe = params["wpe"][pos_w]                       # (B, D) gather
-        x = (params["wte"][tokens] + pe).astype(cfg.dtype)[:, None, :]
+        x = params["wte"][tokens]
+        if cfg.pos_emb == "learned":
+            x = x + params["wpe"][pos_w]                # (B, D) gather
+        x = x.astype(cfg.dtype)[:, None, :]
         bar = jnp.arange(B)
 
         def body(carry, inp):
             x, ck, cv = carry
             blk, l = inp
-            q, k_new, v_new = _decode_qkv(x, blk, cfg)  # (B,KV,1,hd)
+            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos)
             lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
             lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
             lk = lk.at[bar, :, pos_w].set(

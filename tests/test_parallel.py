@@ -593,3 +593,30 @@ def test_orbax_checkpoint_sharded_restore(tmp_path):
         out = ck.restore(like=like)
     assert out["x"].sharding == sh
     np.testing.assert_array_equal(np.asarray(out["x"]), np.asarray(x))
+
+
+def test_sharded_train_step_rope():
+    """pos_emb="rope" under dp x tp sharding (no wpe leaf; rope'd split
+    flash path under shard_map) matches the unsharded step."""
+    import jax.numpy as jnp
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=4, d_model=32,
+                      d_ff=64, max_seq=16, dtype=jnp.float32, flash="off",
+                      pos_emb="rope")
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    params = T.init_params(jax.random.key(0), cfg)
+    assert "wpe" not in params
+    toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+    tgts = jnp.roll(toks, -1, axis=1)
+    sh_step = T.make_sharded_train_step(mesh, cfg)
+    p_a, _, loss_a = sh_step(
+        jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+        jnp.float32(1e-3), jax.random.key(2),
+    )
+    step = T.make_train_step(cfg)
+    p_b, _, loss_b = step(
+        jax.tree.map(jnp.copy, params), T.adam_init(params), toks, tgts,
+        jnp.float32(1e-3), jax.random.key(2),
+    )
+    assert_close(loss_a, loss_b, tol=1e-4)
+    assert_close(p_a["blocks"]["qkv"], p_b["blocks"]["qkv"], tol=1e-4)
