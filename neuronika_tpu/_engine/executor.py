@@ -394,9 +394,17 @@ def _build_fused(tape, leaves, param_pos, optimizer, donate=False):
             if g is None:
                 g = jnp.zeros_like(data)
             g = g + penalty.penalize(data)
-            nd, ns = update(data, g, state, hyper, step)
-            new_datas.append(nd)
-            new_states.append(ns)
+            # f32 update math + cast-back, same contract as
+            # Optimizer._build (bf16 params would otherwise promote)
+            nd, ns = update(
+                data.astype(jnp.float32), g.astype(jnp.float32),
+                jax.tree.map(lambda x: x.astype(jnp.float32), state),
+                hyper, step,
+            )
+            new_datas.append(nd.astype(data.dtype))
+            new_states.append(jax.tree.map(
+                lambda x, ref: x.astype(ref.dtype), ns, state
+            ))
         return loss, new_datas, new_states
 
     donate_argnums = (1, 4) if donate else ()

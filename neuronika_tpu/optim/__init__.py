@@ -203,13 +203,25 @@ class Optimizer:
         update = self._update
 
         def run(datas, grads, states, hyper, step):
+            # update math runs in f32 regardless of param/state dtype
+            # (bf16 params: without the round-trip the f32 hypers would
+            # silently promote the parameter to f32 on the first step,
+            # and moment products would lose mantissa in bf16 — the same
+            # contract optim.functional's rules enforce); state is upcast
+            # on read and rounded back to its storage dtype on write.
             out_d, out_g, out_s = [], [], []
             for d, g, s in zip(datas, grads, states):
                 g = g + penalty.penalize(d)
-                nd, ns = update(d, g, s, hyper, step)
-                out_d.append(nd)
+                nd, ns = update(
+                    d.astype(jnp.float32), g.astype(jnp.float32),
+                    jax.tree.map(lambda x: x.astype(jnp.float32), s),
+                    hyper, step,
+                )
+                out_d.append(nd.astype(d.dtype))
                 out_g.append(g)
-                out_s.append(ns)
+                out_s.append(jax.tree.map(
+                    lambda x, ref: x.astype(ref.dtype), ns, s
+                ))
             return out_d, out_g, out_s
 
         return jax.jit(run)

@@ -409,3 +409,53 @@ def test_adam_class_bf16_state():
     st = opt._state[0]
     assert st["exp_avg"].dtype == jnp.bfloat16
     assert not np.allclose(np.asarray(w.data()), 1.0)
+
+
+def test_class_optimizers_preserve_bf16_param_dtype():
+    """Class-tier rules run their update math in f32 and cast back:
+    bf16 params must not silently promote to f32 after step() (the f32
+    hypers used to win the binop promotion — same bug fixed in the
+    functional tier in test_functional_updates_preserve_param_dtype),
+    and state buffers must keep their storage dtype."""
+    import jax.numpy as jnp
+
+    for make in [
+        lambda: optim.StochasticGD(0.1, momentum=0.9),
+        lambda: optim.Adam(0.01),
+        lambda: optim.Adam(0.01, state_dtype=jnp.bfloat16),
+        lambda: optim.AMSGrad(0.01),
+        lambda: optim.Adagrad(0.01),
+        lambda: optim.RMSProp(0.01, momentum=0.9, centered=True),
+    ]:
+        w = nk.from_ndarray(np.ones((4, 4)), dtype=jnp.bfloat16)
+        w = w.requires_grad()
+        opt = make()
+        opt.register(w)
+        loss = (w * w).sum()
+        for _ in range(2):  # second step exercises the updated tree
+            loss.forward()
+            loss.backward(1.0)
+            opt.step()
+            opt.zero_grad()
+        name = type(opt).__name__
+        assert w.data().dtype == jnp.bfloat16, name
+        for k, s in opt._state[0].items():
+            # every rule inits state at the param's (or state_dtype's)
+            # storage dtype — here bf16 either way
+            assert s.dtype == jnp.bfloat16, (name, k, s.dtype)
+        assert not np.allclose(np.asarray(w.data(), np.float32), 1.0), name
+
+
+def test_fused_step_preserves_bf16_param_dtype():
+    """Same contract through the fused forward+backward+update program."""
+    import jax.numpy as jnp
+
+    w = nk.from_ndarray(np.ones((4, 4)), dtype=jnp.bfloat16).requires_grad()
+    opt = optim.Adam(0.01)
+    opt.register(w)
+    loss = (w * w).sum()
+    for _ in range(2):
+        opt.train_step(loss)
+    assert w.data().dtype == jnp.bfloat16
+    assert opt._state[0]["exp_avg"].dtype == jnp.bfloat16
+    assert not np.allclose(np.asarray(w.data(), np.float32), 1.0)
