@@ -58,6 +58,20 @@ class GPTConfig:
     # reads need no re-rotation.
     pos_emb: str = "learned"
     rope_theta: float = 10000.0
+    # normalisation: "layer" (GPT-2 LayerNorm, scale+bias) | "rms"
+    # (RMSNorm — no mean subtraction, no bias param; the llama family).
+    # Dispatch is structure-driven: rms norm params carry only "scale".
+    norm: str = "layer"
+    # MLP form: "gelu" (fc_in -> gelu -> fc_out) | "swiglu"
+    # (silu(x @ fc_gate) * (x @ fc_in) -> fc_out; llama family — note
+    # d_ff is the hidden width as given, pick ~8/3·d_model for
+    # llama-equal params). swiglu is dense-MLP only (n_experts=0).
+    mlp: str = "gelu"
+    # linear-layer biases: False drops every *_b param (llama family)
+    bias: bool = True
+    # tie the LM head to wte (GPT-2) or learn a separate "lm_head"
+    # (V, D) param (llama family). Pipeline-parallel steps require tied.
+    tied_head: bool = True
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params live in f32
     # "auto": use the Pallas flash-attention kernel on TPU when the shape
@@ -145,6 +159,15 @@ class GPTConfig:
     seq_parallel: bool = False
 
 
+def llama_config(**kw) -> GPTConfig:
+    """Llama-family preset: rotary positions, RMSNorm, SwiGLU MLP, no
+    biases, untied LM head. Any GPTConfig field can be overridden."""
+    base = dict(pos_emb="rope", norm="rms", mlp="swiglu", bias=False,
+                tied_head=False)
+    base.update(kw)
+    return GPTConfig(**base)
+
+
 # --------------------------------------------------------------------------
 # params (per-layer tensors are STACKED with a leading n_layer axis)
 
@@ -170,12 +193,22 @@ def init_params(key, cfg: GPTConfig) -> Dict:
     def norm(k, shape, s=std):
         return (s * jax.random.normal(k, shape)).astype(jnp.float32)
 
+    def ln(*shape):
+        # rms norm carries only a scale — _layer_norm dispatches on the
+        # param structure
+        p = {"scale": jnp.ones(shape)}
+        if cfg.norm == "layer":
+            p["bias"] = jnp.zeros(shape)
+        elif cfg.norm != "rms":
+            raise ValueError(f"unknown norm {cfg.norm!r}")
+        return p
+
     params = {
         "wte": norm(keys[0], (cfg.vocab_size, D)),
-        "ln_f": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
+        "ln_f": ln(D),
         "blocks": {
-            "ln1": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
-            "ln2": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
+            "ln1": ln(L, D),
+            "ln2": ln(L, D),
             "qkv": norm(keys[2], (L, D, W)),
             "qkv_b": jnp.zeros((L, W)),
             "proj": norm(keys[3], (L, D, D), resid_std),
@@ -186,7 +219,11 @@ def init_params(key, cfg: GPTConfig) -> Dict:
         params["wpe"] = norm(keys[1], (cfg.max_seq, D))
     elif cfg.pos_emb != "rope":
         raise ValueError(f"unknown pos_emb {cfg.pos_emb!r}")
+    if not cfg.tied_head:
+        params["lm_head"] = norm(keys[7], (cfg.vocab_size, D))
     if cfg.n_experts:
+        if cfg.mlp != "gelu":
+            raise ValueError("mlp='swiglu' is dense-MLP only (n_experts=0)")
         E = cfg.n_experts
         params["blocks"].update({
             "gate": norm(keys[6], (L, D, E)),
@@ -202,6 +239,14 @@ def init_params(key, cfg: GPTConfig) -> Dict:
             "fc_out": norm(keys[5], (L, F, D), resid_std),
             "fc_out_b": jnp.zeros((L, D)),
         })
+        if cfg.mlp == "swiglu":
+            params["blocks"]["fc_gate"] = norm(keys[6], (L, D, F))
+            params["blocks"]["fc_gate_b"] = jnp.zeros((L, F))
+        elif cfg.mlp != "gelu":
+            raise ValueError(f"unknown mlp {cfg.mlp!r}")
+    if not cfg.bias:
+        params["blocks"] = {k: v for k, v in params["blocks"].items()
+                            if not k.endswith("_b")}
     return params
 
 
@@ -214,18 +259,22 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
 
     rep = ns()
     has_ep = cfg.n_experts and "ep" in mesh.axis_names
+    ln = ({"scale": rep, "bias": rep} if cfg.norm == "layer"
+          else {"scale": rep})
     shard = {
         "wte": ns(None, "tp"),
-        "ln_f": {"scale": rep, "bias": rep},
+        "ln_f": dict(ln),
         "blocks": {
-            "ln1": {"scale": rep, "bias": rep},
-            "ln2": {"scale": rep, "bias": rep},
+            "ln1": dict(ln),
+            "ln2": dict(ln),
             "qkv": ns(None, None, "tp"),
             "qkv_b": ns(None, "tp"),
             "proj": ns(None, "tp", None),
             "proj_b": rep,
         },
     }
+    if not cfg.tied_head:
+        shard["lm_head"] = ns(None, "tp")
     if cfg.n_experts:
         ep = "ep" if has_ep else None
         shard["blocks"].update({
@@ -242,9 +291,45 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
             "fc_out": ns(None, "tp", None),
             "fc_out_b": rep,
         })
+        if cfg.mlp == "swiglu":
+            shard["blocks"]["fc_gate"] = ns(None, None, "tp")
+            shard["blocks"]["fc_gate_b"] = ns(None, "tp")
+    if not cfg.bias:
+        shard["blocks"] = {k: v for k, v in shard["blocks"].items()
+                           if not k.endswith("_b")}
     if cfg.pos_emb == "learned":
         shard["wpe"] = rep
     return shard
+
+
+def fsdp_param_shardings(mesh, cfg: GPTConfig, *, axis: str = "dp",
+                         min_size: int = 1 << 16) -> Dict:
+    """ZeRO-3 layout: widen the tp layout so every large parameter is
+    additionally sharded over the data-parallel axis. Passing these as the
+    train step's param/optimizer shardings makes GSPMD store weights,
+    gradients AND Adam moments at 1/dp per chip, all-gather each weight at
+    its use sites (fwd + bwd) and reduce-scatter the gradients — the
+    ZeRO-1/2/3 stack falls out of the sharding annotation alone, no
+    gather/scatter code.
+
+    Per leaf the *largest* dimension not already claimed by tp/ep and
+    divisible by the axis size is sharded; leaves under `min_size`
+    elements (LN scales, biases) stay replicated — gathering them costs
+    more latency than their memory is worth."""
+    base = param_shardings(mesh, cfg)
+    shapes = jax.eval_shape(lambda: init_params(jax.random.key(0), cfg))
+    n = mesh.shape[axis]
+
+    def widen(shape_leaf, s):
+        spec = list(s.spec) + [None] * (len(shape_leaf.shape) - len(s.spec))
+        cands = [(shape_leaf.shape[i], i) for i in range(len(spec))
+                 if spec[i] is None and shape_leaf.shape[i] % n == 0]
+        if not cands or shape_leaf.size < min_size:
+            return s
+        spec[max(cands)[1]] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(widen, shapes, base)
 
 
 # --------------------------------------------------------------------------
@@ -263,12 +348,25 @@ def _body_dot(x, w, cfg: GPTConfig):
 
 
 def _layer_norm(x, p, eps=1e-5):
+    """LayerNorm or RMSNorm, dispatched on the param structure: rms
+    params (cfg.norm="rms") carry only a scale — no mean subtraction,
+    no bias. Stats in f32 either way."""
     x32 = x.astype(jnp.float32)
+    if "bias" not in p:
+        ms = (x32 * x32).mean(-1, keepdims=True)
+        return (x32 * jax.lax.rsqrt(ms + eps) * p["scale"]).astype(x.dtype)
     mu = x32.mean(-1, keepdims=True)
     var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(
         x.dtype
     )
+
+
+def _badd(t, blk, name, cfg: GPTConfig):
+    """t + blk[name] in the compute dtype; identity cast when the bias
+    param is absent (cfg.bias=False)."""
+    b = blk.get(name)
+    return (t if b is None else t + b).astype(cfg.dtype)
 
 
 def _use_flash(cfg: GPTConfig, S: int, train: bool) -> bool:
@@ -338,7 +436,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
     from jax.ad_checkpoint import checkpoint_name
 
     qkv = _body_dot(x, blk["qkv"], cfg)
-    qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+    qkv = _badd(qkv, blk, "qkv_b", cfg)
     use_flash = _use_flash(cfg, S, train)
     # the packed-qkv kernels slice hd-wide head columns out of the fused
     # (B, S, W) tensor — Mosaic requires last-dim block sizes to be
@@ -421,7 +519,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
                 )
                 out = fa(qkv, seed)
         out = _body_dot(out, blk["proj"], cfg)
-        return (out + blk["proj_b"]).astype(cfg.dtype)
+        return _badd(out, blk, "proj_b", cfg)
     q, k, v = _split_qkv(qkv, cfg, B, S)
     if cfg.pos_emb == "rope":
         cos, sin = _rope_cos_sin(cfg, jnp.arange(S))     # (S, hd/2)
@@ -497,7 +595,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
     out = out.astype(cfg.dtype).transpose(0, 2, 1, 3).reshape(B, S, D)
     out = _body_dot(out, blk["proj"], cfg)
-    return (out + blk["proj_b"]).astype(cfg.dtype)
+    return _badd(out, blk, "proj_b", cfg)
 
 
 def _mlp(x, blk, cfg: GPTConfig, mesh=None):
@@ -506,11 +604,24 @@ def _mlp(x, blk, cfg: GPTConfig, mesh=None):
         return _moe_mlp(x, blk, cfg, mesh)
     from jax.ad_checkpoint import checkpoint_name
 
-    h = _body_dot(x, blk["fc_in"], cfg)
-    h = checkpoint_name((h + blk["fc_in_b"]).astype(cfg.dtype), "ffn_pre")
-    h = checkpoint_name(jax.nn.gelu(h), "ffn_act")
+    if cfg.mlp == "swiglu":
+        # g/h carry the saved "names"-policy tags (matmul outputs); the
+        # product is one cheap VPU recompute from them, like gelu's
+        g = checkpoint_name(
+            _badd(_body_dot(x, blk["fc_gate"], cfg), blk, "fc_gate_b", cfg),
+            "ffn_gate",
+        )
+        h = checkpoint_name(
+            _badd(_body_dot(x, blk["fc_in"], cfg), blk, "fc_in_b", cfg),
+            "ffn_pre",
+        )
+        h = (jax.nn.silu(g.astype(jnp.float32)) * h).astype(cfg.dtype)
+    else:
+        h = _badd(_body_dot(x, blk["fc_in"], cfg), blk, "fc_in_b", cfg)
+        h = checkpoint_name(h, "ffn_pre")
+        h = checkpoint_name(jax.nn.gelu(h), "ffn_act")
     o = _body_dot(h, blk["fc_out"], cfg)
-    return (o + blk["fc_out_b"]).astype(cfg.dtype), jnp.zeros((), jnp.float32)
+    return _badd(o, blk, "fc_out_b", cfg), jnp.zeros((), jnp.float32)
 
 
 def _moe_mlp(x, blk, cfg: GPTConfig, mesh=None):
@@ -565,12 +676,12 @@ def _moe_mlp_dense(x, blk, cfg: GPTConfig):
         "bsd,edf->bsef", x, blk["fc_in"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
-    h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
+    h = jax.nn.gelu(_badd(h, blk, "fc_in_b", cfg))
     o = jnp.einsum(
         "bsef,efd->bsed", h, blk["fc_out"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
-    o = (o + blk["fc_out_b"]).astype(cfg.dtype)
+    o = _badd(o, blk, "fc_out_b", cfg)
     return jnp.einsum("bsed,bse->bsd", o, combine.astype(cfg.dtype)), aux
 
 
@@ -605,12 +716,14 @@ def _moe_mlp_sparse(x, blk, cfg: GPTConfig):
         "ecd,edf->ecf", expert_in, blk["fc_in"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
-    h = jax.nn.gelu((h + blk["fc_in_b"][:, None, :]).astype(cfg.dtype))
+    h = h + blk["fc_in_b"][:, None, :] if "fc_in_b" in blk else h
+    h = jax.nn.gelu(h.astype(cfg.dtype))
     o = jnp.einsum(
         "ecf,efd->ecd", h, blk["fc_out"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
-    o = (o + blk["fc_out_b"][:, None, :]).astype(cfg.dtype)  # (E, C, D)
+    o = o + blk["fc_out_b"][:, None, :] if "fc_out_b" in blk else o
+    o = o.astype(cfg.dtype)  # (E, C, D)
     combine = slot * top[:, None, None]                      # (N, E, C)
     y = jnp.einsum(
         "nec,ecd->nd", combine.astype(cfg.dtype), o,
@@ -711,8 +824,15 @@ def _moe_mlp_ep(x, blk, cfg: GPTConfig, mesh):
         out_specs=(tok_spec, P()),
         check_rep=False,
     )
-    return fn(x, blk["gate"], blk["fc_in"], blk["fc_in_b"],
-              blk["fc_out"], blk["fc_out_b"])
+    # bias=False: zero biases keep the shard_map signature (the adds are
+    # negligible next to the expert FFN einsums)
+    E_, _, F_ = blk["fc_in"].shape
+    b_in = blk.get("fc_in_b",
+                   jnp.zeros((E_, F_), blk["fc_in"].dtype))
+    b_out = blk.get("fc_out_b",
+                    jnp.zeros((E_, blk["fc_out"].shape[2]),
+                              blk["fc_out"].dtype))
+    return fn(x, blk["gate"], blk["fc_in"], b_in, blk["fc_out"], b_out)
 
 
 def _moe_mlp_sort(x, blk, cfg: GPTConfig):
@@ -755,12 +875,14 @@ def _moe_mlp_sort(x, blk, cfg: GPTConfig):
         "ecd,edf->ecf", expert_in, blk["fc_in"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
-    h = jax.nn.gelu((h + blk["fc_in_b"][:, None, :]).astype(cfg.dtype))
+    h = h + blk["fc_in_b"][:, None, :] if "fc_in_b" in blk else h
+    h = jax.nn.gelu(h.astype(cfg.dtype))
     o = jnp.einsum(
         "ecf,efd->ecd", h, blk["fc_out"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
-    o = (o + blk["fc_out_b"][:, None, :]).astype(cfg.dtype)  # (E, C, D)
+    o = o + blk["fc_out_b"][:, None, :] if "fc_out_b" in blk else o
+    o = o.astype(cfg.dtype)  # (E, C, D)
 
     # combine: gather each surviving token's expert output back to its
     # original position, weighted by the gate probability
@@ -784,7 +906,7 @@ _MATMUL_INPUT_NAMES = (
     # from the saved ffn_pre in one cheap VPU pass, and at d_ff=4·d_model
     # it is the single biggest activation (dropping it saved 3.2 GB at the
     # flagship B64 config — the difference between OOM and fitting).
-    "ln1_out", "ln2_out", "ffn_pre",
+    "ln1_out", "ln2_out", "ffn_pre", "ffn_gate",
     "attn_q", "attn_k", "attn_v", "attn_qkv",
 )
 
@@ -881,12 +1003,19 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
     return _layer_norm(x, params["ln_f"]), aux
 
 
+def _head_w(params, cfg: GPTConfig):
+    """(V, D) LM-head weight: a separate lm_head param when untied
+    (cfg.tied_head=False, llama family), else the shared wte (GPT-2)."""
+    return params["lm_head"] if "lm_head" in params else params["wte"]
+
+
 def forward(params, tokens, cfg: GPTConfig, *, train: bool = False, key=None,
             mesh=None):
     """tokens (B, S) int32 -> logits (B, S, V)."""
     x, _ = hidden_states(params, tokens, cfg, train=train, key=key, mesh=mesh)
     return jnp.dot(
-        x, params["wte"].T.astype(cfg.dtype), preferred_element_type=jnp.float32
+        x, _head_w(params, cfg).T.astype(cfg.dtype),
+        preferred_element_type=jnp.float32
     )
 
 
@@ -905,7 +1034,7 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
         x, aux = hidden_states(params, tokens, cfg, train=train, key=key)
         ce = fused_linear_cross_entropy(
             x.reshape(B * S, cfg.d_model),
-            params["wte"].astype(cfg.dtype),
+            _head_w(params, cfg).astype(cfg.dtype),
             targets.reshape(B * S),
         )
         return ce + cfg.moe_aux_weight * aux
@@ -915,10 +1044,10 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
     # Measured NEUTRAL-to-negative on v5e (XLA already fuses the f32
     # converts well), so f32 stays the default.
     if cfg.logits_dtype == "compute":
-        logits = jnp.dot(x, params["wte"].T.astype(cfg.dtype),
+        logits = jnp.dot(x, _head_w(params, cfg).T.astype(cfg.dtype),
                          preferred_element_type=cfg.dtype)
     else:
-        logits = jnp.dot(x, params["wte"].T.astype(cfg.dtype),
+        logits = jnp.dot(x, _head_w(params, cfg).T.astype(cfg.dtype),
                          preferred_element_type=jnp.float32)
     # CE via gather + logsumexp — never materialises one-hot/log-softmax
     # tensors of shape (B, S, V) beyond the logits themselves.
@@ -990,9 +1119,16 @@ def make_train_step(cfg: GPTConfig, *, grad_clip: float = 0.0,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_sharded_train_step(mesh, cfg: GPTConfig):
+def make_sharded_train_step(mesh, cfg: GPTConfig, *, fsdp: bool = False,
+                            fsdp_min_size: int = 1 << 16):
     """pjit variant: dp-sharded batch, tp-sharded weights; XLA inserts the
     psum/all-gather collectives over ICI from the shardings.
+
+    `fsdp=True` switches the parameter/optimizer layout to
+    `fsdp_param_shardings` (ZeRO-3): weights, grads and Adam moments live
+    at 1/dp per chip and GSPMD materialises each weight only at its use
+    sites. Same step function, same math — only the stated shardings
+    change.
 
     Pallas calls are not GSPMD-partitionable, so the flash kernel runs
     under `shard_map` over the (dp, tp)-sharded batch/head axes (attention
@@ -1000,7 +1136,8 @@ def make_sharded_train_step(mesh, cfg: GPTConfig):
     stays off in the sharded path."""
     if cfg.fused_ce != "off":
         cfg = dataclasses.replace(cfg, fused_ce="off")
-    shard = param_shardings(mesh, cfg)
+    shard = (fsdp_param_shardings(mesh, cfg, min_size=fsdp_min_size)
+             if fsdp else param_shardings(mesh, cfg))
     opt_shard = {"m": shard, "v": shard, "step": NamedSharding(mesh, P())}
     data_shard = NamedSharding(mesh, P("dp", None))
     rep = NamedSharding(mesh, P())
@@ -1051,6 +1188,9 @@ def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
     from ..parallel.pipeline import pipeline_forward
 
     n_stages = mesh.shape["pp"]
+    if not cfg.tied_head:
+        raise ValueError("pipeline-parallel steps require tied_head=True "
+                         "(embedding/head run replicated on one tensor)")
     if cfg.n_layer % n_stages:
         raise ValueError("n_layer must be divisible by the pp stage count")
     per_stage = cfg.n_layer // n_stages
@@ -1133,6 +1273,9 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
     from ..parallel.pipeline import pipeline_train_1f1b
 
     n_stages = mesh.shape["pp"]
+    if not cfg.tied_head:
+        raise ValueError("pipeline-parallel steps require tied_head=True "
+                         "(embedding/head run replicated on one tensor)")
     if cfg.n_layer % n_stages:
         raise ValueError("n_layer must be divisible by the pp stage count")
     per_stage = cfg.n_layer // n_stages
@@ -1285,9 +1428,10 @@ def _quant_decode_params(params, cfg: GPTConfig):
     p["wte"] = params["wte"].astype(cfg.dtype)
     if "wpe" in params:
         p["wpe"] = params["wpe"].astype(cfg.dtype)
-    p["head"] = _quant_w(params["wte"].T, axis=0)  # (D, V), scale (1, V)
+    p["head"] = _quant_w(_head_w(params, cfg).T, axis=0)  # (D, V), s (1, V)
+    p.pop("lm_head", None)  # folded into the quantized head
     b = dict(params["blocks"])
-    for name in ("qkv", "proj", "fc_in", "fc_out"):
+    for name in ("qkv", "proj", "fc_in", "fc_out", "fc_gate"):
         if name in b and b[name].ndim == 3:  # (L, D_in, D_out)
             b[name] = _quant_w(b[name], axis=1)
     if "gate" in b:
@@ -1329,10 +1473,12 @@ def _cast_decode_params(params, cfg: GPTConfig):
     if "wpe" in params:
         p["wpe"] = params["wpe"].astype(cfg.dtype)
     b = dict(params["blocks"])
-    for name in ("qkv", "proj", "fc_in", "fc_out", "gate"):
+    for name in ("qkv", "proj", "fc_in", "fc_out", "fc_gate", "gate"):
         if name in b:
             b[name] = b[name].astype(cfg.dtype)
     p["blocks"] = b
+    if "lm_head" in params:
+        p["lm_head"] = params["lm_head"].astype(cfg.dtype)
     return p
 
 
@@ -1347,7 +1493,7 @@ def _decode_qkv(x, blk, cfg: GPTConfig, pos=None):
     G = H // KV
     h = _layer_norm(x, blk["ln1"])
     qkv = _qdot(h, blk["qkv"], cfg)
-    qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+    qkv = _badd(qkv, blk, "qkv_b", cfg)
     # grouped-query attention without materialising repeated K/V: fold the
     # group axis into the query side (g = H/KV queries share a KV head)
     q, k, v = _unpack_qkv(qkv, cfg)        # q (B,1,KV,G,hd), k/v (B,1,KV,hd)
@@ -1385,7 +1531,7 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, 1, cfg.d_model)
     ctx = _qdot(ctx, blk["proj"], cfg)
-    x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
+    x = x + _badd(ctx, blk, "proj_b", cfg)
     x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     return x
 
@@ -1393,9 +1539,15 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
 def _decode_mlp(x, blk, cfg: GPTConfig):
     if isinstance(blk["fc_in"], dict):  # int8 serving path
         h = _qdot(x, blk["fc_in"], cfg)
-        h = jax.nn.gelu((h + blk["fc_in_b"]).astype(cfg.dtype))
+        h = _badd(h, blk, "fc_in_b", cfg)
+        if cfg.mlp == "swiglu":
+            g = _badd(_qdot(x, blk["fc_gate"], cfg), blk,
+                      "fc_gate_b", cfg)
+            h = (jax.nn.silu(g.astype(jnp.float32)) * h).astype(cfg.dtype)
+        else:
+            h = jax.nn.gelu(h)
         o = _qdot(h, blk["fc_out"], cfg)
-        return (o + blk["fc_out_b"]).astype(cfg.dtype)
+        return _badd(o, blk, "fc_out_b", cfg)
     return _mlp(x, blk, cfg)[0]
 
 
@@ -1424,7 +1576,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
         blk, l = inp
         h = _layer_norm(x, blk["ln1"])
         qkv = _qdot(h, blk["qkv"], cfg)
-        qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+        qkv = _badd(qkv, blk, "qkv_b", cfg)
         q, k, v = _unpack_qkv(qkv, cfg)
         if cfg.pos_emb == "rope":      # q/k (B,P,KV,{G,}hd): rotate by P
             q = _apply_rope(q, r_cos[:, None, None, :],
@@ -1444,7 +1596,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
             cfg.dtype)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, P, cfg.d_model)
         ctx = _qdot(ctx, blk["proj"], cfg)
-        x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
+        x = x + _badd(ctx, blk, "proj_b", cfg)
         x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
         at = (l, 0, 0, 0, 0)
         if quant_kv:
@@ -1471,7 +1623,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
         logits = _qdot(x, head, cfg)
     else:
         logits = jnp.dot(
-            x, params["wte"].T.astype(cfg.dtype),
+            x, _head_w(params, cfg).T.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
         )
     new_cache = dict(zip(keys, carry[1:]))
@@ -1506,7 +1658,7 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
         blk, l = inp
         h = _layer_norm(x, blk["ln1"])
         qkv = _qdot(h, blk["qkv"], cfg)
-        qkv = (qkv + blk["qkv_b"]).astype(cfg.dtype)
+        qkv = _badd(qkv, blk, "qkv_b", cfg)
         q, k, v = _unpack_qkv(qkv, cfg)
         if cfg.pos_emb == "rope":
             q = _apply_rope(q, r_cos[:, None, None, :],
@@ -1549,7 +1701,7 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
             cfg.dtype)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, C, cfg.d_model)
         ctx = _qdot(ctx, blk["proj"], cfg)
-        x = x + (ctx + blk["proj_b"]).astype(cfg.dtype)
+        x = x + _badd(ctx, blk, "proj_b", cfg)
         x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
         return (x,) + rest, None
 
@@ -1563,7 +1715,7 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
         logits = _qdot(x, head, cfg)
     else:
         logits = jnp.dot(
-            x, params["wte"].T.astype(cfg.dtype),
+            x, _head_w(params, cfg).T.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
         )
     new_cache = dict(zip(keys, carry[1:]))
@@ -1622,7 +1774,7 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
             logits = _qdot(x[:, 0], head, cfg)
         else:
             logits = jnp.dot(
-                x[:, 0], params["wte"].T.astype(cfg.dtype),
+                x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
                 preferred_element_type=jnp.float32,
             )
         return logits, {"k": ks, "v": vs, "ks": kss, "vs": vss,
@@ -1648,7 +1800,7 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
         logits = _qdot(x[:, 0], head, cfg)
     else:
         logits = jnp.dot(
-            x[:, 0], params["wte"].T.astype(cfg.dtype),
+            x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
         )
     return logits, {"k": ks, "v": vs, "pos": pos + 1}
@@ -1757,7 +1909,7 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
             logits = _qdot(x[:, 0], head, cfg)
         else:
             logits = jnp.dot(
-                x[:, 0], params["wte"].T.astype(cfg.dtype),
+                x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
                 preferred_element_type=jnp.float32,
             )
         new_pos = jnp.where(active, jnp.minimum(pos + 1, cfg.max_seq), pos)
