@@ -127,3 +127,43 @@ def test_train_step_collective_snapshot():
     assert c["all-reduce"] <= 24, c
     assert c["all-gather"] <= 24, c
     assert c["all-to-all"] == 0, c
+
+
+def test_fsdp_step_reduce_scatters():
+    """ZeRO-3 (fsdp=True): the compiled train step must carry
+    reduce-scatter(s) for the dp-sharded gradients (or the partitioner's
+    all-reduce+dynamic-slice canonicalisation of one) and stay within the
+    collective budget — params being re-gathered per use site is the
+    design, but an unbounded gather count means GSPMD gave up and went
+    replicated."""
+    cfg = _cfg()
+    mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+    step = T.make_sharded_train_step(mesh, cfg, fsdp=True, fsdp_min_size=0)
+    params = T.init_params(jax.random.key(0), cfg)
+    opt = T.adam_init(params)
+    toks = jnp.zeros((8, 16), jnp.int32)
+    txt = (
+        jax.jit(
+            lambda p, o, t: step(p, o, t, t, jnp.float32(1e-3),
+                                 jax.random.key(0))
+        )
+        .lower(params, opt, toks)
+        .compile()
+        .as_text()
+    )
+    c = _counts(txt)
+    assert c["reduce-scatter"] + c["all-reduce"] >= 1, c
+    # weight re-gathers: ≤ 2 per matmul use site (fwd + bwd) for ~10 big
+    # leaves, plus tp activation gathers — snapshot with slack. Unlike the
+    # pure-tp step, a bounded number of all-to-alls is EXPECTED here: the
+    # partitioner reshards weight-shaped tensors between the stored
+    # (dp-on-d_model) layout and the contraction layout via all-to-all,
+    # which moves the fewest bytes of any reshard. Snapshot: ar30 ag16
+    # a2a8 cp7.
+    assert c["all-gather"] <= 32, c
+    assert c["all-reduce"] <= 45, c
+    assert c["all-to-all"] <= 12, c
+    assert c["collective-permute"] <= 12, c
+    # the output params really are stored dp-sharded
+    sh = T.fsdp_param_shardings(mesh, cfg, min_size=0)
+    assert "dp" in sh["blocks"]["fc_in"].spec
