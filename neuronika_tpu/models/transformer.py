@@ -72,6 +72,11 @@ class GPTConfig:
     # tie the LM head to wte (GPT-2) or learn a separate "lm_head"
     # (V, D) param (llama family). Pipeline-parallel steps require tied.
     tied_head: bool = True
+    # sliding-window attention (Mistral): each position attends to the
+    # last `window` tokens including itself; 0 = full causal. The flash
+    # kernels skip tiles outside the band (O(S·window) compute); train,
+    # prefill and decode paths all honour it.
+    window: int = 0
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params live in f32
     # "auto": use the Pallas flash-attention kernel on TPU when the shape
@@ -166,6 +171,14 @@ def llama_config(**kw) -> GPTConfig:
                 tied_head=False)
     base.update(kw)
     return GPTConfig(**base)
+
+
+def mistral_config(**kw) -> GPTConfig:
+    """Mistral-family preset: the llama stack plus sliding-window
+    attention (default window 4096)."""
+    base = dict(window=4096)
+    base.update(kw)
+    return llama_config(**base)
 
 
 # --------------------------------------------------------------------------
@@ -451,9 +464,10 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         else 1
     )
     if (use_flash and hd % 128 == 0 and KV % tp_size == 0
-            and cfg.pos_emb == "learned"):
-        # (rope routes through the split path below: rotation happens on
-        # the unpacked q/k, then the same flash kernels run)
+            and cfg.pos_emb == "learned" and cfg.window == 0):
+        # (rope and sliding-window route through the split path below:
+        # rotation happens on the unpacked q/k / the split kernels carry
+        # the banded loop bounds; the same flash kernels run)
         # layout-native path: the packed-qkv kernels read head blocks
         # straight from this tensor — no split / transpose / GQA-repeat
         # copies (the body is bandwidth-bound; those copies were ~18% of
@@ -559,7 +573,8 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
                     s_ = s_ + (lax.axis_index("dp") * 1000003
                                + lax.axis_index("tp") * 7919)
                     return flash_attention_dropout(
-                        q_, k_, v_, s_, True, None, bq, bk, interp, drop
+                        q_, k_, v_, s_, True, None, bq, bk, interp, drop,
+                        cfg.window,
                     )
 
                 fa = shard_map(
@@ -571,7 +586,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             else:
                 fa = shard_map(
                     lambda q_, k_, v_: flash_attention(
-                        q_, k_, v_, True, None, bq, bk, interp
+                        q_, k_, v_, True, None, bq, bk, interp, cfg.window
                     ),
                     mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
                     check_rep=False,
@@ -579,14 +594,17 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
                 out = fa(q, k, v)
         elif drop > 0.0:
             out = flash_attention_dropout(
-                q, k, v, seed, True, None, bq, bk, interp, drop
+                q, k, v, seed, True, None, bq, bk, interp, drop, cfg.window
             )
         else:
-            out = flash_attention(q, k, v, True, None, bq, bk, interp)
+            out = flash_attention(q, k, v, True, None, bq, bk, interp,
+                                  cfg.window)
     else:
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         att = att / math.sqrt(hd)
         mask = jnp.tril(jnp.ones((S, S), bool))
+        if cfg.window:
+            mask &= ~jnp.tril(jnp.ones((S, S), bool), -cfg.window)
         att = jnp.where(mask, att, -1e30)
         att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
         if train and cfg.dropout > 0.0:
@@ -1525,7 +1543,10 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
     # pos is a scalar (lockstep decode) or (B,) (slot-based serving with
     # per-slot positions — see make_slot_decode_step)
     pos_b = pos if jnp.ndim(pos) == 0 else pos.reshape(B, 1, 1, 1, 1)
-    att = jnp.where(idx <= pos_b, att, -1e30)
+    keep = idx <= pos_b
+    if cfg.window:
+        keep &= pos_b - idx < cfg.window
+    att = jnp.where(keep, att, -1e30)
     att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
     ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
@@ -1589,7 +1610,10 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
                          preferred_element_type=jnp.float32) / math.sqrt(hd)
         iq = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)
         ik = jax.lax.broadcasted_iota(jnp.int32, att.shape, 4)
-        att = jnp.where(ik <= iq, att, -1e30)
+        keep = ik <= iq
+        if cfg.window:
+            keep &= iq - ik < cfg.window
+        att = jnp.where(keep, att, -1e30)
         att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
         ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, v,
                          preferred_element_type=jnp.float32).astype(
@@ -1694,7 +1718,10 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
                          preferred_element_type=jnp.float32) / math.sqrt(hd)
         iq = lax.broadcasted_iota(jnp.int32, att.shape, 3)  # 0..C-1
         ik = lax.broadcasted_iota(jnp.int32, att.shape, 4)  # 0..S-1
-        att = jnp.where(ik <= pos + iq, att, -1e30)
+        keep = ik <= pos + iq
+        if cfg.window:
+            keep &= pos + iq - ik < cfg.window
+        att = jnp.where(keep, att, -1e30)
         att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
         ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                          preferred_element_type=jnp.float32).astype(

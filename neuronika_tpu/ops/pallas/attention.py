@@ -89,7 +89,7 @@ def _tile_keep_mask(seed_ref, b, h, row_tile, col_tile, shape, rate,
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
-                block_k, causal, dropout, interpret=False):
+                block_k, causal, dropout, interpret=False, window=0):
     block_q = q_ref.shape[2]
     head_dim = q_ref.shape[3]
     seq = k_ref.shape[2]
@@ -113,7 +113,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
             cols = j * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            keep = rows >= cols
+            if window:  # sliding window: only the last `window` keys
+                keep &= rows - cols < window
+            s = jnp.where(keep, s, NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=1))
         p = jnp.exp2(s - m_new[:, None])
         alpha = jnp.exp2(m - m_new)
@@ -130,12 +133,29 @@ def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
     if causal:
         # tiles strictly below the diagonal need no mask; tiles crossing it
         # (block_q/block_k not nested ⇒ possibly several) evaluate the iota
-        # mask; tiles strictly above are skipped entirely.
+        # mask; tiles strictly above are skipped entirely. With a sliding
+        # window the band also has a LOWER edge: tiles fully below
+        # (cols ≤ rows−window for every pair) are skipped, tiles crossing
+        # it are masked — O(S·window) work instead of O(S²/2).
         n_full = (qi * block_q) // block_k
         n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
-        carry = lax.fori_loop(
-            0, n_full, lambda j, c: tile(j, c, False), (m0, l0, acc0)
-        )
+        if window:
+            qs = qi * block_q
+            qe = qs + block_q
+            j_min = jnp.maximum(0, (qs - window + 1) // block_k)
+            # first tile whose EVERY column is in-window for every row
+            j_full = jnp.clip((qe - window + block_k - 1) // block_k,
+                              j_min, n_full)
+            carry = lax.fori_loop(
+                j_min, j_full, lambda j, c: tile(j, c, True), (m0, l0, acc0)
+            )
+            carry = lax.fori_loop(
+                j_full, n_full, lambda j, c: tile(j, c, False), carry
+            )
+        else:
+            carry = lax.fori_loop(
+                0, n_full, lambda j, c: tile(j, c, False), (m0, l0, acc0)
+            )
         m, l, acc = lax.fori_loop(
             n_full, n_edge, lambda j, c: tile(j, c, True), carry
         )
@@ -156,7 +176,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *, scale,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
                    dq_ref, *, scale, block_k, causal, dropout,
-                   interpret=False):
+                   interpret=False, window=0):
     block_q = q_ref.shape[2]
     seq = k_ref.shape[2]
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -178,7 +198,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
             cols = j * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            keep = rows >= cols
+            if window:
+                keep &= rows - cols < window
+            s = jnp.where(keep, s, NEG_INF)
         p = jnp.exp2(s - lse)
         dp = _dot_bf16(do, vb.T)
         if dropout > 0.0:
@@ -192,7 +215,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
     if causal:
         n_full = (qi * block_q) // block_k
         n_edge = ((qi + 1) * block_q + block_k - 1) // block_k
-        dq = lax.fori_loop(0, n_full, lambda j, d: tile(j, d, False), dq0)
+        if window:  # same banded ranges as the forward kernel
+            qs = qi * block_q
+            qe = qs + block_q
+            j_min = jnp.maximum(0, (qs - window + 1) // block_k)
+            j_full = jnp.clip((qe - window + block_k - 1) // block_k,
+                              j_min, n_full)
+            dq = lax.fori_loop(j_min, j_full,
+                               lambda j, d: tile(j, d, True), dq0)
+            dq = lax.fori_loop(j_full, n_full,
+                               lambda j, d: tile(j, d, False), dq)
+        else:
+            dq = lax.fori_loop(0, n_full, lambda j, d: tile(j, d, False),
+                               dq0)
         dq = lax.fori_loop(n_full, n_edge, lambda j, d: tile(j, d, True), dq)
     else:
         dq = lax.fori_loop(
@@ -203,7 +238,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
-                    dropout, interpret=False):
+                    dropout, interpret=False, window=0):
     block_k = k_ref.shape[2]
     hd = k_ref.shape[3]
     seq = q_ref.shape[2]
@@ -227,7 +262,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             cols = kj * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            keep = rows >= cols
+            if window:
+                keep &= rows - cols < window
+            s = jnp.where(keep, s, NEG_INF)
         p = jnp.exp2(s - lse)
         dp = _dot_bf16(dob, v.T)
         if dropout > 0.0:
@@ -252,14 +290,31 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # query tiles strictly below this key tile's diagonal are masked to
         # zero contribution — start at the first overlapping tile; tiles
         # fully past the diagonal (q-block entirely ≥ k-block end) unmasked.
+        # A sliding window adds an UPPER edge: query tiles with every row
+        # ≥ col+window contribute nothing and are skipped.
         start = (kj * block_k) // block_q
         n_edge = ((kj + 1) * block_k + block_q - 1) // block_q
         carry = lax.fori_loop(
             start, n_edge, lambda i, c: tile(i, c, True), zeros
         )
-        dk, dv = lax.fori_loop(
-            n_edge, num_q, lambda i, c: tile(i, c, False), carry
-        )
+        if window:
+            ks = kj * block_k
+            ke = ks + block_k
+            # rows valid while r ≤ c+window−1: full tiles end at
+            # ks+window, partially-valid tiles end at ke+window−1
+            i_full = jnp.clip((ks + window) // block_q, n_edge, num_q)
+            i_edge = jnp.clip((ke + window - 2) // block_q + 1, i_full,
+                              num_q)
+            carry = lax.fori_loop(
+                n_edge, i_full, lambda i, c: tile(i, c, False), carry
+            )
+            dk, dv = lax.fori_loop(
+                i_full, i_edge, lambda i, c: tile(i, c, True), carry
+            )
+        else:
+            dk, dv = lax.fori_loop(
+                n_edge, num_q, lambda i, c: tile(i, c, False), carry
+            )
     else:
         dk, dv = lax.fori_loop(0, num_q, lambda i, c: tile(i, c, False), zeros)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
@@ -285,7 +340,7 @@ def _seed_arr(seed):
 
 
 def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
-              dropout=0.0, seed=None):
+              dropout=0.0, seed=None, window=0):
     B, H, S, D = q.shape
     bq, bk = _block_sizes(S, block_q, block_k)
     grid = (B, H, S // bq)
@@ -297,7 +352,7 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=bk,
                           causal=causal, dropout=dropout,
-                          interpret=interpret),
+                          interpret=interpret, window=window),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, S, LSE_W), jnp.float32),
@@ -323,7 +378,7 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
 
 
 def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
-              interpret, dropout=0.0, seed=None):
+              interpret, dropout=0.0, seed=None, window=0):
     B, H, S, D = q.shape
     bq, bk = _block_sizes(S, block_q, block_k)
     # delta = rowsum(dO * O), stored like lse
@@ -348,7 +403,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk,
                           causal=causal, dropout=dropout,
-                          interpret=interpret),
+                          interpret=interpret, window=window),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(B, H, S // bq),
         in_specs=[row_q, full, full, row_q, vec_q, vec_q, seed_spec],
@@ -367,7 +422,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq,
                           causal=causal, dropout=dropout,
-                          interpret=interpret),
+                          interpret=interpret, window=window),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
@@ -393,15 +448,19 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def flash_attention(q, k, v, causal: bool = True, scale: float = None,  # noqa: RUF013
                     block_q: int = 256, block_k: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False, window: int = 0):
     """q, k, v: (B, H, S, D) -> (B, H, S, D). Softmax(q·kᵀ·scale)·v with an
-    optional causal mask, never materialising the S×S matrix."""
+    optional causal mask, never materialising the S×S matrix.
+
+    `window` > 0 (requires `causal`) restricts each query to the last
+    `window` keys including itself (Mistral-style sliding window); the
+    kernels skip tiles outside the band, so compute is O(S·window)."""
     out, _ = _fwd_call(q, k, v, _resolve_scale(scale, q), causal,
-                       block_q, block_k, interpret)
+                       block_q, block_k, interpret, window=window)
     return out
 
 
@@ -409,33 +468,37 @@ def _resolve_scale(scale, q):
     return 1.0 / math.sqrt(q.shape[-1]) if scale is None else scale
 
 
-def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret,
+               window=0):
     # NOTE on rematerialisation: `checkpoint_name` tags placed in here are
     # invisible to jax.checkpoint policies (the custom_vjp call is opaque to
     # partial-eval). Saving these residuals instead works through a
     # *primitive-name* policy that saves the outputs of the custom_vjp /
     # pallas_call equation itself — see models/transformer._remat_policy.
     s = _resolve_scale(scale, q)
-    out, lse = _fwd_call(q, k, v, s, causal, block_q, block_k, interpret)
+    out, lse = _fwd_call(q, k, v, s, causal, block_q, block_k, interpret,
+                         window=window)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(causal, scale, block_q, block_k, interpret, res, do):
+def _flash_bwd(causal, scale, block_q, block_k, interpret, window, res, do):
     q, k, v, out, lse = res
     s = _resolve_scale(scale, q)
     dq, dk, dv = _bwd_call(q, k, v, out, lse, do, s, causal,
-                           block_q, block_k, interpret)
+                           block_q, block_k, interpret, window=window)
     return dq, dk, dv
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def flash_attention_dropout(q, k, v, seed, causal: bool = True,
                             scale: float = None,  # noqa: RUF013
                             block_q: int = 256, block_k: int = 256,
-                            interpret: bool = False, rate: float = 0.1):
+                            interpret: bool = False, rate: float = 0.1,
+                            window: int = 0):
     """Flash attention with attention-dropout INSIDE the kernel.
 
     `seed`: f32 scalar array (trace-stable across steps — no retrace per
@@ -445,31 +508,33 @@ def flash_attention_dropout(q, k, v, seed, causal: bool = True,
     Dropout applies to the *normalised* probabilities with 1/(1-rate)
     scaling, matching the composite softmax-dropout path in distribution."""
     out, _ = _fwd_call(q, k, v, _resolve_scale(scale, q), causal,
-                       block_q, block_k, interpret, rate, seed)
+                       block_q, block_k, interpret, rate, seed,
+                       window=window)
     return out
 
 
 def _flashdrop_fwd(q, k, v, seed, causal, scale, block_q, block_k,
-                   interpret, rate):
+                   interpret, rate, window=0):
     s = _resolve_scale(scale, q)
     out, lse = _fwd_call(q, k, v, s, causal, block_q, block_k, interpret,
-                         rate, seed)
+                         rate, seed, window=window)
     return out, (q, k, v, out, lse, seed)
 
 
-def _flashdrop_bwd(causal, scale, block_q, block_k, interpret, rate, res,
-                   do):
+def _flashdrop_bwd(causal, scale, block_q, block_k, interpret, rate,
+                   window, res, do):
     q, k, v, out, lse, seed = res
     s = _resolve_scale(scale, q)
     dq, dk, dv = _bwd_call(q, k, v, out, lse, do, s, causal, block_q,
-                           block_k, interpret, rate, seed)
+                           block_k, interpret, rate, seed, window=window)
     return dq, dk, dv, jnp.zeros_like(seed)
 
 
 flash_attention_dropout.defvjp(_flashdrop_fwd, _flashdrop_bwd)
 
 
-def reference_attention(q, k, v, causal: bool = True, scale: float = None):  # noqa: RUF013
+def reference_attention(q, k, v, causal: bool = True, scale: float = None,  # noqa: RUF013
+                        window: int = 0):
     """XLA-composite oracle used in tests and as the non-TPU fallback."""
     s = _resolve_scale(scale, q)
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -477,6 +542,8 @@ def reference_attention(q, k, v, causal: bool = True, scale: float = None):  # n
     if causal:
         S = q.shape[2]
         mask = jnp.tril(jnp.ones((S, S), bool))
+        if window:
+            mask &= ~jnp.tril(jnp.ones((S, S), bool), -window)
         att = jnp.where(mask, att, NEG_INF)
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", att, v,

@@ -1241,3 +1241,74 @@ class TestLlamaFamily:
         toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 64)
         loss = T.loss_fn(p, toks, jnp.roll(toks, -1, 1), cfg)
         assert np.isfinite(float(loss))
+
+
+class TestSlidingWindow:
+    """cfg.window > 0 (Mistral): every inference path must agree with the
+    training forward, and the training forward must actually mask."""
+
+    def _cfg(self, **kw):
+        base = dict(vocab_size=24, n_layer=2, n_head=2, d_model=32,
+                    d_ff=64, max_seq=12, dtype=jnp.float32, window=3)
+        base.update(kw)
+        return T.GPTConfig(**base)
+
+    def test_window_changes_logits(self):
+        cfg = self._cfg()
+        full = self._cfg(window=0)
+        params = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (2, 8), 0, 24)
+        a = T.forward(params, toks, cfg)
+        b = T.forward(params, toks, full)
+        # positions < window see everything -> identical; later ones differ
+        assert_close(a[:, :3], b[:, :3], tol=1e-5)
+        assert float(jnp.abs(a[:, 4:] - b[:, 4:]).max()) > 1e-4
+
+    def test_wide_window_equals_full_causal(self):
+        cfg = self._cfg(window=999)
+        full = self._cfg(window=0)
+        params = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (2, 8), 0, 24)
+        assert_close(T.forward(params, toks, cfg),
+                     T.forward(params, toks, full), tol=1e-6)
+
+    def test_decode_matches_full_forward(self):
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (2, 8), 0, 24)
+        full = T.forward(params, toks, cfg)
+        decode = T.make_decode_step(cfg)
+        cache = T.init_kv_cache(cfg, 2)
+        for t in range(8):
+            logits, cache = decode(params, cache, toks[:, t])
+            assert_close(logits, full[:, t], tol=1e-4)
+
+    def test_prefill_matches_full_forward(self):
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (2, 8), 0, 24)
+        full = T.forward(params, toks, cfg)
+        cache = T.init_kv_cache(cfg, 2)
+        logits, cache = T.make_prefill(cfg)(params, cache, toks)
+        assert_close(logits, full[:, -1], tol=1e-4)
+
+    def test_verify_body_matches_decode(self):
+        """Speculative-verify chunked pass honours the window."""
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (1, 8), 0, 24)
+        full = T.forward(params, toks, cfg)
+        cache = T.init_kv_cache(cfg, 1)
+        logits, _ = T._verify_body(params, cache, toks, cfg)
+        assert_close(logits[0], full[0], tol=1e-4)
+
+    def test_mistral_preset(self):
+        cfg = T.mistral_config(vocab_size=64, n_layer=1, n_head=2,
+                               d_model=32, d_ff=96, max_seq=16,
+                               dtype=jnp.float32)
+        assert cfg.window == 4096 and cfg.norm == "rms"
+        assert cfg.mlp == "swiglu" and not cfg.bias
+        p = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 64)
+        loss = T.loss_fn(p, toks, jnp.roll(toks, -1, 1), cfg)
+        assert np.isfinite(float(loss))

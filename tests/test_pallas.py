@@ -540,3 +540,56 @@ class TestDirectConvRanks:
             x, w, stride, "VALID", feature_group_count=G,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         assert_close(a, b, tol=1e-5)
+
+
+class TestSlidingWindow:
+    """window > 0: banded causal attention (each query sees the last
+    `window` keys including itself). The kernels skip tiles outside the
+    band, so these also regression-guard the traced loop bounds."""
+
+    def _qkv(self, S=256, D=64):
+        import jax
+
+        return jax.random.normal(jax.random.key(0), (3, 2, 2, S, D))
+
+    @pytest.mark.parametrize("W", [1, 7, 64, 100, 200, 256, 999])
+    def test_forward_matches_reference(self, W):
+        q, k, v = self._qkv()
+        out = flash_attention(q, k, v, True, None, 64, 64, True, W)
+        ref = reference_attention(q, k, v, True, None, W)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+
+    @pytest.mark.parametrize("W", [7, 100, 256])
+    def test_gradients_match_reference(self, W):
+        import jax
+
+        q, k, v = self._qkv(S=128)
+        w = jax.random.normal(jax.random.key(1), q.shape)
+
+        def f(fn):
+            return jax.grad(
+                lambda q_, k_, v_: (fn(q_, k_, v_) * w).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        gf = f(lambda *a: flash_attention(*a, True, None, 64, 64, True, W))
+        gr = f(lambda *a: reference_attention(*a, True, None, W))
+        for a, b in zip(gf, gr):
+            assert float(jnp.abs(a - b).max()) < 2e-4
+
+    def test_window_geq_seq_equals_causal(self):
+        q, k, v = self._qkv(S=128)
+        full = flash_attention(q, k, v, True, None, 64, 64, True, 0)
+        wide = flash_attention(q, k, v, True, None, 64, 64, True, 4096)
+        assert float(jnp.abs(full - wide).max()) == 0.0
+
+    def test_dropout_variant_rate0_identity(self):
+        from neuronika_tpu.ops.pallas.attention import (
+            flash_attention_dropout,
+        )
+
+        q, k, v = self._qkv(S=128)
+        od = flash_attention_dropout(q, k, v, jnp.float32(3), True, None,
+                                     64, 64, True, 0.0, 50)
+        ow = flash_attention(q, k, v, True, None, 64, 64, True, 50)
+        assert float(jnp.abs(od - ow).max()) == 0.0
