@@ -267,8 +267,10 @@ def param_shardings(mesh, cfg: GPTConfig) -> Dict:
     """Megatron-style tp layout + replicated small params. Stacked block
     leaves have a leading (replicated) layer axis."""
 
+    tp = "tp" if "tp" in mesh.axis_names else None
+
     def ns(*spec):
-        return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P(*[tp if s == "tp" else s for s in spec]))
 
     rep = ns()
     has_ep = cfg.n_experts and "ep" in mesh.axis_names
@@ -463,8 +465,13 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         mesh.shape["tp"] if mesh is not None and "tp" in mesh.axis_names
         else 1
     )
+    cp_size = (
+        mesh.shape["cp"] if mesh is not None and "cp" in mesh.axis_names
+        else 1
+    )
     if (use_flash and hd % 128 == 0 and KV % tp_size == 0
-            and cfg.pos_emb == "learned" and cfg.window == 0):
+            and cfg.pos_emb == "learned" and cfg.window == 0
+            and cp_size == 1):
         # (rope and sliding-window route through the split path below:
         # rotation happens on the unpacked q/k / the split kernels carry
         # the banded loop bounds; the same flash kernels run)
@@ -558,7 +565,37 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             jax.random.randint(dropout_key, (), 0, 1 << 30).astype(jnp.float32)
             if drop > 0.0 else None
         )
-        if mesh is not None:
+        if mesh is not None and cp_size > 1:
+            # context parallelism: S-sharded q/k/v feed the ppermute ring
+            # (the kv blocks travel chip-to-chip; the full sequence never
+            # materialises). The same flash kernels run per hop.
+            from ..parallel.mesh import shard_map_compat as shard_map
+            from ..parallel.ring import ring_flash_attention
+            from jax.sharding import PartitionSpec as _P
+
+            if drop > 0.0:
+                raise ValueError(
+                    "attention dropout is not supported with context "
+                    "parallelism (cp mesh axis); set dropout=0.0"
+                )
+            if cfg.window:
+                raise ValueError(
+                    "sliding-window attention is not supported with "
+                    "context parallelism (cp mesh axis)"
+                )
+            dp_ax = "dp" if "dp" in mesh.axis_names else None
+            tp_ax = "tp" if "tp" in mesh.axis_names else None
+            spec = _P(dp_ax, tp_ax, "cp", None)
+            bl = min(cfg.flash_block, S // cp_size)
+            fa = shard_map(
+                lambda q_, k_, v_: ring_flash_attention(
+                    q_, k_, v_, "cp", cp_size, True, None, bl, bl, interp
+                ),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_rep=False,
+            )
+            out = fa(q, k, v)
+        elif mesh is not None:
             # Pallas calls are not GSPMD-partitionable; shard_map maps the
             # kernel over the (dp, tp)-sharded batch/head axes — attention
             # is independent per (batch, head), so no collectives.
@@ -912,7 +949,17 @@ def _moe_mlp_sort(x, blk, cfg: GPTConfig):
 
 
 def _seq_shard(x, cfg: GPTConfig, mesh):
-    if mesh is None or not cfg.seq_parallel or "tp" not in mesh.axis_names:
+    if mesh is None:
+        return x
+    if "cp" in mesh.axis_names:
+        # context parallelism: activations live S-sharded over `cp` for
+        # the whole body; attention itself runs the ppermute ring
+        # (parallel/ring.py), so the full sequence never gathers.
+        dp = "dp" if "dp" in mesh.axis_names else None
+        return lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(dp, "cp", None))
+        )
+    if not cfg.seq_parallel or "tp" not in mesh.axis_names:
         return x
     return lax.with_sharding_constraint(
         x, NamedSharding(mesh, P("dp", "tp", None))
@@ -987,7 +1034,10 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
     # Instead: all-gather wte first (one small V x D collective), so the
     # lookup is born replicated and the sp constraint is a local slice.
     wte = params["wte"]
-    if mesh is not None and cfg.seq_parallel and "tp" in mesh.axis_names:
+    if mesh is not None and (
+        ("cp" in mesh.axis_names)
+        or (cfg.seq_parallel and "tp" in mesh.axis_names)
+    ):
         wte = lax.with_sharding_constraint(wte, NamedSharding(mesh, P()))
     x = _seq_shard(wte[tokens], cfg, mesh)
     if cfg.pos_emb == "learned":
@@ -1157,7 +1207,8 @@ def make_sharded_train_step(mesh, cfg: GPTConfig, *, fsdp: bool = False,
     shard = (fsdp_param_shardings(mesh, cfg, min_size=fsdp_min_size)
              if fsdp else param_shardings(mesh, cfg))
     opt_shard = {"m": shard, "v": shard, "step": NamedSharding(mesh, P())}
-    data_shard = NamedSharding(mesh, P("dp", None))
+    cp = "cp" if "cp" in mesh.axis_names else None
+    data_shard = NamedSharding(mesh, P("dp", cp))
     rep = NamedSharding(mesh, P())
 
     # Always thread the mesh through: _attention re-decides flash from the

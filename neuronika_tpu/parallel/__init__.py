@@ -5,6 +5,7 @@ rayon-over-batch; here that maps to dp sharding over ICI) and
 `models/transformer.py` for the tp layout the flagship uses.
 """
 from .pipeline import pipeline_forward  # noqa: F401
+from .ring import ring_flash_attention  # noqa: F401
 from .mesh import (  # noqa: F401
     DataParallel,
     data_parallel_sharding,
@@ -16,4 +17,5 @@ from .mesh import (  # noqa: F401
 __all__ = [
     "DataParallel", "data_parallel_sharding", "make_mesh",
     "replicated", "shard_batch", "pipeline_forward",
+    "ring_flash_attention",
 ]
