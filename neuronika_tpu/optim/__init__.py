@@ -28,9 +28,9 @@ from ..variable import VarDiff
 from . import functional, lr_scheduler
 
 __all__ = [
-    "Optimizer", "StochasticGD", "SGD", "Adam", "AMSGrad", "Adagrad",
-    "RMSProp", "L1", "L2", "ElasticNet", "Penalty", "lr_scheduler",
-    "functional", "clip_grad_norm",
+    "Optimizer", "StochasticGD", "SGD", "Adam", "AdamW", "AMSGrad",
+    "Adagrad", "RMSProp", "Lion", "Adafactor", "L1", "L2", "ElasticNet",
+    "Penalty", "lr_scheduler", "functional", "clip_grad_norm",
 ]
 
 
@@ -341,6 +341,114 @@ class AMSGrad(Adam):
         vmax = jnp.maximum(state["max_exp_avg_sq"], v)
         new = data - m / (jnp.sqrt(vmax) / jnp.sqrt(bc2) + eps) * (lr / bc1)
         return new, {"exp_avg": m, "exp_avg_sq": v, "max_exp_avg_sq": vmax}
+
+
+class AdamW(Adam):
+    """Adam with DECOUPLED weight decay (Loshchilov & Hutter 2019): the
+    decay multiplies the parameter directly rather than flowing through
+    the moments. Extension beyond the reference (whose Adam offers only
+    coupled L2 via `Penalty`); matches optim.functional.adamw_*."""
+
+    def __init__(self, lr, beta1: float = 0.9, beta2: float = 0.999,
+                 weight_decay: float = 0.01, penalty=None,
+                 eps: float = 1e-8, state_dtype=None) -> None:
+        super().__init__(lr, beta1, beta2, penalty, eps, state_dtype)
+        self.weight_decay = float(weight_decay)
+
+    def _hyper(self):
+        return (self._lr, self.beta1, self.beta2, self.eps,
+                self.weight_decay)
+
+    def _update(self, data, grad, state, hyper, step):
+        lr, b1, b2, eps, wd = hyper
+        bc1 = 1.0 - b1**step
+        bc2 = 1.0 - b2**step
+        m0 = state["exp_avg"].astype(grad.dtype)
+        v0 = state["exp_avg_sq"].astype(grad.dtype)
+        m = m0 * b1 + grad * (1.0 - b1)
+        v = v0 * b2 + grad * grad * (1.0 - b2)
+        new = (data
+               - m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps) * (lr / bc1)
+               - data * (lr * wd))
+        sd = state["exp_avg"].dtype
+        return new, {"exp_avg": m.astype(sd), "exp_avg_sq": v.astype(sd)}
+
+
+class Lion(Optimizer):
+    """Sign-momentum optimizer (Chen et al. 2023). One state buffer per
+    parameter — half Adam's optimizer HBM — and a sign update with no
+    sqrt/divide on the VPU. Matches optim.functional.lion_*."""
+
+    def __init__(self, lr, beta1: float = 0.9, beta2: float = 0.99,
+                 weight_decay: float = 0.0, penalty=None,
+                 state_dtype=None) -> None:
+        super().__init__(lr, penalty)
+        self.beta1, self.beta2 = float(beta1), float(beta2)
+        self.weight_decay = float(weight_decay)
+        self.state_dtype = state_dtype
+
+    def _hyper(self):
+        return (self._lr, self.beta1, self.beta2, self.weight_decay)
+
+    def _init_state(self, variable):
+        return {"exp_avg": jnp.zeros(
+            variable.shape, self.state_dtype or variable.dtype)}
+
+    def _update(self, data, grad, state, hyper, step):
+        lr, b1, b2, wd = hyper
+        m0 = state["exp_avg"].astype(grad.dtype)
+        u = jnp.sign(m0 * b1 + grad * (1.0 - b1))
+        new = data - u * lr - data * (lr * wd)
+        m = m0 * b2 + grad * (1.0 - b2)
+        return new, {"exp_avg": m.astype(state["exp_avg"].dtype)}
+
+
+class Adafactor(Optimizer):
+    """Factored second moments (Shazeer & Stern 2018): matrices store a
+    row + a column accumulator instead of a full second-moment tensor —
+    O(n+m) optimizer memory, the classic memory-lean choice for large
+    TPU models. Matches optim.functional.adafactor_*."""
+
+    def __init__(self, lr, clip_threshold: float = 1.0,
+                 decay_rate_power: float = 0.8, weight_decay: float = 0.0,
+                 penalty=None, eps: float = 1e-30) -> None:
+        super().__init__(lr, penalty)
+        self.clip_threshold = float(clip_threshold)
+        self.decay_rate_power = float(decay_rate_power)
+        self.weight_decay = float(weight_decay)
+        self.eps = float(eps)
+
+    def _hyper(self):
+        return (self._lr, self.clip_threshold, self.weight_decay, self.eps)
+
+    def _init_state(self, variable):
+        if len(variable.shape) >= 2:
+            return {
+                "vr": jnp.zeros(variable.shape[:-1], jnp.float32),
+                "vc": jnp.zeros(
+                    (*variable.shape[:-2], variable.shape[-1]), jnp.float32),
+            }
+        return {"v": jnp.zeros(variable.shape, jnp.float32)}
+
+    def _update(self, data, grad, state, hyper, step):
+        lr, clip, wd, eps = hyper
+        b2t = 1.0 - step ** (-self.decay_rate_power)
+        g32 = grad.astype(jnp.float32)
+        sq = g32 * g32 + eps
+        if data.ndim >= 2:
+            vr = state["vr"] * b2t + sq.mean(axis=-1) * (1.0 - b2t)
+            vc = state["vc"] * b2t + sq.mean(axis=-2) * (1.0 - b2t)
+            denom = vr.mean(axis=-1, keepdims=True)
+            vhat = (vr / denom)[..., None] * vc[..., None, :]
+            ns = {"vr": vr, "vc": vc}
+        else:
+            vhat = state["v"] * b2t + sq * (1.0 - b2t)
+            ns = {"v": vhat}
+        u = g32 * jax.lax.rsqrt(vhat + eps)
+        rms = jnp.sqrt(jnp.mean(u * u) + 1e-30)
+        u = u / jnp.maximum(1.0, rms / clip)
+        new = data - (u * lr).astype(data.dtype) - data * (lr * wd)
+        return new, ns
 
 
 # --------------------------------------------------------------------------

@@ -197,6 +197,140 @@ def rmsprop_update(params, grads, state, lr, alpha: float = 0.99,
     return new, new_state
 
 
+# ---------------------------------------------------------------- AdamW
+
+
+def adamw_init(params, state_dtype=None) -> Dict:
+    return adam_init(params, state_dtype)
+
+
+def adamw_update(params, grads, state, lr, b1: float = 0.9,
+                 b2: float = 0.999, eps: float = 1e-8,
+                 weight_decay: float = 0.01):
+    """Adam with DECOUPLED weight decay (Loshchilov & Hutter): the decay
+    term multiplies the parameter directly instead of entering the
+    moments — the transformer-training default (extension beyond the
+    reference, whose Adam only offers coupled L2 via penalties)."""
+    step = state["step"] + 1.0
+    bc1 = 1.0 - b1**step
+    bc2 = 1.0 - b2**step
+
+    def upd_m(m_, g):
+        return (m_.astype(jnp.float32) * b1
+                + g.astype(jnp.float32) * (1 - b1)).astype(m_.dtype)
+
+    def upd_v(v_, g):
+        g32 = g.astype(jnp.float32)
+        return (v_.astype(jnp.float32) * b2
+                + g32 * g32 * (1 - b2)).astype(v_.dtype)
+
+    m = jax.tree.map(upd_m, state["m"], grads)
+    v = jax.tree.map(upd_v, state["v"], grads)
+    new = jax.tree.map(
+        lambda p, m_, v_: _step_param(
+            p,
+            m_.astype(jnp.float32)
+            / (jnp.sqrt(v_.astype(jnp.float32)) / jnp.sqrt(bc2) + eps)
+            * (lr / bc1)
+            + p.astype(jnp.float32) * (lr * weight_decay),
+        ),
+        params, m, v,
+    )
+    return new, {"m": m, "v": v, "step": step}
+
+
+# ----------------------------------------------------------------- Lion
+
+
+def lion_init(params, state_dtype=None) -> Dict:
+    def zeros(p):
+        return jnp.zeros_like(p, dtype=state_dtype or p.dtype)
+    return {"m": jax.tree.map(zeros, params),
+            "step": jnp.zeros((), jnp.float32)}
+
+
+def lion_update(params, grads, state, lr, b1: float = 0.9,
+                b2: float = 0.99, weight_decay: float = 0.0):
+    """Lion (Chen et al. 2023): sign of an interpolated momentum. ONE
+    state tree (half Adam's optimizer memory — on TPU that is pure HBM
+    bandwidth back) and the update is a VPU sign op, no sqrt/div."""
+    step = state["step"] + 1.0
+
+    def upd(p, m_, g):
+        m32 = m_.astype(jnp.float32)
+        g32 = g.astype(jnp.float32)
+        u = jnp.sign(m32 * b1 + g32 * (1 - b1))
+        delta = u * lr + p.astype(jnp.float32) * (lr * weight_decay)
+        return _step_param(p, delta), (m32 * b2 + g32 * (1 - b2)).astype(m_.dtype)
+
+    flat = jax.tree.map(upd, params, state["m"], grads)
+    new = jax.tree.map(lambda t: t[0], flat,
+                       is_leaf=lambda t: isinstance(t, tuple))
+    m = jax.tree.map(lambda t: t[1], flat,
+                     is_leaf=lambda t: isinstance(t, tuple))
+    return new, {"m": m, "step": step}
+
+
+# ------------------------------------------------------------- Adafactor
+
+
+def adafactor_init(params) -> Dict:
+    """Factored second moments (Shazeer & Stern 2018): matrices store a
+    row vector + a column vector instead of a full v — O(n+m) optimizer
+    memory instead of O(nm), the classic TPU-era large-model optimizer.
+    Leading axes (the stacked layer axis) are treated as batch; only the
+    last two dims are factored. Vectors/scalars keep a full v."""
+    def init(p):
+        if p.ndim >= 2:
+            return {
+                "vr": jnp.zeros(p.shape[:-1], jnp.float32),
+                "vc": jnp.zeros((*p.shape[:-2], p.shape[-1]), jnp.float32),
+            }
+        return {"v": jnp.zeros_like(p, dtype=jnp.float32)}
+
+    return {
+        "v": jax.tree.map(init, params,
+                          is_leaf=lambda x: isinstance(x, jax.Array)),
+        "step": jnp.zeros((), jnp.float32),
+    }
+
+
+def adafactor_update(params, grads, state, lr, eps: float = 1e-30,
+                     clip_threshold: float = 1.0,
+                     decay_rate_power: float = 0.8,
+                     weight_decay: float = 0.0):
+    """beta2_t = 1 - t^-p (time-increasing decay); the factored v-hat is
+    (vr x vc) / mean(vr); updates are RMS-clipped to `clip_threshold`."""
+    step = state["step"] + 1.0
+    b2t = 1.0 - step ** (-decay_rate_power)
+
+    def upd(p, g, s):
+        g32 = g.astype(jnp.float32)
+        sq = g32 * g32 + eps
+        if p.ndim >= 2:
+            vr = s["vr"] * b2t + sq.mean(axis=-1) * (1 - b2t)
+            vc = s["vc"] * b2t + sq.mean(axis=-2) * (1 - b2t)
+            # v-hat = outer(vr, vc) / mean(vr)  (per leading batch index)
+            denom = vr.mean(axis=-1, keepdims=True)
+            vhat = (vr / denom)[..., None] * vc[..., None, :]
+            ns = {"vr": vr, "vc": vc}
+        else:
+            vhat = s["v"] * b2t + sq * (1 - b2t)
+            ns = {"v": vhat}
+        u = g32 * jax.lax.rsqrt(vhat + eps)
+        rms = jnp.sqrt(jnp.mean(u * u) + 1e-30)
+        u = u / jnp.maximum(1.0, rms / clip_threshold)
+        delta = u * lr + p.astype(jnp.float32) * (lr * weight_decay)
+        return _step_param(p, delta), ns
+
+    flat = jax.tree.map(upd, params, grads, state["v"],
+                        is_leaf=lambda x: isinstance(x, jax.Array))
+    leaf = lambda t: isinstance(t, tuple)  # noqa: E731
+    new = jax.tree.map(lambda t: t[0], flat, is_leaf=leaf)
+    v = jax.tree.map(lambda t: t[1], flat, is_leaf=leaf)
+    return new, {"v": v, "step": step}
+
+
 # ------------------------------------------------------------------ extras
 
 

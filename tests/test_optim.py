@@ -2,6 +2,7 @@
 (neuronika-optim/src/*/mod.rs) and compared step-by-step, plus scheduler lr
 sequences (lr_scheduler/*/test.rs style) and constructor validation."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -459,3 +460,167 @@ def test_fused_step_preserves_bf16_param_dtype():
     assert w.data().dtype == jnp.bfloat16
     assert opt._state[0]["exp_avg"].dtype == jnp.bfloat16
     assert not np.allclose(np.asarray(w.data(), np.float32), 1.0)
+
+
+# ------------------------------------------------------------- new tiers
+# AdamW / Lion / Adafactor (extensions beyond the reference — the
+# transformer-era optimizer set; each has a functional rule and a class)
+
+
+def test_adamw_matches_torch():
+    import torch
+
+    w0 = np.array([1.0, -2.0, 0.5], np.float32)
+    grads = [np.array([0.1, 0.2, -0.3], np.float32),
+             np.array([-0.2, 0.4, 0.1], np.float32),
+             np.array([0.3, -0.1, 0.2], np.float32)]
+    p = make_param(w0, grads[0])
+    opt = optim.AdamW(0.01, 0.9, 0.999, weight_decay=0.1)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 3)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    topt = torch.optim.AdamW([tw], lr=0.01, betas=(0.9, 0.999),
+                             eps=1e-8, weight_decay=0.1)
+    for i, g in enumerate(grads):
+        tw.grad = torch.tensor(g)
+        topt.step()
+        assert_close(hist[i], tw.detach().numpy(), tol=1e-5)
+
+
+def test_adamw_functional_matches_class():
+    from neuronika_tpu.optim import functional as F
+
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    grads = [np.random.RandomState(i).randn(2, 2).astype(np.float32)
+             for i in range(3)]
+    params = {"w": jnp.asarray(w0)}
+    state = F.adamw_init(params)
+    for g in grads:
+        params, state = F.adamw_update(params, {"w": jnp.asarray(g)},
+                                       state, 0.01, weight_decay=0.1)
+
+    p = make_param(w0, grads[0])
+    opt = optim.AdamW(0.01, weight_decay=0.1)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 3)
+    assert_close(np.asarray(params["w"]), hist[-1], tol=1e-5)
+
+
+def test_lion_sign_update_rule():
+    """Numpy replica of Lion: u = sign(b1*m + (1-b1)*g); m' = b2*m +
+    (1-b2)*g; single state buffer."""
+    w0 = np.array([1.0, -1.0, 2.0], np.float32)
+    grads = [np.array([0.5, -0.2, 0.0], np.float32),
+             np.array([-0.1, 0.3, -0.4], np.float32)]
+    p = make_param(w0, grads[0])
+    opt = optim.Lion(0.01, 0.9, 0.99, weight_decay=0.1)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 2)
+
+    m = np.zeros(3)
+    w = w0.astype(np.float64)
+    for t, g in enumerate(grads, 1):
+        u = np.sign(0.9 * m + 0.1 * g)
+        w = w - 0.01 * u - w * (0.01 * 0.1)
+        m = 0.99 * m + 0.01 * g
+        assert_close(hist[t - 1], w, tol=1e-5)
+    # single-buffer state (half of Adam's)
+    assert set(opt._state[0].keys()) == {"exp_avg"}
+
+
+def test_lion_functional_matches_class():
+    from neuronika_tpu.optim import functional as F
+
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    grads = [np.random.RandomState(i + 1).randn(4, 3).astype(np.float32)
+             for i in range(3)]
+    params = {"w": jnp.asarray(w0)}
+    state = F.lion_init(params)
+    for g in grads:
+        params, state = F.lion_update(params, {"w": jnp.asarray(g)},
+                                      state, 0.01, weight_decay=0.05)
+    p = make_param(w0, grads[0])
+    opt = optim.Lion(0.01, weight_decay=0.05)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 3)
+    assert_close(np.asarray(params["w"]), hist[-1], tol=1e-5)
+
+
+def test_adafactor_factored_state_and_rule():
+    """Matrices carry a row + column accumulator (O(n+m) memory); the
+    numpy replica follows Shazeer & Stern eq. 4-5 with RMS clipping."""
+    w0 = np.random.RandomState(0).randn(3, 4).astype(np.float32)
+    grads = [np.random.RandomState(i + 10).randn(3, 4).astype(np.float32)
+             for i in range(2)]
+    p = make_param(w0, grads[0])
+    opt = optim.Adafactor(0.01)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 2)
+
+    assert set(opt._state[0].keys()) == {"vr", "vc"}
+    assert opt._state[0]["vr"].shape == (3,)
+    assert opt._state[0]["vc"].shape == (4,)
+
+    eps = 1e-30
+    vr = np.zeros(3)
+    vc = np.zeros(4)
+    w = w0.astype(np.float64)
+    for t, g in enumerate(grads, 1):
+        b2t = 1.0 - t ** -0.8
+        sq = g.astype(np.float64) ** 2 + eps
+        vr = vr * b2t + sq.mean(axis=1) * (1 - b2t)
+        vc = vc * b2t + sq.mean(axis=0) * (1 - b2t)
+        vhat = np.outer(vr / vr.mean(), vc)
+        u = g / np.sqrt(vhat + eps)
+        rms = np.sqrt((u * u).mean() + 1e-30)
+        u = u / max(1.0, rms / 1.0)
+        w = w - 0.01 * u
+        assert_close(hist[t - 1], w, tol=1e-4)
+
+
+def test_adafactor_vector_param_full_state():
+    w0 = np.array([1.0, -1.0], np.float32)
+    p = make_param(w0, np.array([0.1, 0.2], np.float32))
+    opt = optim.Adafactor(0.01)
+    opt.register(p)
+    assert set(opt._state[0].keys()) == {"v"}
+    opt.step()
+    assert np.isfinite(np.asarray(p.data())).all()
+
+
+def test_adafactor_functional_matches_class():
+    from neuronika_tpu.optim import functional as F
+
+    w0 = np.random.RandomState(3).randn(4, 5).astype(np.float32)
+    grads = [np.random.RandomState(i + 7).randn(4, 5).astype(np.float32)
+             for i in range(3)]
+    params = {"w": jnp.asarray(w0)}
+    state = F.adafactor_init(params)
+    for g in grads:
+        params, state = F.adafactor_update(
+            params, {"w": jnp.asarray(g)}, state, 0.01)
+    p = make_param(w0, grads[0])
+    opt = optim.Adafactor(0.01)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 3)
+    assert_close(np.asarray(params["w"]), hist[-1], tol=1e-4)
+
+
+def test_new_optimizers_converge_on_quadratic():
+    """All three drive ||w||^2 down on a simple bowl."""
+    for make in (lambda: optim.AdamW(0.05), lambda: optim.Lion(0.05),
+                 lambda: optim.Adafactor(0.5)):
+        w0 = np.random.RandomState(0).randn(4, 4).astype(np.float32) * 2
+        p = make_param(w0, np.zeros((4, 4), np.float32))
+        opt = make()
+        opt.register(p)
+        start = float((np.asarray(p.data()) ** 2).sum())
+        for _ in range(25):
+            w = np.asarray(p.data())
+            p.node.grad = None
+            with p.grad_mut() as g:
+                g[...] = 2 * w
+            opt.step()
+        end = float((np.asarray(p.data()) ** 2).sum())
+        assert end < 0.5 * start, (type(opt).__name__, start, end)
