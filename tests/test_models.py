@@ -1312,3 +1312,84 @@ class TestSlidingWindow:
         toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 64)
         loss = T.loss_fn(p, toks, jnp.roll(toks, -1, 1), cfg)
         assert np.isfinite(float(loss))
+
+
+class TestLoRA:
+    """Low-rank adapters: merge-on-the-fly over the stacked block
+    leaves; the base tree stays frozen during fine-tuning."""
+
+    def _setup(self, **kw):
+        from neuronika_tpu.models import lora as LR
+
+        base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                    d_ff=64, max_seq=16, dtype=jnp.float32)
+        base.update(kw)
+        cfg = T.GPTConfig(**base)
+        params = T.init_params(jax.random.key(0), cfg)
+        ad = LR.lora_init(jax.random.key(1), params, rank=4)
+        return LR, cfg, params, ad
+
+    def test_init_is_identity(self):
+        LR, cfg, params, ad = self._setup()
+        toks = jax.random.randint(jax.random.key(2), (2, 16), 0, 32)
+        a = T.forward(LR.lora_apply(params, ad), toks, cfg)
+        b = T.forward(params, toks, cfg)
+        assert_close(a, b, tol=1e-6)
+
+    def test_train_step_moves_only_adapters(self):
+        LR, cfg, params, ad = self._setup()
+        step = LR.make_lora_train_step(cfg)
+        opt = T.adam_init(ad)
+        toks = jax.random.randint(jax.random.key(2), (4, 16), 0, 32)
+        tgts = jnp.roll(toks, -1, axis=1)
+        frozen = jax.tree.map(jnp.copy, params)
+        losses = []
+        for i in range(8):
+            ad, opt, loss = step(params, ad, opt, toks, tgts,
+                                 jnp.float32(1e-2), jax.random.key(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        # base weights untouched
+        same = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), params, frozen)
+        assert max(jax.tree.leaves(same)) == 0.0
+        # adapters moved
+        assert float(jnp.abs(ad["qkv"]["B"]).max()) > 0.0
+
+    def test_merge_equals_apply(self):
+        LR, cfg, params, ad = self._setup()
+        # give B nonzero content
+        ad = jax.tree.map(
+            lambda x: x + 0.01 * jax.random.normal(
+                jax.random.key(9), x.shape), ad)
+        toks = jax.random.randint(jax.random.key(2), (2, 16), 0, 32)
+        merged = LR.lora_merge(params, ad)
+        assert "A" not in str(jax.tree_util.tree_structure(merged))
+        a = T.forward(merged, toks, cfg)
+        b = T.forward(LR.lora_apply(params, ad), toks, cfg)
+        assert_close(a, b, tol=1e-6)
+
+    def test_param_count_and_bad_target(self):
+        LR, cfg, params, ad = self._setup()
+        # rank 4, qkv (2,32,96) + proj (2,32,32): 2*(32*4+4*96)+2*(32*4+4*32)
+        expect = 2 * (32 * 4 + 4 * 96) + 2 * (32 * 4 + 4 * 32)
+        assert LR.lora_param_count(ad) == expect
+        with pytest.raises(ValueError, match="unknown LoRA target"):
+            LR.lora_init(jax.random.key(0), params, 4, targets=("nope",))
+
+    def test_llama_family_targets(self):
+        LR, cfg, params, ad = self._setup()
+        from neuronika_tpu.models import lora as _  # noqa: F401
+
+        cfg = T.llama_config(vocab_size=32, n_layer=2, n_head=4,
+                             n_kv_head=2, d_model=32, d_ff=96,
+                             max_seq=16, dtype=jnp.float32)
+        params = T.init_params(jax.random.key(0), cfg)
+        ad = LR.lora_init(jax.random.key(1), params, 2,
+                          targets=("qkv", "proj", "fc_gate"))
+        step = LR.make_lora_train_step(cfg)
+        toks = jax.random.randint(jax.random.key(2), (2, 16), 0, 32)
+        ad, _, loss = step(params, ad, T.adam_init(ad), toks,
+                           jnp.roll(toks, -1, 1), jnp.float32(1e-3),
+                           jax.random.key(3))
+        assert np.isfinite(float(loss))
