@@ -72,6 +72,10 @@ class GPTConfig:
     # tie the LM head to wte (GPT-2) or learn a separate "lm_head"
     # (V, D) param (llama family). Pipeline-parallel steps require tied.
     tied_head: bool = True
+    # causal=False turns the stack into a bidirectional encoder (BERT
+    # family, models/bert.py): every attention path drops the causal
+    # mask; generation/decode APIs require causal=True.
+    causal: bool = True
     # sliding-window attention (Mistral): each position attends to the
     # last `window` tokens including itself; 0 = full causal. The flash
     # kernels skip tiles outside the band (O(S·window) compute); train,
@@ -496,7 +500,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
         fused = cfg.flash_bwd == "fused"
         if mesh is None:
             out = flash_attention_qkv(
-                qkv, seed, H, KV, True, None, bq, bk,
+                qkv, seed, H, KV, cfg.causal, None, bq, bk,
                 interp, drop, fast, fused,
             )
         else:
@@ -521,7 +525,7 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
                     if tp_ax:
                         seed_ = seed_ + lax.axis_index(tp_ax) * 7919
                 return flash_attention_qkv(
-                    qkv_, seed_, Hl, KVl, True, None, bq, bk,
+                    qkv_, seed_, Hl, KVl, cfg.causal, None, bq, bk,
                     interp, drop, fast, fused,
                 )
 
@@ -589,7 +593,8 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             bl = min(cfg.flash_block, S // cp_size)
             fa = shard_map(
                 lambda q_, k_, v_: ring_flash_attention(
-                    q_, k_, v_, "cp", cp_size, True, None, bl, bl, interp
+                    q_, k_, v_, "cp", cp_size, cfg.causal, None, bl, bl,
+                    interp
                 ),
                 mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
                 check_rep=False,
@@ -610,8 +615,8 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
                     s_ = s_ + (lax.axis_index("dp") * 1000003
                                + lax.axis_index("tp") * 7919)
                     return flash_attention_dropout(
-                        q_, k_, v_, s_, True, None, bq, bk, interp, drop,
-                        cfg.window,
+                        q_, k_, v_, s_, cfg.causal, None, bq, bk, interp,
+                        drop, cfg.window,
                     )
 
                 fa = shard_map(
@@ -623,7 +628,8 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             else:
                 fa = shard_map(
                     lambda q_, k_, v_: flash_attention(
-                        q_, k_, v_, True, None, bq, bk, interp, cfg.window
+                        q_, k_, v_, cfg.causal, None, bq, bk, interp,
+                        cfg.window
                     ),
                     mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
                     check_rep=False,
@@ -631,18 +637,20 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
                 out = fa(q, k, v)
         elif drop > 0.0:
             out = flash_attention_dropout(
-                q, k, v, seed, True, None, bq, bk, interp, drop, cfg.window
+                q, k, v, seed, cfg.causal, None, bq, bk, interp, drop,
+                cfg.window
             )
         else:
-            out = flash_attention(q, k, v, True, None, bq, bk, interp,
-                                  cfg.window)
+            out = flash_attention(q, k, v, cfg.causal, None, bq, bk,
+                                  interp, cfg.window)
     else:
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         att = att / math.sqrt(hd)
-        mask = jnp.tril(jnp.ones((S, S), bool))
-        if cfg.window:
-            mask &= ~jnp.tril(jnp.ones((S, S), bool), -cfg.window)
-        att = jnp.where(mask, att, -1e30)
+        if cfg.causal:
+            mask = jnp.tril(jnp.ones((S, S), bool))
+            if cfg.window:
+                mask &= ~jnp.tril(jnp.ones((S, S), bool), -cfg.window)
+            att = jnp.where(mask, att, -1e30)
         att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
         if train and cfg.dropout > 0.0:
             keep = jax.random.bernoulli(dropout_key, 1.0 - cfg.dropout, att.shape)
@@ -1125,6 +1133,49 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
     return (lse - tgt).mean() + cfg.moe_aux_weight * aux
 
 
+def make_eval_step(cfg: GPTConfig, *, pad_id: int | None = None):
+    """Jitted evaluation step: (params, tokens, targets) ->
+    (summed token CE, token count), both f32 scalars. Positions whose
+    TARGET equals `pad_id` are excluded, so dataset-level perplexity is
+    exact under ragged batching. Uses the fused-CE forward when the
+    shape qualifies (the fused kernel wins for eval — no backward)."""
+    ecfg = dataclasses.replace(cfg, dropout=0.0)
+
+    @jax.jit
+    def step(params, tokens, targets):
+        B, S = tokens.shape
+        x, _ = hidden_states(params, tokens, ecfg, train=False)
+        logits = jnp.dot(x, _head_w(params, ecfg).T.astype(ecfg.dtype),
+                         preferred_element_type=jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, targets[..., None],
+                                  axis=-1)[..., 0]
+        per_pos = lse - tgt
+        if pad_id is not None:
+            w = (targets != pad_id).astype(jnp.float32)
+            return (per_pos * w).sum(), w.sum()
+        return per_pos.sum(), jnp.float32(B * S)
+
+    return step
+
+
+def evaluate(params, cfg: GPTConfig, batches, *, pad_id: int | None = None):
+    """Host loop over an iterable of (tokens, targets) batches -> dict
+    with dataset-level mean token loss, perplexity, and token count."""
+    step = make_eval_step(cfg, pad_id=pad_id)
+    total = 0.0
+    count = 0.0
+    for tokens, targets in batches:
+        s, n = step(params, jnp.asarray(tokens), jnp.asarray(targets))
+        total += float(s)
+        count += float(n)
+    if count == 0:
+        raise ValueError("evaluate() received no tokens")
+    loss = total / count
+    return {"loss": loss, "perplexity": math.exp(min(loss, 700.0)),
+            "tokens": int(count)}
+
+
 # --------------------------------------------------------------------------
 # training step (pure Adam, reference update rule — adam/mod.rs:117-160)
 
@@ -1440,6 +1491,14 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
 
 # --------------------------------------------------------------------------
 # serving: KV-cache incremental decoding
+
+
+def _require_causal(cfg: GPTConfig, what: str):
+    if not cfg.causal:
+        raise ValueError(
+            f"{what} requires a causal (decoder) model; this config is a "
+            "bidirectional encoder (causal=False) — see models/bert.py"
+        )
 
 
 def init_kv_cache(cfg: GPTConfig, batch: int, quant: str | None = None):
@@ -1899,6 +1958,7 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
     per-token activation scales, int32 MXU accumulation); `"int8-kv"`
     additionally stores the KV cache in int8 (pass a cache created with
     `init_kv_cache(cfg, B, quant="int8-kv")`)."""
+    _require_causal(cfg, "kv-cache decoding/serving")
 
     def step(params, cache, token):
         return _decode_step_body(_prep_decode_params(params, cfg, quant),
@@ -1922,6 +1982,7 @@ def make_slot_prefill(cfg: GPTConfig, quant: str | None = None):
     cache with slot's K/V rows replaced and pos[slot] = P). The other
     slots' rows and positions are untouched, so requests join a running
     batch without disturbing it."""
+    _require_causal(cfg, "kv-cache decoding/serving")
 
     def pre(params, cache, prompt, slot):
         params = _prep_decode_params(params, cfg, quant)
@@ -1945,6 +2006,7 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
     position and attends its own causal range; inactive slots hold
     position (their lanes compute but change nothing). Donates the
     cache."""
+    _require_causal(cfg, "kv-cache decoding/serving")
     if quant == "int8-kv":
         raise NotImplementedError(
             "slot serving supports quant=None/'int8' (int8-kv's scale "
@@ -2026,6 +2088,7 @@ def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
 
     Returns gen(params, prompt (B, P) int32, key) -> (B, P + max_new).
     Prompt length + max_new must fit cfg.max_seq."""
+    _require_causal(cfg, "kv-cache decoding/serving")
     rp = repetition_penalty
 
     def _shard_cache(cache):
@@ -2121,6 +2184,7 @@ def make_prefill(cfg: GPTConfig, quant: str | None = None):
     One MXU pass over the whole prompt — for serving systems that manage
     their own cache (continuations, prefix reuse); pair with
     `make_decode_step(cfg, quant=...)` using the same quant mode."""
+    _require_causal(cfg, "kv-cache decoding/serving")
 
     def pre(params, cache, prompt):
         return _prefill_body(_prep_decode_params(params, cfg, quant),
@@ -2223,6 +2287,7 @@ def make_beam_search(cfg: GPTConfig, max_new: int, n_beams: int,
     scores (B, K)) with beams sorted best-first by total log-probability.
     With n_beams == vocab_size and max_new <= 2 the search is exhaustive
     (tested against brute force)."""
+    _require_causal(cfg, "kv-cache decoding/serving")
     K = n_beams
 
     def search(params, prompt):

@@ -1393,3 +1393,152 @@ class TestLoRA:
                            jnp.roll(toks, -1, 1), jnp.float32(1e-3),
                            jax.random.key(3))
         assert np.isfinite(float(loss))
+
+
+class TestBertEncoder:
+    """causal=False: the GPT body becomes a bidirectional encoder
+    (models/bert.py) with MLM pre-training and classification tiers."""
+
+    def _cfg(self, **kw):
+        from neuronika_tpu.models import bert as B
+
+        base = dict(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                    d_ff=64, max_seq=16, dtype=jnp.float32)
+        base.update(kw)
+        return B.bert_config(**base)
+
+    def test_position_zero_sees_future(self):
+        from neuronika_tpu.models import bert as B
+
+        cfg = self._cfg()
+        p = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+        toks2 = toks.at[:, -1].set((toks[:, -1] + 1) % 32)
+        h = B.encode(p, toks, cfg)
+        h2 = B.encode(p, toks2, cfg)
+        assert float(jnp.abs(h[:, 0] - h2[:, 0]).max()) > 1e-6
+
+    def test_flash_bidirectional_matches_composite(self):
+        from neuronika_tpu.config import config
+        from neuronika_tpu.models import bert as B
+
+        cfg_f = self._cfg(max_seq=128, flash="on", flash_block=64)
+        cfg_c = self._cfg(max_seq=128, flash="off")
+        p = T.init_params(jax.random.key(0), cfg_f)
+        toks = jax.random.randint(jax.random.key(1), (2, 128), 0, 32)
+        config.pallas_interpret = True
+        try:
+            a = B.encode(p, toks, cfg_f)
+        finally:
+            config.pallas_interpret = False
+        b = B.encode(p, toks, cfg_c)
+        assert_close(a, b, tol=1e-4)
+
+    def test_mask_tokens_contract(self):
+        from neuronika_tpu.models import bert as B
+
+        toks = jax.random.randint(jax.random.key(0), (64, 64), 0, 100)
+        corrupted, labels, w = B.mask_tokens(
+            jax.random.key(1), toks, mask_id=99, vocab_size=100, rate=0.15)
+        assert (labels == toks).all()          # labels are the originals
+        frac = float(w.mean())
+        assert 0.10 < frac < 0.20              # ~15% selected
+        sel = w.astype(bool)
+        masked = float((jnp.asarray(corrupted)[sel] == 99).mean())
+        assert 0.7 < masked < 0.9              # ~80% become [MASK]
+        assert (jnp.asarray(corrupted)[~sel] == jnp.asarray(toks)[~sel]).all()
+
+    def test_mlm_training_converges(self):
+        from neuronika_tpu.models import bert as B
+
+        cfg = self._cfg()
+        p = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (8, 16), 0, 32)
+        step = B.make_mlm_train_step(cfg)
+        opt = T.adam_init(p)
+        losses = []
+        # fixed key -> fixed mask: deterministic optimisation target
+        for _ in range(10):
+            p, opt, loss = step(p, opt, toks, jnp.float32(5e-3),
+                                jax.random.key(7))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_classifier_converges(self):
+        from neuronika_tpu.models import bert as B
+
+        cfg = self._cfg()
+        p = T.init_params(jax.random.key(0), cfg)
+        toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+        labels = jnp.array([0, 1, 2, 1])
+        head = B.init_classifier(jax.random.key(2), cfg, 3)
+        step = B.make_classifier_train_step(cfg, 3)
+        opt = T.adam_init((p, head))
+        losses = []
+        for i in range(10):
+            p, head, opt, l = step(p, head, opt, toks, labels,
+                                   jnp.float32(1e-2), jax.random.key(i))
+            losses.append(float(l))
+        assert losses[-1] < 0.5 * losses[0]
+
+    def test_decoding_guard(self):
+        cfg = self._cfg()
+        with pytest.raises(ValueError, match="bidirectional encoder"):
+            T.make_decode_step(cfg)
+        with pytest.raises(ValueError, match="bidirectional encoder"):
+            T.make_generate(cfg, max_new=4)
+
+    def test_pool_modes(self):
+        from neuronika_tpu.models import bert as B
+
+        h = jax.random.normal(jax.random.key(0), (2, 5, 8))
+        assert B.pool(h, "mean").shape == (2, 8)
+        assert (B.pool(h, "cls") == h[:, 0]).all()
+        with pytest.raises(ValueError):
+            B.pool(h, "max")
+
+
+class TestEvaluate:
+    def _setup(self):
+        cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                          d_ff=64, max_seq=16, dtype=jnp.float32)
+        params = T.init_params(jax.random.key(0), cfg)
+        return cfg, params
+
+    def test_matches_loss_fn(self):
+        cfg, params = self._setup()
+        toks = jax.random.randint(jax.random.key(1), (4, 16), 0, 32)
+        tgts = jnp.roll(toks, -1, axis=1)
+        out = T.evaluate(params, cfg, [(toks, tgts)])
+        ref = float(T.loss_fn(params, toks, tgts, cfg))
+        assert abs(out["loss"] - ref) < 1e-5
+        assert abs(out["perplexity"] - np.exp(ref)) < 1e-2
+        assert out["tokens"] == 64
+
+    def test_pad_positions_excluded(self):
+        cfg, params = self._setup()
+        toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 31)
+        tgts = jnp.roll(toks, -1, axis=1).at[:, 8:].set(31)  # pad tail
+        out = T.evaluate(params, cfg, [(toks, tgts)], pad_id=31)
+        assert out["tokens"] == 16
+        # unpadded reference over the first 8 target positions
+        step = T.make_eval_step(cfg)
+        s_all, _ = step(params, toks, jnp.roll(toks, -1, axis=1))
+        # padded total must differ from full total (tail dropped)
+        assert abs(out["loss"] * 16 - float(s_all)) > 1e-3
+
+    def test_multi_batch_accumulation(self):
+        cfg, params = self._setup()
+        t1 = jax.random.randint(jax.random.key(1), (2, 16), 0, 32)
+        t2 = jax.random.randint(jax.random.key(2), (2, 16), 0, 32)
+        batches = [(t1, jnp.roll(t1, -1, 1)), (t2, jnp.roll(t2, -1, 1))]
+        out = T.evaluate(params, cfg, batches)
+        l1 = float(T.loss_fn(params, t1, jnp.roll(t1, -1, 1), cfg))
+        l2 = float(T.loss_fn(params, t2, jnp.roll(t2, -1, 1), cfg))
+        assert abs(out["loss"] - (l1 + l2) / 2) < 1e-5
+
+    def test_empty_raises(self):
+        cfg, params = self._setup()
+        with pytest.raises(ValueError, match="no tokens"):
+            T.evaluate(params, cfg, [])
