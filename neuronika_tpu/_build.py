@@ -23,7 +23,9 @@ def _native_missing() -> bool:
     eng = _ROOT / "neuronika_tpu" / "_engine"
     dat = _ROOT / "neuronika_tpu" / "data"
     return not (
-        list(eng.glob("_native_tape*.so")) and list(dat.glob("_native_ext*.so"))
+        list(eng.glob("_native_tape*.so"))
+        and list(dat.glob("_native_ext*.so"))
+        and list(dat.glob("_native_bpe*.so"))
     )
 
 

@@ -30,10 +30,12 @@ from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
+from .tokenizer import BpeTokenizer  # noqa: E402
+
 __all__ = [
     "DataLoader", "LabeledDataLoader", "Dataset", "LabeledDataset",
     "Batch", "LabeledBatch", "KFold", "LabeledKFold", "SetKFold",
-    "prefetch_to_device",
+    "prefetch_to_device", "BpeTokenizer",
 ]
 
 

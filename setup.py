@@ -23,5 +23,10 @@ setup(
             sources=["csrc/tape_walker.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "neuronika_tpu.data._native_bpe",
+            sources=["csrc/bpe_encoder.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )
