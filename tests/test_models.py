@@ -1542,3 +1542,94 @@ class TestEvaluate:
         cfg, params = self._setup()
         with pytest.raises(ValueError, match="no tokens"):
             T.evaluate(params, cfg, [])
+
+
+class TestSeq2Seq:
+    """Encoder-decoder with cross-attention (models/t5.py)."""
+
+    def _cfg(self):
+        from neuronika_tpu.models import t5
+
+        return t5.Seq2SeqConfig(vocab_size=40, n_layer=2, n_head=2,
+                                d_model=32, d_ff=64, max_src=16,
+                                max_tgt=16, dtype=jnp.float32)
+
+    def test_shapes_and_memory_reuse(self):
+        from neuronika_tpu.models import t5
+
+        cfg = self._cfg()
+        p = t5.init_params(jax.random.key(0), cfg)
+        src = jax.random.randint(jax.random.key(1), (2, 8), 0, 40)
+        tgt = jax.random.randint(jax.random.key(2), (2, 6), 0, 40)
+        logits = t5.forward(p, src, tgt, cfg)
+        assert logits.shape == (2, 6, 40)
+        mem = t5.encode(p, src, cfg)
+        assert_close(t5.forward(p, None, tgt, cfg, memory=mem), logits,
+                     tol=1e-6)
+
+    def test_cross_attention_reads_source(self):
+        from neuronika_tpu.models import t5
+
+        cfg = self._cfg()
+        p = t5.init_params(jax.random.key(0), cfg)
+        src = jax.random.randint(jax.random.key(1), (2, 8), 0, 40)
+        tgt = jax.random.randint(jax.random.key(2), (2, 6), 0, 40)
+        a = t5.forward(p, src, tgt, cfg)
+        src2 = src.at[:, 0].set((src[:, 0] + 1) % 40)
+        b = t5.forward(p, src2, tgt, cfg)
+        assert float(jnp.abs(a - b).max()) > 1e-6
+
+    def test_decoder_is_causal(self):
+        from neuronika_tpu.models import t5
+
+        cfg = self._cfg()
+        p = t5.init_params(jax.random.key(0), cfg)
+        src = jax.random.randint(jax.random.key(1), (1, 8), 0, 40)
+        tgt = jax.random.randint(jax.random.key(2), (1, 6), 0, 40)
+        a = t5.forward(p, src, tgt, cfg)
+        tgt2 = tgt.at[:, -1].set((tgt[:, -1] + 1) % 40)
+        b = t5.forward(p, src, tgt2, cfg)
+        assert_close(a[:, :-1], b[:, :-1], tol=1e-6)
+        assert float(jnp.abs(a[:, -1] - b[:, -1]).max()) > 1e-6
+
+    def test_learns_reversal_and_generates(self):
+        from neuronika_tpu.models import t5
+
+        cfg = self._cfg()
+        p = t5.init_params(jax.random.key(0), cfg)
+        BOS, EOS = 38, 39
+        rng = np.random.default_rng(0)
+
+        def batch(n=16):
+            src = rng.integers(0, 38, (n, 8)).astype(np.int32)
+            tgt = src[:, ::-1]
+            ti = np.concatenate([np.full((n, 1), BOS, np.int32), tgt], 1)
+            to = np.concatenate([tgt, np.full((n, 1), EOS, np.int32)], 1)
+            return jnp.asarray(src), jnp.asarray(ti), jnp.asarray(to)
+
+        step = t5.make_train_step(cfg, grad_clip=1.0)
+        opt = T.adam_init(p)
+        for i in range(250):
+            src, ti, to = batch()
+            p, opt, loss = step(p, opt, src, ti, to, jnp.float32(3e-3),
+                                jax.random.key(i))
+        assert float(loss) < 0.5
+
+        src, _, _ = batch(4)
+        out = t5.greedy_generate(p, src, cfg, bos_id=BOS, eos_id=EOS,
+                                 max_new=10)
+        acc = (out[:, 1:9] == np.asarray(src)[:, ::-1]).mean()
+        assert acc > 0.9
+        assert (out[:, 9] == EOS).all()
+
+    def test_pad_id_excluded_from_loss(self):
+        from neuronika_tpu.models import t5
+
+        cfg = self._cfg()
+        p = t5.init_params(jax.random.key(0), cfg)
+        src = jax.random.randint(jax.random.key(1), (2, 8), 0, 40)
+        ti = jax.random.randint(jax.random.key(2), (2, 6), 0, 38)
+        to = jnp.roll(ti, -1, 1).at[:, 3:].set(37)
+        l_pad = float(t5.loss_fn(p, src, ti, to, cfg, pad_id=37))
+        l_all = float(t5.loss_fn(p, src, ti, to, cfg))
+        assert abs(l_pad - l_all) > 1e-6
