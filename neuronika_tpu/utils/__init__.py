@@ -1,6 +1,6 @@
 """Serialization, checkpointing, misc utilities."""
 from . import gradcheck as gradcheck_mod  # noqa: F401
-from . import profiler, serde  # noqa: F401
+from . import hub, profiler, serde  # noqa: F401
 from .gradcheck import gradcheck  # noqa: F401
 from .serde import (  # noqa: F401
     dumps, load_layer, load_npz, load_optimizer, load_pytree,

@@ -197,3 +197,54 @@ class TestOrbaxCheckpoint:
         jax.tree.map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), cont_p, res_p)
+
+
+class TestModelBundle:
+    """save_model/load_model: params + config + tokenizer round-trip."""
+
+    def test_gpt_bundle_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.data.tokenizer import BpeTokenizer
+        from neuronika_tpu.models import transformer as T
+        from neuronika_tpu.utils.hub import load_model, save_model
+
+        cfg = T.llama_config(vocab_size=300, n_layer=2, n_head=2,
+                             d_model=32, d_ff=96, max_seq=16,
+                             dtype=jnp.float32)
+        params = T.init_params(jax.random.key(0), cfg)
+        tok = BpeTokenizer.train(["the quick brown fox " * 30], 300)
+        d = str(tmp_path / "model")
+        save_model(d, params, cfg, tok)
+
+        p2, cfg2, tok2 = load_model(d)
+        assert cfg2 == cfg
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), params, p2)
+        assert max(jax.tree.leaves(diffs)) == 0.0
+        assert tok2.encode("the quick") == tok.encode("the quick")
+        # loaded model runs
+        toks = jax.random.randint(jax.random.key(1), (2, 16), 0, 300)
+        out = T.forward(p2, toks, cfg2)
+        assert out.shape == (2, 16, 300)
+
+    def test_seq2seq_bundle_without_tokenizer(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.models import t5
+        from neuronika_tpu.utils.hub import load_model, save_model
+
+        cfg = t5.Seq2SeqConfig(vocab_size=40, n_layer=1, n_head=2,
+                               d_model=32, d_ff=64, max_src=8,
+                               max_tgt=8, dtype=jnp.float32)
+        p = t5.init_params(jax.random.key(0), cfg)
+        d = str(tmp_path / "s2s")
+        save_model(d, p, cfg)
+        p2, cfg2, tok = load_model(d)
+        assert tok is None and cfg2 == cfg
+        src = jax.random.randint(jax.random.key(1), (1, 8), 0, 40)
+        tgt = jax.random.randint(jax.random.key(2), (1, 4), 0, 40)
+        assert jnp.allclose(t5.forward(p2, src, tgt, cfg2),
+                            t5.forward(p, src, tgt, cfg))
