@@ -9,9 +9,11 @@ output. The source embedding table is shared with the target embedding
 and the LM head (the T5 convention).
 
 Decoder layers run under one `lax.scan` over stacked params like the
-GPT body; attention uses the XLA composite (seq2seq shapes are small
-relative to the decoder-only flagship; the einsum lowers onto the MXU
-and XLA fuses the mask/softmax chain).
+GPT body. Attention routes through the flash kernels when shapes
+qualify (cfg.flash, like the GPT tier): self-attention uses the causal
+kernel; cross-attention uses the non-causal kernel with Sq != Skv
+(the kernel wrappers support mismatched q/kv lengths natively). The
+XLA composite remains the fallback and the test oracle.
 
 No reference counterpart (the reference has no attention tier);
 SURVEY.md §5 stretch scope.
@@ -40,13 +42,19 @@ class Seq2SeqConfig:
     max_tgt: int = 512
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
+    # "auto": flash kernels on TPU when shapes qualify; "on" forces them
+    # (tests run them in interpret mode); "off" keeps the XLA composite.
+    # Self-attention runs the causal kernel; CROSS-attention runs the
+    # non-causal kernel with Sq != Skv (supported natively).
+    flash: str = "auto"
+    flash_block: int = 256
 
     def encoder_cfg(self) -> T.GPTConfig:
         return T.GPTConfig(
             vocab_size=self.vocab_size, n_layer=self.n_layer,
             n_head=self.n_head, d_model=self.d_model, d_ff=self.d_ff,
             max_seq=self.max_src, dropout=self.dropout, dtype=self.dtype,
-            causal=False,
+            causal=False, flash=self.flash, flash_block=self.flash_block,
         )
 
 
@@ -93,21 +101,44 @@ def encode(params, src, cfg: Seq2SeqConfig, *, train=False, key=None):
     return h
 
 
-def _mha(q, k, v, n_head, *, causal, dtype):
+def _use_flash(cfg: Seq2SeqConfig, Sq: int, Skv: int) -> bool:
+    if cfg.flash == "off":
+        return False
+    bq = min(cfg.flash_block, Sq)
+    bk = min(cfg.flash_block, Skv)
+    ok = Sq % bq == 0 and Skv % bk == 0 and Sq >= 8 and Skv >= 8
+    if cfg.flash == "on":
+        return ok
+    import jax as _jax
+
+    return ok and _jax.default_backend() == "tpu" and Sq * Skv >= 1 << 16
+
+
+def _mha(q, k, v, n_head, *, causal, cfg: Seq2SeqConfig):
+    dtype = cfg.dtype
     B, Sq, D = q.shape
     Skv = k.shape[1]
     hd = D // n_head
     q = q.reshape(B, Sq, n_head, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, Skv, n_head, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, Skv, n_head, hd).transpose(0, 2, 1, 3)
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                     preferred_element_type=jnp.float32) / math.sqrt(hd)
-    if causal:
-        mask = jnp.tril(jnp.ones((Sq, Skv), bool))
-        att = jnp.where(mask, att, -1e30)
-    att = jax.nn.softmax(att, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", att, v,
-                     preferred_element_type=jnp.float32).astype(dtype)
+    if _use_flash(cfg, Sq, Skv):
+        from ..config import config as _cfg
+        from ..ops.pallas.attention import flash_attention
+
+        out = flash_attention(
+            q, k, v, causal, None, min(cfg.flash_block, Sq),
+            min(cfg.flash_block, Skv), _cfg.pallas_interpret)
+    else:
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if causal:
+            mask = jnp.tril(jnp.ones((Sq, Skv), bool))
+            att = jnp.where(mask, att, -1e30)
+        att = jax.nn.softmax(att, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v,
+                         preferred_element_type=jnp.float32).astype(dtype)
+    out = out.astype(dtype)
     return out.transpose(0, 2, 1, 3).reshape(B, Sq, D)
 
 
@@ -118,14 +149,14 @@ def _decoder_block(x, memory, blk, cfg: Seq2SeqConfig):
     h = T._layer_norm(x, blk["ln1"])
     qkv = jnp.dot(h, blk["qkv"].astype(dt), preferred_element_type=dt)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    a = _mha(q, k, v, H, causal=True, dtype=dt)
+    a = _mha(q, k, v, H, causal=True, cfg=cfg)
     x = x + jnp.dot(a, blk["proj"].astype(dt), preferred_element_type=dt)
     # cross-attention: queries from the decoder, k/v from encoder memory
     h = T._layer_norm(x, blk["ln2"])
     q = jnp.dot(h, blk["xq"].astype(dt), preferred_element_type=dt)
     kv = jnp.dot(memory, blk["xkv"].astype(dt), preferred_element_type=dt)
     k, v = jnp.split(kv, 2, axis=-1)
-    a = _mha(q, k, v, H, causal=False, dtype=dt)
+    a = _mha(q, k, v, H, causal=False, cfg=cfg)
     x = x + jnp.dot(a, blk["xproj"].astype(dt), preferred_element_type=dt)
     # MLP
     h = T._layer_norm(x, blk["ln3"])

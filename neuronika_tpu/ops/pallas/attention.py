@@ -342,11 +342,15 @@ def _seed_arr(seed):
 def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
               dropout=0.0, seed=None, window=0):
     B, H, S, D = q.shape
-    bq, bk = _block_sizes(S, block_q, block_k)
+    Skv = k.shape[2]
+    if causal and Skv != S:
+        raise ValueError("causal attention requires matching q/kv lengths")
+    bq, _ = _block_sizes(S, block_q, block_k)
+    _, bk = _block_sizes(Skv, block_q, block_k)
     grid = (B, H, S // bq)
     row_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                             memory_space=pltpu.VMEM)
-    full_spec = pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0),
+    full_spec = pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h, 0, 0),
                              memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, lse = pl.pallas_call(
@@ -368,9 +372,9 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S * S * D // (2 if causal else 1),
+            flops=4 * B * H * S * Skv * D // (2 if causal else 1),
             bytes_accessed=4 * B * H * S * D * q.dtype.itemsize,
-            transcendentals=B * H * S * S,
+            transcendentals=B * H * S * Skv,
         ),
         interpret=interpret,
     )(q, k, v, _seed_arr(seed))
@@ -380,7 +384,11 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
 def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
               interpret, dropout=0.0, seed=None, window=0):
     B, H, S, D = q.shape
-    bq, bk = _block_sizes(S, block_q, block_k)
+    Skv = k.shape[2]
+    if causal and Skv != S:
+        raise ValueError("causal attention requires matching q/kv lengths")
+    bq, _ = _block_sizes(S, block_q, block_k)
+    _, bk = _block_sizes(Skv, block_q, block_k)
     # delta = rowsum(dO * O), stored like lse
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (B, H, S, LSE_W))
@@ -391,6 +399,8 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
+    full_kv = pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
     vec_q = pl.BlockSpec((1, 1, bq, LSE_W), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
     vec_full = pl.BlockSpec((1, 1, S, LSE_W), lambda b, h, i: (b, h, 0, 0),
@@ -398,7 +408,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     seed_a = _seed_arr(seed)
 
-    flops_bwd = 7 * B * H * S * S * D // (2 if causal else 1)
+    flops_bwd = 7 * B * H * S * Skv * D // (2 if causal else 1)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk,
@@ -406,7 +416,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
                           interpret=interpret, window=window),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(B, H, S // bq),
-        in_specs=[row_q, full, full, row_q, vec_q, vec_q, seed_spec],
+        in_specs=[row_q, full_kv, full_kv, row_q, vec_q, vec_q, seed_spec],
         out_specs=row_q,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -414,7 +424,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
         cost_estimate=pl.CostEstimate(
             flops=3 * flops_bwd // 7,
             bytes_accessed=5 * B * H * S * D * q.dtype.itemsize,
-            transcendentals=B * H * S * S // (2 if causal else 1),
+            transcendentals=B * H * S * Skv // (2 if causal else 1),
         ),
         interpret=interpret,
     )(q, k, v, do, lse, delta, seed_a)
@@ -427,7 +437,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(B, H, S // bk),
+        grid=(B, H, Skv // bk),
         in_specs=[full, row_k, row_k, full, vec_full, vec_full, seed_spec],
         out_specs=(row_k, row_k),
         compiler_params=pltpu.CompilerParams(
@@ -436,7 +446,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
         cost_estimate=pl.CostEstimate(
             flops=4 * flops_bwd // 7,
             bytes_accessed=5 * B * H * S * D * q.dtype.itemsize,
-            transcendentals=B * H * S * S // (2 if causal else 1),
+            transcendentals=B * H * S * Skv // (2 if causal else 1),
         ),
         interpret=interpret,
     )(q, k, v, do, lse, delta, seed_a)

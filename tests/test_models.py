@@ -1633,3 +1633,26 @@ class TestSeq2Seq:
         l_pad = float(t5.loss_fn(p, src, ti, to, cfg, pad_id=37))
         l_all = float(t5.loss_fn(p, src, ti, to, cfg))
         assert abs(l_pad - l_all) > 1e-6
+
+    def test_flash_path_matches_composite(self):
+        """cfg.flash="on": decoder self-attention runs the causal flash
+        kernel and CROSS-attention the non-causal kernel with Sq != Skv;
+        both must match the composite oracle."""
+        from neuronika_tpu.config import config
+        from neuronika_tpu.models import t5
+
+        base = dict(vocab_size=40, n_layer=2, n_head=2, d_model=32,
+                    d_ff=64, max_src=64, max_tgt=32, dtype=jnp.float32,
+                    flash_block=16)
+        cfg_f = t5.Seq2SeqConfig(**base, flash="on")
+        cfg_c = t5.Seq2SeqConfig(**base, flash="off")
+        p = t5.init_params(jax.random.key(0), cfg_f)
+        src = jax.random.randint(jax.random.key(1), (2, 64), 0, 40)
+        tgt = jax.random.randint(jax.random.key(2), (2, 32), 0, 40)
+        config.pallas_interpret = True
+        try:
+            a = t5.forward(p, src, tgt, cfg_f)
+        finally:
+            config.pallas_interpret = False
+        b = t5.forward(p, src, tgt, cfg_c)
+        assert_close(a, b, tol=2e-4)
