@@ -21,8 +21,28 @@ from __future__ import annotations
 
 import json
 import re
+import struct
 from functools import lru_cache
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native() -> Optional[object]:
+    """Resolve the C++ extension once (not per encode call); retried
+    lazily so an in-session `build_ext` is still picked up the first
+    time encoding happens after the build."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from . import _native_bpe  # type: ignore[attr-defined]
+
+            _NATIVE = _native_bpe
+        except ImportError:
+            _NATIVE = None
+    return _NATIVE
 
 # " ?\S+" attaches a single leading space to the word; "\s+(?!\S)"
 # (GPT-2's lookahead) makes a whitespace run leave its LAST space to
@@ -51,6 +71,8 @@ class BpeTokenizer:
             for i, s in enumerate(self.special_tokens)
         }
         self._encode_word = lru_cache(maxsize=65536)(self._encode_word_raw)
+        self._blob: Optional[bytes] = None
+        self._table: Optional[List[bytes]] = None
 
     # ------------------------------------------------------------ training
     @classmethod
@@ -136,12 +158,9 @@ class BpeTokenizer:
         return self._encode_plain(text.encode("utf-8"))
 
     def _encode_plain(self, data: bytes) -> List[int]:
-        try:
-            from . import _native_bpe  # type: ignore[attr-defined]
-
-            return list(_native_bpe.encode(data, self._merge_blob()))
-        except ImportError:
-            pass
+        native = _native()
+        if native is not None:
+            return list(native.encode(data, self._merge_blob()))
         out: List[int] = []
         for w in _pretokenize(data):
             out.extend(self._encode_word(w))
@@ -150,22 +169,24 @@ class BpeTokenizer:
     def encode_batch(self, texts: Iterable[str]) -> List[List[int]]:
         return [self.encode(t) for t in texts]
 
-    @lru_cache(maxsize=1)
     def _merge_blob(self) -> bytes:
-        """Packed int32 (a, b) pairs in rank order for the C++ encoder."""
-        import struct
-
-        return b"".join(struct.pack("<ii", a, b) for a, b in self.merges)
+        """Packed int32 (a, b) pairs in rank order for the C++ encoder
+        (computed once per instance)."""
+        if self._blob is None:
+            self._blob = b"".join(
+                struct.pack("<ii", a, b) for a, b in self.merges)
+        return self._blob
 
     # ------------------------------------------------------------ decoding
-    @lru_cache(maxsize=1)
     def _id_bytes(self) -> List[bytes]:
-        table: List[bytes] = [bytes([i]) for i in range(256)]
-        for a, b in self.merges:
-            table.append(table[a] + table[b])
-        for s in self.special_tokens:
-            table.append(s.encode("utf-8"))
-        return table
+        if self._table is None:
+            table: List[bytes] = [bytes([i]) for i in range(256)]
+            for a, b in self.merges:
+                table.append(table[a] + table[b])
+            for s in self.special_tokens:
+                table.append(s.encode("utf-8"))
+            self._table = table
+        return self._table
 
     def decode(self, ids: Iterable[int]) -> str:
         table = self._id_bytes()

@@ -124,7 +124,9 @@ def classify(params, head, tokens, cfg: T.GPTConfig, *,
 def make_classifier_train_step(cfg: T.GPTConfig, n_classes: int, *,
                                pooling: str = "mean"):
     """Fine-tune encoder + head jointly with softmax CE. Signature:
-    step(params, head, opt, opt_h, tokens, labels, lr, key)."""
+    step(params, head, opt_state, tokens, labels, lr, key) ->
+    (params, head, opt_state, loss), with opt_state initialised as
+    adam_init((params, head)) — ONE optimizer state over the pair."""
     from ..optim.functional import adam_update
 
     def loss_fn(both, tokens, labels, key):

@@ -142,28 +142,40 @@ def _mha(q, k, v, n_head, *, causal, cfg: Seq2SeqConfig):
     return out.transpose(0, 2, 1, 3).reshape(B, Sq, D)
 
 
-def _decoder_block(x, memory, blk, cfg: Seq2SeqConfig):
+def _res_drop(y, cfg: Seq2SeqConfig, train, key):
+    """Residual dropout (decoder): applied to each sub-layer output
+    before the residual add, matching the encoder's regularisation."""
+    if not train or cfg.dropout == 0.0:
+        return y
+    keep = jax.random.bernoulli(key, 1.0 - cfg.dropout, y.shape)
+    return jnp.where(keep, y / (1.0 - cfg.dropout), 0.0).astype(y.dtype)
+
+
+def _decoder_block(x, memory, blk, cfg: Seq2SeqConfig, train, key):
     dt = cfg.dtype
     H = cfg.n_head
+    k1, k2, k3 = jax.random.split(key, 3)
     # causal self-attention
     h = T._layer_norm(x, blk["ln1"])
     qkv = jnp.dot(h, blk["qkv"].astype(dt), preferred_element_type=dt)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     a = _mha(q, k, v, H, causal=True, cfg=cfg)
-    x = x + jnp.dot(a, blk["proj"].astype(dt), preferred_element_type=dt)
+    a = jnp.dot(a, blk["proj"].astype(dt), preferred_element_type=dt)
+    x = x + _res_drop(a, cfg, train, k1)
     # cross-attention: queries from the decoder, k/v from encoder memory
     h = T._layer_norm(x, blk["ln2"])
     q = jnp.dot(h, blk["xq"].astype(dt), preferred_element_type=dt)
     kv = jnp.dot(memory, blk["xkv"].astype(dt), preferred_element_type=dt)
     k, v = jnp.split(kv, 2, axis=-1)
     a = _mha(q, k, v, H, causal=False, cfg=cfg)
-    x = x + jnp.dot(a, blk["xproj"].astype(dt), preferred_element_type=dt)
+    a = jnp.dot(a, blk["xproj"].astype(dt), preferred_element_type=dt)
+    x = x + _res_drop(a, cfg, train, k2)
     # MLP
     h = T._layer_norm(x, blk["ln3"])
     m = jnp.dot(h, blk["fc_in"].astype(dt), preferred_element_type=dt)
     m = jax.nn.gelu(m)
-    return x + jnp.dot(m, blk["fc_out"].astype(dt),
-                       preferred_element_type=dt)
+    m = jnp.dot(m, blk["fc_out"].astype(dt), preferred_element_type=dt)
+    return x + _res_drop(m, cfg, train, k3)
 
 
 def forward(params, src, tgt, cfg: Seq2SeqConfig, *, train=False,
@@ -171,17 +183,22 @@ def forward(params, src, tgt, cfg: Seq2SeqConfig, *, train=False,
     """Teacher-forced decode: (src (B,Ss), tgt (B,St)) -> logits
     (B, St, V). Pass a precomputed `memory` to reuse the encoder pass
     (generation loop)."""
+    if key is None:
+        key = jax.random.key(0)
+    k_enc, k_dec = jax.random.split(key)
     if memory is None:
-        memory = encode(params, src, cfg, train=train, key=key)
+        memory = encode(params, src, cfg, train=train, key=k_enc)
     dec = params["decoder"]
     B, St = tgt.shape
     wte = params["encoder"]["wte"]
     x = (wte[tgt] + dec["wpe"][:St]).astype(cfg.dtype)
+    layer_keys = jax.random.split(k_dec, cfg.n_layer)
 
-    def body(x, blk):
-        return _decoder_block(x, memory, blk, cfg), None
+    def body(x, blk_key):
+        blk, k = blk_key
+        return _decoder_block(x, memory, blk, cfg, train, k), None
 
-    x, _ = lax.scan(body, x, dec["blocks"])
+    x, _ = lax.scan(body, x, (dec["blocks"], layer_keys))
     x = T._layer_norm(x, dec["ln_f"])
     return jnp.dot(x, wte.T.astype(cfg.dtype),
                    preferred_element_type=jnp.float32).astype(jnp.float32)

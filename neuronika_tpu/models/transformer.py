@@ -32,6 +32,7 @@ TPU-first structure:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict
 
@@ -449,6 +450,10 @@ def _split_qkv(qkv, cfg: GPTConfig, B, S):
 
 
 def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
+    if cfg.window and not cfg.causal:
+        raise ValueError(
+            "cfg.window (sliding-window attention) requires causal=True; "
+            "bidirectional local attention is not supported")
     B, S, D = x.shape
     H = cfg.n_head
     hd = D // H
@@ -590,7 +595,10 @@ def _attention(x, blk, cfg: GPTConfig, dropout_key, train, mesh=None):
             dp_ax = "dp" if "dp" in mesh.axis_names else None
             tp_ax = "tp" if "tp" in mesh.axis_names else None
             spec = _P(dp_ax, tp_ax, "cp", None)
-            bl = min(cfg.flash_block, S // cp_size)
+            # the block must divide the PER-CHIP sequence; gcd keeps a
+            # valid (possibly smaller) block when flash_block doesn't
+            s_local = S // cp_size
+            bl = math.gcd(min(cfg.flash_block, s_local), s_local)
             fa = shard_map(
                 lambda q_, k_, v_: ring_flash_attention(
                     q_, k_, v_, "cp", cp_size, cfg.causal, None, bl, bl,
@@ -1133,12 +1141,13 @@ def loss_fn(params, tokens, targets, cfg: GPTConfig, *, train=False, key=None,
     return (lse - tgt).mean() + cfg.moe_aux_weight * aux
 
 
+@functools.lru_cache(maxsize=32)
 def make_eval_step(cfg: GPTConfig, *, pad_id: int | None = None):
     """Jitted evaluation step: (params, tokens, targets) ->
     (summed token CE, token count), both f32 scalars. Positions whose
     TARGET equals `pad_id` are excluded, so dataset-level perplexity is
-    exact under ragged batching. Uses the fused-CE forward when the
-    shape qualifies (the fused kernel wins for eval — no backward)."""
+    exact under ragged batching. Cached on (cfg, pad_id): repeated
+    evaluate() calls reuse the compiled program."""
     ecfg = dataclasses.replace(cfg, dropout=0.0)
 
     @jax.jit

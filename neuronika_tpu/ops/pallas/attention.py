@@ -202,7 +202,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
             if window:
                 keep &= rows - cols < window
             s = jnp.where(keep, s, NEG_INF)
-        p = jnp.exp2(s - lse)
+        # p <= 1 mathematically (lse >= every in-row score); the clamp
+        # keeps out-of-distribution scores (ring attention's future
+        # blocks, whose contribution is zeroed via do/delta) from
+        # overflowing exp2 into inf * 0 = NaN.
+        p = jnp.exp2(jnp.minimum(s - lse, 0.0))
         dp = _dot_bf16(do, vb.T)
         if dropout > 0.0:
             keep = _tile_keep_mask(seed_ref, b, h, qi, j,
@@ -266,7 +270,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             if window:
                 keep &= rows - cols < window
             s = jnp.where(keep, s, NEG_INF)
-        p = jnp.exp2(s - lse)
+        p = jnp.exp2(jnp.minimum(s - lse, 0.0))  # see _bwd_dq_kernel note
         dp = _dot_bf16(dob, v.T)
         if dropout > 0.0:
             # same absolute (q-tile, k-tile) seed as fwd/dq -> same mask
@@ -333,6 +337,16 @@ def _block_sizes(seq: int, block_q: int, block_k: int):
     return bq, bk
 
 
+def _block_size(seq: int, block: int, what: str) -> int:
+    """One axis, its own length: q blocks divide Sq, kv blocks divide
+    Skv — never cross-checked (cross-attention has Sq != Skv)."""
+    b = min(block, seq)
+    if seq % b:
+        raise ValueError(
+            f"{what} length {seq} must be divisible by its block size {b}")
+    return b
+
+
 def _seed_arr(seed):
     if seed is None:
         return jnp.zeros((1,), jnp.int32)
@@ -345,8 +359,10 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
     Skv = k.shape[2]
     if causal and Skv != S:
         raise ValueError("causal attention requires matching q/kv lengths")
-    bq, _ = _block_sizes(S, block_q, block_k)
-    _, bk = _block_sizes(Skv, block_q, block_k)
+    if window and not causal:
+        raise ValueError("sliding window requires causal attention")
+    bq = _block_size(S, block_q, "query sequence")
+    bk = _block_size(Skv, block_k, "key/value sequence")
     grid = (B, H, S // bq)
     row_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                             memory_space=pltpu.VMEM)
@@ -387,8 +403,10 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
     Skv = k.shape[2]
     if causal and Skv != S:
         raise ValueError("causal attention requires matching q/kv lengths")
-    bq, _ = _block_sizes(S, block_q, block_k)
-    _, bk = _block_sizes(Skv, block_q, block_k)
+    if window and not causal:
+        raise ValueError("sliding window requires causal attention")
+    bq = _block_size(S, block_q, "query sequence")
+    bk = _block_size(Skv, block_k, "key/value sequence")
     # delta = rowsum(dO * O), stored like lse
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (B, H, S, LSE_W))

@@ -1656,3 +1656,25 @@ class TestSeq2Seq:
             config.pallas_interpret = False
         b = t5.forward(p, src, tgt, cfg_c)
         assert_close(a, b, tol=2e-4)
+
+    def test_decoder_dropout_active_in_training(self):
+        """Seq2SeqConfig.dropout regularises the DECODER too: train-mode
+        forwards differ across keys, eval-mode forwards are
+        deterministic."""
+        from neuronika_tpu.models import t5
+
+        cfg = t5.Seq2SeqConfig(vocab_size=40, n_layer=1, n_head=2,
+                               d_model=32, d_ff=64, max_src=8,
+                               max_tgt=8, dtype=jnp.float32, dropout=0.5)
+        p = t5.init_params(jax.random.key(0), cfg)
+        src = jax.random.randint(jax.random.key(1), (1, 8), 0, 40)
+        tgt = jax.random.randint(jax.random.key(2), (1, 8), 0, 40)
+        mem = t5.encode(p, src, cfg)  # isolate the decoder
+        a = t5.forward(p, None, tgt, cfg, memory=mem, train=True,
+                       key=jax.random.key(3))
+        b = t5.forward(p, None, tgt, cfg, memory=mem, train=True,
+                       key=jax.random.key(4))
+        c = t5.forward(p, None, tgt, cfg, memory=mem)
+        d = t5.forward(p, None, tgt, cfg, memory=mem)
+        assert float(jnp.abs(a - b).max()) > 1e-4   # dropout varies
+        assert_close(c, d, tol=0)                   # eval deterministic

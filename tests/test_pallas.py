@@ -593,3 +593,50 @@ class TestSlidingWindow:
                                      64, 64, True, 0.0, 50)
         ow = flash_attention(q, k, v, True, None, 64, 64, True, 50)
         assert float(jnp.abs(od - ow).max()) == 0.0
+
+
+class TestCrossShapeFlash:
+    """Sq != Skv (cross-attention): block sizes are per-axis — q blocks
+    divide Sq, kv blocks divide Skv, never cross-checked."""
+
+    def test_indivisible_cross_lengths(self):
+        # Sq=64 with Skv=96: old code validated 64 % min(bk, 64) AND
+        # 96 % bq and crashed; per-axis sizing must run and be exact
+        import jax
+
+        q = jax.random.normal(jax.random.key(0), (1, 2, 64, 32))
+        k = jax.random.normal(jax.random.key(1), (1, 2, 96, 32))
+        v = jax.random.normal(jax.random.key(2), (1, 2, 96, 32))
+        out = flash_attention(q, k, v, False, None, 64, 96, True)
+        ref = reference_attention(q, k, v, False)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+
+    def test_cross_gradients(self):
+        import jax
+
+        q = jax.random.normal(jax.random.key(0), (1, 2, 64, 32))
+        k = jax.random.normal(jax.random.key(1), (1, 2, 128, 32))
+        v = jax.random.normal(jax.random.key(2), (1, 2, 128, 32))
+        w = jax.random.normal(jax.random.key(3), q.shape)
+        gf = jax.grad(lambda *a: (flash_attention(*a, False, None, 32, 32,
+                                                  True) * w).sum(),
+                      (0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: (reference_attention(*a, False) * w).sum(),
+                      (0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            assert float(jnp.abs(a - b).max()) < 2e-4
+
+    def test_causal_mismatch_raises(self):
+        import jax
+
+        q = jax.random.normal(jax.random.key(0), (1, 1, 64, 32))
+        k = jax.random.normal(jax.random.key(1), (1, 1, 128, 32))
+        with pytest.raises(ValueError, match="matching q/kv"):
+            flash_attention(q, k, k, True, None, 32, 32, True)
+
+    def test_window_without_causal_raises(self):
+        import jax
+
+        q = jax.random.normal(jax.random.key(0), (1, 1, 64, 32))
+        with pytest.raises(ValueError, match="requires causal"):
+            flash_attention(q, q, q, False, None, 32, 32, True, 8)

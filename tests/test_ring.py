@@ -173,3 +173,51 @@ class TestContextParallelModel:
                    jax.random.key(2))
         finally:
             config.pallas_interpret = False
+
+
+def test_extreme_scores_gradients_finite():
+    """Future-block hops push s - lse far past the f32 exp2 range; the
+    clamped backward must stay finite AND correct (regression for the
+    inf * 0 = NaN in the ring backward)."""
+    mesh = parallel.make_mesh([("cp", 8)])
+    q, k, v = (30.0 * x for x in _qkv_helper())
+    w = jax.random.normal(jax.random.key(1), q.shape)
+    ring = _ring(mesh, 8, True, block=32)
+    gr = jax.grad(lambda a, b, c: (ring(a, b, c) * w).sum(),
+                  (0, 1, 2))(q, k, v)
+    go = jax.grad(
+        lambda a, b, c: (reference_attention(a, b, c, True) * w).sum(),
+        (0, 1, 2))(q, k, v)
+    for a, b in zip(gr, go):
+        assert bool(jnp.isfinite(a).all())
+        # saturated-softmax regime: compare relative to grad magnitude
+        scale = float(jnp.abs(b).max()) + 1.0
+        assert float(jnp.abs(a - b).max()) / scale < 5e-3
+
+
+def _qkv_helper(S=256, D=64, B=1, H=2):
+    q, k, v = jax.random.normal(jax.random.key(0), (3, B, H, S, D))
+    return q, k, v
+
+
+def test_cp_block_not_dividing_local_seq():
+    """flash_block that doesn't divide the per-chip sequence must fall
+    back to a gcd block, not crash (S=384, cp=4 -> S_local=96, fb=64)."""
+    from neuronika_tpu.config import config
+    from neuronika_tpu.models import transformer as T
+
+    cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                      d_ff=64, max_seq=384, dtype=jnp.float32,
+                      flash="on", flash_block=64)
+    mesh = parallel.make_mesh([("dp", 2), ("cp", 4)])
+    toks = jax.random.randint(jax.random.key(1), (4, 384), 0, 32)
+    config.pallas_interpret = True
+    try:
+        params = T.init_params(jax.random.key(0), cfg)
+        sh = T.make_sharded_train_step(mesh, cfg)
+        _, _, loss = sh(params, T.adam_init(params), toks,
+                        jnp.roll(toks, -1, 1), jnp.float32(1e-3),
+                        jax.random.key(2))
+    finally:
+        config.pallas_interpret = False
+    assert np.isfinite(float(loss))
