@@ -35,10 +35,10 @@ def main():
           f"({len(CORPUS) / len(ids):.2f} bytes/token)")
 
     # 2. batching: contiguous SEQ+1 windows
-    n_win = (len(ids) - 1) // SEQ
-    toks = np.stack([ids[i * SEQ:(i + 1) * SEQ] for i in range(n_win)])
-    tgts = np.stack([ids[i * SEQ + 1:(i + 1) * SEQ + 1]
-                     for i in range(n_win)])
+    from neuronika_tpu.data import lm_windows
+
+    toks, tgts = lm_windows(ids, SEQ)
+    n_win = len(toks)
     split = max(1, int(n_win * 0.9))
     print(f"dataset: {split} train / {n_win - split} eval windows of {SEQ}")
 

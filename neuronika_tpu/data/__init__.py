@@ -35,8 +35,27 @@ from .tokenizer import BpeTokenizer  # noqa: E402
 __all__ = [
     "DataLoader", "LabeledDataLoader", "Dataset", "LabeledDataset",
     "Batch", "LabeledBatch", "KFold", "LabeledKFold", "SetKFold",
-    "prefetch_to_device", "BpeTokenizer",
+    "prefetch_to_device", "BpeTokenizer", "lm_windows",
 ]
+
+
+def lm_windows(ids, seq_len: int, stride: int = 0):
+    """Slice a 1-D token stream into (tokens, targets) next-token
+    windows: tokens[i] = ids[s:s+L], targets[i] = ids[s+1:s+L+1], with
+    window starts every `stride` tokens (default: non-overlapping).
+    Returns two int32 arrays of shape (n_windows, seq_len) — the
+    standard LM pre-training batcher (see examples/text_pipeline.py)."""
+    ids = np.asarray(ids, np.int32).reshape(-1)
+    if stride <= 0:
+        stride = seq_len
+    if len(ids) < seq_len + 1:
+        raise ValueError(
+            f"stream of {len(ids)} tokens is shorter than one "
+            f"window ({seq_len} + 1)")
+    starts = range(0, len(ids) - seq_len, stride)
+    toks = np.stack([ids[s:s + seq_len] for s in starts])
+    tgts = np.stack([ids[s + 1:s + seq_len + 1] for s in starts])
+    return toks, tgts
 
 
 def _coerce(field: str):

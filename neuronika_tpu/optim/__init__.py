@@ -29,7 +29,8 @@ from . import functional, lr_scheduler
 
 __all__ = [
     "Optimizer", "StochasticGD", "SGD", "Adam", "AdamW", "AMSGrad",
-    "Adagrad", "RMSProp", "Lion", "Adafactor", "L1", "L2", "ElasticNet",
+    "Adagrad", "RMSProp", "Lion", "Adafactor", "Muon", "L1", "L2",
+    "ElasticNet",
     "Penalty", "lr_scheduler", "functional", "clip_grad_norm",
 ]
 
@@ -449,6 +450,42 @@ class Adafactor(Optimizer):
         u = u / jnp.maximum(1.0, rms / clip)
         new = data - (u * lr).astype(data.dtype) - data * (lr * wd)
         return new, ns
+
+
+class Muon(Optimizer):
+    """Orthogonalised-momentum optimizer (Jordan et al. 2024): matrix
+    parameters step by the quintic Newton-Schulz orthogonalisation of
+    their momentum — five MATMUL-only iterations, i.e. the whole inner
+    loop lives on the MXU. Non-matrix parameters fall back to momentum
+    SGD. Matches optim.functional.muon_*."""
+
+    def __init__(self, lr, momentum: float = 0.95, nesterov: bool = True,
+                 ns_steps: int = 5, penalty=None) -> None:
+        super().__init__(lr, penalty)
+        self.momentum = float(momentum)
+        self.nesterov = bool(nesterov)
+        self.ns_steps = int(ns_steps)
+
+    def _hyper(self):
+        return (self._lr, self.momentum)
+
+    def _init_state(self, variable):
+        return {"buffer": jnp.zeros(variable.shape, jnp.float32)}
+
+    def _update(self, data, grad, state, hyper, step):
+        from .functional import _newton_schulz5
+
+        lr, mom = hyper
+        m = state["buffer"] * mom + grad
+        d = m * mom + grad if self.nesterov else m
+        if data.ndim >= 2:
+            o = _newton_schulz5(d, self.ns_steps)
+            scale = jnp.sqrt(
+                jnp.maximum(1.0, data.shape[-2] / data.shape[-1]))
+            new = data - o * (lr * scale)
+        else:
+            new = data - d * lr
+        return new, {"buffer": m}
 
 
 # --------------------------------------------------------------------------

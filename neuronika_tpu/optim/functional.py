@@ -271,6 +271,62 @@ def lion_update(params, grads, state, lr, b1: float = 0.9,
     return new, {"m": m, "step": step}
 
 
+# ------------------------------------------------------------------ Muon
+
+
+def _newton_schulz5(m, steps: int = 5, eps: float = 1e-7):
+    """Quintic Newton-Schulz iteration driving the singular values of
+    `m` (..., r, c) toward 1 — five matmul-only iterations, which is
+    exactly what the MXU is for. Coefficients from Jordan et al. 2024
+    (tuned for convergence from spectral norm <= 1 after Frobenius
+    normalisation)."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    transpose = m.shape[-2] > m.shape[-1]
+    x = jnp.swapaxes(m, -2, -1) if transpose else m
+    x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + eps)
+    for _ in range(steps):
+        xxt = x @ jnp.swapaxes(x, -2, -1)
+        x = a * x + (b * xxt + c * (xxt @ xxt)) @ x
+    return jnp.swapaxes(x, -2, -1) if transpose else x
+
+
+def muon_init(params) -> Dict:
+    return {"m": jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32),
+                              params),
+            "step": jnp.zeros((), jnp.float32)}
+
+
+def muon_update(params, grads, state, lr, momentum: float = 0.95,
+                nesterov: bool = True, ns_steps: int = 5,
+                adam_lr_scale: float = 1.0):
+    """Muon (Jordan et al. 2024): momentum orthogonalised by a quintic
+    Newton-Schulz iteration before the step — matrices move by a
+    near-orthogonal update scaled by sqrt(max(1, rows/cols)). Matmul-
+    only inner loop (MXU-resident, no transcendentals). Non-matrix
+    leaves (ndim < 2: gains, biases) fall back to momentum SGD at
+    `lr * adam_lr_scale` — pair with a separate Adam on those leaves
+    for the full recipe if desired. Leading axes of stacked (L, r, c)
+    leaves are treated as batch."""
+    step = state["step"] + 1.0
+
+    def upd(p, g, m_):
+        g32 = g.astype(jnp.float32)
+        m = m_ * momentum + g32
+        d = m * momentum + g32 if nesterov else m
+        if p.ndim >= 2:
+            o = _newton_schulz5(d, ns_steps)
+            scale = jnp.sqrt(
+                jnp.maximum(1.0, p.shape[-2] / p.shape[-1]))
+            return _step_param(p, o * (lr * scale)), m
+        return _step_param(p, d * (lr * adam_lr_scale)), m
+
+    flat = jax.tree.map(upd, params, grads, state["m"])
+    leaf = lambda t: isinstance(t, tuple)  # noqa: E731
+    new = jax.tree.map(lambda t: t[0], flat, is_leaf=leaf)
+    m = jax.tree.map(lambda t: t[1], flat, is_leaf=leaf)
+    return new, {"m": m, "step": step}
+
+
 # ------------------------------------------------------------- Adafactor
 
 

@@ -169,3 +169,33 @@ def test_prefetch_to_device():
     lds = data.DataLoader.default().with_labels([3]).from_reader(CSV_LABELED, 3, 1)
     for x, y in data.prefetch_to_device(lds.batch(2)):
         assert np.asarray(x).shape[0] == np.asarray(y).shape[0]
+
+
+class TestLmWindows:
+    def test_windows_and_targets(self):
+        import numpy as np
+
+        from neuronika_tpu.data import lm_windows
+
+        ids = np.arange(100)
+        t, g = lm_windows(ids, 10)
+        assert t.shape == g.shape == (9, 10)
+        assert (g == t + 1).all()          # next-token alignment
+        assert (t[0] == np.arange(10)).all()
+        assert (t[1] == np.arange(10, 20)).all()
+
+    def test_stride_overlap(self):
+        import numpy as np
+
+        from neuronika_tpu.data import lm_windows
+
+        t, g = lm_windows(np.arange(50), 16, stride=8)
+        assert (t[1][:8] == t[0][8:]).all()   # half-window overlap
+
+    def test_too_short_raises(self):
+        import pytest as _pytest
+
+        from neuronika_tpu.data import lm_windows
+
+        with _pytest.raises(ValueError, match="shorter than one"):
+            lm_windows(list(range(8)), 16)

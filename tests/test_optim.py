@@ -624,3 +624,61 @@ def test_new_optimizers_converge_on_quadratic():
             opt.step()
         end = float((np.asarray(p.data()) ** 2).sum())
         assert end < 0.5 * start, (type(opt).__name__, start, end)
+
+
+def test_muon_newton_schulz_orthogonalizes():
+    """NS5 drives singular values of the momentum toward 1."""
+    from neuronika_tpu.optim.functional import _newton_schulz5
+
+    m = np.random.RandomState(0).randn(64, 32).astype(np.float32)
+    o = np.asarray(_newton_schulz5(jnp.asarray(m)))
+    s = np.linalg.svd(o, compute_uv=False)
+    assert s.max() < 1.3 and s.min() > 0.6   # near-orthogonal
+    # batched leading axis (stacked layers)
+    mb = np.random.RandomState(1).randn(3, 64, 32).astype(np.float32)
+    ob = np.asarray(_newton_schulz5(jnp.asarray(mb)))
+    for i in range(3):
+        sb = np.linalg.svd(ob[i], compute_uv=False)
+        assert sb.max() < 1.3 and sb.min() > 0.6
+
+
+def test_muon_functional_matches_class():
+    from neuronika_tpu.optim import functional as F
+
+    w0 = np.random.RandomState(2).randn(16, 8).astype(np.float32)
+    grads = [np.random.RandomState(i + 3).randn(16, 8).astype(np.float32)
+             for i in range(3)]
+    params = {"w": jnp.asarray(w0)}
+    state = F.muon_init(params)
+    for g in grads:
+        params, state = F.muon_update(params, {"w": jnp.asarray(g)},
+                                      state, 0.02)
+    p = make_param(w0, grads[0])
+    opt = optim.Muon(0.02)
+    opt.register(p)
+    hist = run_steps(opt, p, grads, 3)
+    assert_close(np.asarray(params["w"]), hist[-1], tol=1e-4)
+
+
+def test_muon_vector_fallback_and_convergence():
+    from neuronika_tpu.optim import functional as F
+
+    # 1D leaf: plain momentum SGD (no NS)
+    params = {"b": jnp.asarray(np.float32([1.0, -2.0]))}
+    state = F.muon_init(params)
+    g = {"b": jnp.asarray(np.float32([0.5, -0.5]))}
+    p2, _ = F.muon_update(params, g, state, 0.1, momentum=0.0,
+                          nesterov=False)
+    assert_close(np.asarray(p2["b"]), [0.95, -1.95], tol=1e-6)
+
+    # matrix quadratic bowl converges. Muon's updates are orthogonal
+    # (constant Frobenius norm ~sqrt(min(r,c)) * lr), so it moves at a
+    # fixed speed: size lr/steps to cover the distance to the minimum.
+    w = {"w": jnp.asarray(np.random.RandomState(0).randn(8, 8),
+                          jnp.float32)}
+    s = F.muon_init(w)
+    start = float((np.asarray(w["w"]) ** 2).sum())
+    for _ in range(100):
+        g = {"w": 2 * w["w"]}
+        w, s = F.muon_update(w, g, s, 0.05, momentum=0.5)
+    assert float((np.asarray(w["w"]) ** 2).sum()) < 0.3 * start

@@ -221,3 +221,35 @@ def test_cp_block_not_dividing_local_seq():
     finally:
         config.pallas_interpret = False
     assert np.isfinite(float(loss))
+
+
+def test_bert_encoder_under_cp():
+    """Long-document encoder: causal=False body S-sharded over cp, the
+    ring runs non-causal (every hop contributes). MLM loss must match
+    the single-chip encoder."""
+    from neuronika_tpu.config import config
+    from neuronika_tpu.models import bert as BT
+    from neuronika_tpu.models import transformer as T
+
+    cfg = BT.bert_config(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                         d_ff=64, max_seq=128, dtype=jnp.float32,
+                         flash="on", flash_block=32)
+    mesh = parallel.make_mesh([("dp", 2), ("cp", 4)])
+    toks = jax.random.randint(jax.random.key(1), (4, 128), 0, 32)
+    labels = toks
+    w = (jax.random.uniform(jax.random.key(2), toks.shape) < 0.2
+         ).astype(jnp.float32)
+    params = T.init_params(jax.random.key(0), cfg)
+    config.pallas_interpret = True
+    try:
+        sharded = jax.jit(
+            lambda p, t: BT.mlm_loss_fn(p, t, labels, w, cfg,
+                                        mesh=mesh),
+            in_shardings=(jax.sharding.NamedSharding(mesh, P()),
+                          jax.sharding.NamedSharding(mesh, P("dp", "cp"))),
+        )
+        a = float(sharded(params, toks))
+        b = float(BT.mlm_loss_fn(params, toks, labels, w, cfg))
+    finally:
+        config.pallas_interpret = False
+    assert abs(a - b) < 1e-4
