@@ -1553,14 +1553,40 @@ def _quant_w(w, axis):
     return {"q8": q, "s": s}
 
 
-def _quant_decode_params(params, cfg: GPTConfig):
-    """int8 weight quantization for serving (W8A8 with dynamic per-token
-    activation scales — see `_qdot`). Decode is weight-bandwidth-bound,
-    so int8 weights halve the dominant HBM traffic vs bf16. The embedding
-    lookup keeps a compute-dtype `wte` (table reads are gathers, not
-    matmuls); the LM head gets its own quantized (D, V) matrix. LayerNorm
-    params and biases stay f32. MoE expert weights are left in compute
-    dtype (dense no-drop dispatch reads them once per token anyway)."""
+def _quant_w4(w, group: int = 128):
+    """Group-wise symmetric int4 over the contraction axis (always the
+    second-to-last axis here): values in [-7, 7] with one f32 scale per
+    `group`-sized slice of that axis (per-group scales recover most of
+    the accuracy a single per-channel scale loses at 4 bits). Two
+    consecutive contraction-axis nibbles are PACKED into one int8 byte
+    (low nibble = even index) — the packed form crosses jit boundaries
+    as plain int8, and `_qdot` unpacks with two arithmetic shifts.
+    Returns {"q4p": int8 (..., K/g, g/2, N), "s4": f32 (..., K/g, 1, N)}."""
+    K, N = w.shape[-2], w.shape[-1]
+    if K % 2:
+        raise ValueError(f"int4 packing needs an even contraction dim, got {K}")
+    g = group if (K % group == 0) else K
+    w32 = w.astype(jnp.float32).reshape(w.shape[:-2] + (K // g, g, N))
+    s = jnp.maximum(jnp.max(jnp.abs(w32), -2, keepdims=True), 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w32 / s), -7, 7).astype(jnp.int8)
+    lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return {"q4p": packed, "s4": s}
+
+
+def _quant_decode_params(params, cfg: GPTConfig, bits: int = 8):
+    """Weight quantization for serving. `bits=8`: W8A8 with dynamic
+    per-token activation scales — see `_qdot`. `bits=4`: W4A16 —
+    group-wise int4 body weights dequantized to the compute dtype on
+    read (decode is weight-bandwidth-bound, so int4 halves the dominant
+    HBM traffic again vs int8; the dequant multiply rides the same VMEM
+    pass). The embedding lookup keeps a compute-dtype `wte` (table reads
+    are gathers, not matmuls); the LM head gets its own quantized (D, V)
+    int8 matrix in BOTH modes (the output distribution is the most
+    quantization-sensitive tensor). LayerNorm params and biases stay
+    f32. MoE expert weights are left in compute dtype (dense no-drop
+    dispatch reads them once per token anyway)."""
     p = dict(params)
     p["wte"] = params["wte"].astype(cfg.dtype)
     if "wpe" in params:
@@ -1570,7 +1596,8 @@ def _quant_decode_params(params, cfg: GPTConfig):
     b = dict(params["blocks"])
     for name in ("qkv", "proj", "fc_in", "fc_out", "fc_gate"):
         if name in b and b[name].ndim == 3:  # (L, D_in, D_out)
-            b[name] = _quant_w(b[name], axis=1)
+            b[name] = (_quant_w(b[name], axis=1) if bits == 8
+                       else _quant_w4(b[name]))
     if "gate" in b:
         b["gate"] = b["gate"].astype(cfg.dtype)
     for name in ("fc_in", "fc_out"):  # MoE experts: (L, E, D, F) stays
@@ -1581,10 +1608,22 @@ def _quant_decode_params(params, cfg: GPTConfig):
 
 
 def _qdot(x, w, cfg: GPTConfig):
-    """Decode matmul: plain compute-dtype dot, or — when `w` was produced
-    by `_quant_w` — a W8A8 int8 MXU dot with a dynamic per-token
-    activation scale. Accumulation is int32; the result is rescaled to
-    f32 (quantisation error ~0.5-1% per channel)."""
+    """Decode matmul: plain compute-dtype dot; a W8A8 int8 MXU dot with
+    a dynamic per-token activation scale when `w` came from `_quant_w`
+    (int32 accumulation, rescaled to f32, ~0.5-1% error per channel); or
+    a W4A16 dot when `w` came from `_quant_w4` (nibbles unpacked with
+    two arithmetic shifts, dequantized per group in VMEM, bf16 MXU dot —
+    HBM reads the int4 bytes, not the dequantized matrix)."""
+    if isinstance(w, dict) and "q4p" in w:
+        p, s = w["q4p"], w["s4"]                 # (G, g/2, N), (G, 1, N)
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)  # sign-extend low
+        hi = jnp.right_shift(p, 4)                     # arithmetic: high
+        q = jnp.stack([lo, hi], axis=-2)               # (G, g/2, 2, N)
+        q = q.reshape(p.shape[:-2] + (p.shape[-2] * 2, p.shape[-1]))
+        wd = (q.astype(jnp.float32) * s).astype(cfg.dtype)
+        wd = wd.reshape(wd.shape[:-3] + (-1, wd.shape[-1]))      # (K, N)
+        return jnp.dot(x.astype(cfg.dtype), wd,
+                       preferred_element_type=jnp.float32)
     if isinstance(w, dict):
         xs = jnp.maximum(
             jnp.max(jnp.abs(x.astype(jnp.float32)), -1, keepdims=True),
@@ -1953,11 +1992,34 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
 
 
 def _prep_decode_params(params, cfg: GPTConfig, quant):
+    if "head" in params:   # already prepared (see prepare_decode_params)
+        return params
     if quant in ("int8", "int8-kv"):
-        return _quant_decode_params(params, cfg)
+        return _quant_decode_params(params, cfg, bits=8)
+    if quant == "int4":
+        return _quant_decode_params(params, cfg, bits=4)
     if quant not in (None, "none"):
         raise ValueError(f"unknown quant mode {quant!r}")
     return _cast_decode_params(params, cfg)
+
+
+def prepare_decode_params(params, cfg: GPTConfig, quant: str | None = None):
+    """Quantize/cast training params for serving ONCE, on device.
+
+    Every `make_*` serving entry point quantizes in-program, which is
+    free inside `make_generate` (one prep amortized over a whole scanned
+    generation) but NOT in per-call loops like `ContinuousBatcher`,
+    where each jitted step would otherwise re-read the f32 weights to
+    requantize them — forfeiting the bandwidth win that is the whole
+    point of `quant`. Pre-prepared params are detected (the folded
+    "head" entry) and passed through untouched by every serving entry
+    point; pass the SAME `quant` mode to both this and the step makers.
+    int4 weights cross the jit boundary nibble-packed in int8
+    (`_quant_w4`), so no int4-dtype arrays hit the host transfer path."""
+    # NB: cast-only prep (quant=None) has no "head" marker; the steps
+    # re-cast in-program, which is a same-dtype astype (free)
+    return jax.jit(
+        lambda p: _prep_decode_params(p, cfg, quant))(params)
 
 
 def make_decode_step(cfg: GPTConfig, quant: str | None = None):
@@ -1966,7 +2028,9 @@ def make_decode_step(cfg: GPTConfig, quant: str | None = None):
     `quant="int8"` runs the W8A8 serving path (int8 weights + dynamic
     per-token activation scales, int32 MXU accumulation); `"int8-kv"`
     additionally stores the KV cache in int8 (pass a cache created with
-    `init_kv_cache(cfg, B, quant="int8-kv")`)."""
+    `init_kv_cache(cfg, B, quant="int8-kv")`); `"int4"` runs W4A16
+    (group-wise int4 body weights dequantized on read, int8 LM head —
+    halves decode's weight traffic again vs int8)."""
     _require_causal(cfg, "kv-cache decoding/serving")
 
     def step(params, cache, token):
@@ -2008,6 +2072,40 @@ def make_slot_prefill(cfg: GPTConfig, quant: str | None = None):
     return jax.jit(pre, donate_argnums=(1,))
 
 
+def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None):
+    """Jitted suffix prefill for PREFIX CACHING in slot-based serving:
+    (params, cache, pk, pv, plen, suffix (1, C), slot) ->
+    (last-position logits (V,), cache).
+
+    `pk`/`pv` are a shared prompt prefix's precomputed K/V
+    ((L, 1, KV, max_seq, hd), positions < plen valid — see
+    `ContinuousBatcher.register_prefix`); only the `suffix` tokens are
+    prefilled, as a chunked pass starting at position `plen` whose
+    queries attend the prefix keys (`_verify_body` — the same kernel
+    speculative verification uses). The slot's rows become
+    prefix-KV ++ suffix-KV and pos[slot] = plen + C: byte-identical
+    state to a full prefill of the concatenated prompt, for the compute
+    cost of the suffix alone."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError(
+            "slot serving supports quant=None/'int8'/'int4' (see "
+            "make_slot_decode_step)")
+
+    def pre(params, cache, pk, pv, plen, suffix, slot):
+        params = _prep_decode_params(params, cfg, quant)
+        mini = {"k": pk, "v": pv, "pos": plen}
+        logits, mini = _verify_body(params, mini, suffix, cfg)
+        out = dict(cache)
+        for n in ("k", "v"):
+            out[n] = lax.dynamic_update_slice(
+                out[n], mini[n], (0, slot, 0, 0, 0))
+        out["pos"] = out["pos"].at[slot].set(plen + suffix.shape[1])
+        return logits[0, -1], out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
 def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
     """Jitted decode across slots with PER-SLOT positions (continuous
     batching): (params, cache, tokens (B,), active (B,) bool) ->
@@ -2018,8 +2116,8 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
     _require_causal(cfg, "kv-cache decoding/serving")
     if quant == "int8-kv":
         raise NotImplementedError(
-            "slot serving supports quant=None/'int8' (int8-kv's scale "
-            "rows would need the same scatter plumbing)")
+            "slot serving supports quant=None/'int8'/'int4' (int8-kv's "
+            "scale rows would need the same scatter plumbing)")
 
     def step(params, cache, tokens, active):
         params = _prep_decode_params(params, cfg, quant)

@@ -57,11 +57,17 @@ class ContinuousBatcher:
                  quant: Optional[str] = None,
                  eos_id: Optional[int] = None):
         self.cfg = cfg
-        self.params = params
+        # quantize/cast ONCE: the batcher calls the jitted step per token,
+        # so in-program quantization would re-read the f32 weights every
+        # step — prepare_decode_params hoists it out of the loop
+        self.params = T.prepare_decode_params(params, cfg, quant)
         self.n_slots = n_slots
         self.eos_id = eos_id
+        self._quant = quant
         self._prefill = T.make_slot_prefill(cfg, quant)
         self._step = T.make_slot_decode_step(cfg, quant)
+        self._suffix_prefill = None          # built on first register_prefix
+        self._prefixes: List[Tuple[np.ndarray, object, object, int]] = []
         self.cache = T.init_slot_cache(cfg, n_slots, quant=quant)
         self._free = deque(range(n_slots))
         self._queue: deque[_Request] = deque()
@@ -69,6 +75,38 @@ class ContinuousBatcher:
         self._next_tok = np.zeros((n_slots,), np.int32)
         self._next_rid = 0
         self._finished: Dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------- prefix
+    def register_prefix(self, tokens) -> int:
+        """Precompute and cache the KV state of a shared prompt prefix
+        (a system prompt, few-shot examples, ...). Any later submit
+        whose prompt starts with these tokens reuses the cached K/V and
+        prefills only the remainder — the prefix's attention FLOPs and
+        weight reads are paid once, not per request. Returns a prefix
+        id (informational; matching is automatic, longest-prefix-wins).
+        State is byte-identical to a full prefill, so outputs do not
+        change."""
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        if tokens.size == 0 or tokens.size >= self.cfg.max_seq:
+            raise ValueError("prefix must be 1..max_seq-1 tokens")
+        if self._suffix_prefill is None:
+            self._suffix_prefill = T.make_slot_suffix_prefill(
+                self.cfg, self._quant)
+            self._prefix_fill = T.make_prefill(self.cfg, self._quant)
+        mini = T.init_kv_cache(self.cfg, 1)
+        _, mini = self._prefix_fill(self.params, mini,
+                                    jnp.asarray(tokens[None]))
+        self._prefixes.append((tokens, mini["k"], mini["v"], tokens.size))
+        # longest-first so the first match is the best match
+        self._prefixes.sort(key=lambda e: -e[3])
+        return len(self._prefixes) - 1
+
+    def _match_prefix(self, prompt_row: np.ndarray):
+        for toks, pk, pv, plen in self._prefixes:
+            if plen < prompt_row.size and np.array_equal(
+                    prompt_row[:plen], toks):
+                return pk, pv, plen
+        return None
 
     # ------------------------------------------------------------- intake
     def submit(self, prompt, max_new: int) -> int:
@@ -88,9 +126,16 @@ class ContinuousBatcher:
             req = self._queue.popleft()
             slot = self._free.popleft()
             req.slot = slot
-            logits, self.cache = self._prefill(
-                self.params, self.cache, jnp.asarray(req.prompt),
-                jnp.int32(slot))
+            pref = self._match_prefix(req.prompt[0])
+            if pref is not None:
+                pk, pv, plen = pref
+                logits, self.cache = self._suffix_prefill(
+                    self.params, self.cache, pk, pv, jnp.int32(plen),
+                    jnp.asarray(req.prompt[:, plen:]), jnp.int32(slot))
+            else:
+                logits, self.cache = self._prefill(
+                    self.params, self.cache, jnp.asarray(req.prompt),
+                    jnp.int32(slot))
             self._next_tok[slot] = int(jnp.argmax(logits))
             req.tokens.append(int(self._next_tok[slot]))
             self._running[slot] = req

@@ -501,6 +501,47 @@ def test_int8_kv_cache_decode():
     assert (lf.argmax(-1) == lq.argmax(-1)).all()
 
 
+def test_int4_decode_tracks_fp_model():
+    """quant="int4" (W4A16: group-wise packed int4 body weights, int8
+    head): greedy decoding matches full precision on a briefly-trained
+    model and the logits stay within ~6%. prepare_decode_params gives
+    BIT-IDENTICAL logits to in-program quantization (same math, hoisted
+    out of the per-step program)."""
+    cfg = T.GPTConfig(vocab_size=64, n_layer=2, n_head=2, d_model=64,
+                      d_ff=128, max_seq=32, dtype=jnp.float32, flash="off",
+                      remat=False)
+    params = T.init_params(jax.random.key(0), cfg)
+    opt = T.opt_init(params, cfg)
+    step = T.make_train_step(cfg)
+    toks = jax.random.randint(jax.random.key(1), (8, 32), 0, 64)
+    tgt = jnp.roll(toks, -1, 1)
+    for i in range(60):
+        params, opt, _ = step(params, opt, toks, tgt, jnp.float32(1e-2),
+                              jax.random.key(i))
+    prompt = jnp.asarray(toks[:4, :8])
+    out_fp = np.asarray(T.make_generate(cfg, max_new=8)(
+        params, prompt, jax.random.key(5)))
+    out_q4 = np.asarray(T.make_generate(cfg, max_new=8, quant="int4")(
+        params, prompt, jax.random.key(5)))
+    assert (out_fp == out_q4).all()
+
+    d_fp = T.make_decode_step(cfg)
+    d_q4 = T.make_decode_step(cfg, quant="int4")
+    prepared = T.prepare_decode_params(params, cfg, "int4")
+    assert isinstance(prepared["blocks"]["qkv"], dict)   # packed int4
+    assert prepared["blocks"]["qkv"]["q4p"].dtype == jnp.int8
+    c1, c2, c3 = (T.init_kv_cache(cfg, 4), T.init_kv_cache(cfg, 4),
+                  T.init_kv_cache(cfg, 4))
+    for t in range(8):
+        lf, c1 = d_fp(params, c1, prompt[:, t])
+        lq, c2 = d_q4(params, c2, prompt[:, t])
+        lp, c3 = d_q4(prepared, c3, prompt[:, t])
+    rel = float(jnp.abs(lf - lq).max() / (jnp.abs(lf).max() + 1e-9))
+    assert rel < 0.06, rel
+    assert (lf.argmax(-1) == lq.argmax(-1)).all()
+    assert np.array_equal(np.asarray(lp), np.asarray(lq))
+
+
 def test_min_p_and_repetition_penalty():
     """min-p keeps only tokens within min_p x the top probability;
     repetition penalty pushes greedy decoding off already-seen tokens."""
@@ -887,7 +928,7 @@ class TestContinuousBatching:
                            d_ff=128, max_seq=48, dtype=jnp.float32,
                            flash="off")
 
-    @pytest.mark.parametrize("quant", [None, "int8"])
+    @pytest.mark.parametrize("quant", [None, "int8", "int4"])
     def test_matches_one_shot_generate(self, quant):
         """Three requests of different lengths through TWO slots: every
         request's greedy tokens must equal its own one-shot
@@ -916,6 +957,42 @@ class TestContinuousBatching:
             gen = T.make_generate(cfg, max_new=m, quant=quant)
             ref = np.asarray(gen(params, p[None], jax.random.key(1)))[0]
             np.testing.assert_array_equal(done[rid], ref[len(p):])
+
+    @pytest.mark.parametrize("quant", [None, "int4"])
+    def test_prefix_caching_matches_full_prefill(self, quant):
+        """register_prefix: requests sharing a system prefix reuse its
+        cached KV (only the suffix is prefilled) and must emit EXACTLY
+        the tokens of a batcher with no prefix registered — the slot
+        state is byte-identical to a full prefill. Longest matching
+        prefix wins; non-matching prompts take the full-prefill path."""
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        system = np.array([5, 6, 7, 8, 9, 10], np.int32)
+        longer = np.concatenate([system, [11, 12]]).astype(np.int32)
+        prompts = [
+            np.concatenate([system, [1, 2]]).astype(np.int32),
+            np.concatenate([longer, [3]]).astype(np.int32),   # longest wins
+            np.array([40, 41, 42], np.int32),                 # no match
+        ]
+        max_news = [6, 5, 4]
+
+        plain = ContinuousBatcher(params, cfg, n_slots=2, quant=quant)
+        rids0 = [plain.submit(p, m) for p, m in zip(prompts, max_news)]
+        ref = plain.run()
+
+        cb = ContinuousBatcher(params, cfg, n_slots=2, quant=quant)
+        cb.register_prefix(system)
+        cb.register_prefix(longer)
+        assert cb._match_prefix(prompts[1])[2] == len(longer)
+        assert cb._match_prefix(prompts[2]) is None
+        rids = [cb.submit(p, m) for p, m in zip(prompts, max_news)]
+        out = cb.run()
+        for r0, r in zip(rids0, rids):
+            np.testing.assert_array_equal(out[r], ref[r0])
 
     def test_eos_frees_slot_early(self):
         import jax
