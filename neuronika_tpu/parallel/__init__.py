@@ -9,13 +9,17 @@ from .ring import ring_flash_attention  # noqa: F401
 from .mesh import (  # noqa: F401
     DataParallel,
     data_parallel_sharding,
+    distributed_init,
+    make_global_batch,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
     shard_batch,
 )
 
 __all__ = [
-    "DataParallel", "data_parallel_sharding", "make_mesh",
+    "DataParallel", "data_parallel_sharding", "distributed_init",
+    "make_global_batch", "make_hybrid_mesh", "make_mesh",
     "replicated", "shard_batch", "pipeline_forward",
     "ring_flash_attention",
 ]

@@ -12,15 +12,17 @@ flagship transformer uses (Megatron column/row splits).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+import os
+from typing import Mapping, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
-    "make_mesh", "data_parallel_sharding", "replicated", "shard_batch",
-    "DataParallel", "shard_map_compat",
+    "make_mesh", "make_hybrid_mesh", "distributed_init",
+    "make_global_batch", "data_parallel_sharding", "replicated",
+    "shard_batch", "DataParallel", "shard_map_compat",
 ]
 
 
@@ -55,6 +57,98 @@ def make_mesh(
         raise ValueError(f"mesh {dict(zip(names, sizes))} does not fit {n} devices")
     arr = np.array(devices).reshape(sizes)
     return Mesh(arr, tuple(names))
+
+
+def make_hybrid_mesh(
+    axes: Sequence[Tuple[str, int]],
+    dcn: Optional[Mapping[str, int]] = None,
+    devices=None,
+) -> Mesh:
+    """Mesh for multi-slice / multi-host topologies (TPU pods over DCN).
+
+    `axes` is the ordered (name, total_size) list as in `make_mesh`;
+    `dcn` maps axis name -> how much of that axis crosses the
+    data-center network (slice boundary). Devices within a slice are
+    laid out so the remaining (ICI) factor of every axis rides the
+    chip-to-chip interconnect — collectives on pure-ICI axes (tp, pp)
+    never touch DCN, and the `dp` gradient all-reduce does a
+    hierarchical reduce (ICI first, one DCN hop per slice). Defaults:
+    `dcn = {first axis: n_slices}`, the standard dp-over-DCN layout.
+
+    Single-slice topologies (including the CPU test mesh) have no DCN
+    dimension and collapse to `make_mesh(axes)`."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices == 1:
+        return make_mesh(axes, devices)
+    names = [a for a, _ in axes]
+    sizes = [s for _, s in axes]
+    if dcn is None:
+        dcn = {names[0]: n_slices}
+    unknown = set(dcn) - set(names)
+    if unknown:
+        raise ValueError(f"dcn axes {unknown} not in mesh axes {names}")
+    dcn_sizes = [dcn.get(a, 1) for a in names]
+    if math.prod(dcn_sizes) != n_slices:
+        raise ValueError(
+            f"dcn factors {dict(dcn)} must multiply to {n_slices} slices")
+    ici_sizes = []
+    for name, total, d in zip(names, sizes, dcn_sizes):
+        if total % d:
+            raise ValueError(f"axis {name}: size {total} not divisible by "
+                             f"dcn factor {d}")
+        ici_sizes.append(total // d)
+    from jax.experimental import mesh_utils
+    arr = mesh_utils.create_hybrid_device_mesh(
+        ici_sizes, dcn_sizes, devices=devices)
+    return Mesh(arr, tuple(names))
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None, **kw) -> bool:
+    """Initialize multi-host JAX (one controller process per host).
+
+    Call BEFORE any other jax API on every host of a pod. With explicit
+    args it forwards to `jax.distributed.initialize`; with none it
+    initializes only when a pod/cluster environment is detectable
+    (TPU pod metadata, a coordinator env var), so single-host scripts
+    and tests can call it unconditionally. Returns True if this call
+    initialized the distributed runtime."""
+    explicit = coordinator_address is not None or num_processes is not None
+    multi_worker = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if not explicit and not multi_worker and not any(os.environ.get(v) for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS")):
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kw)
+        return True
+    except RuntimeError as e:
+        # auto-detected path: tolerate "already initialized" and "backend
+        # already started" (another library won the race / a single-host
+        # tunnel faked the pod env); explicit args mean the user really
+        # wanted a cluster, so surface the failure
+        if not explicit and ("already" in str(e).lower()
+                             or "before" in str(e).lower()):
+            return False
+        raise
+
+
+def make_global_batch(local_batch, mesh: Mesh, axis: str = "dp"):
+    """Assemble a global device array from each process's LOCAL batch
+    rows (multi-host data loading: every host reads only its own shard;
+    the global array's leading dim is `process_count x local rows`,
+    sharded over `axis`). Single-process this equals `shard_batch`."""
+    import jax.numpy as jnp
+
+    spec = [None] * jnp.ndim(local_batch)
+    spec[0] = axis
+    sharding = NamedSharding(mesh, P(*spec))
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_batch))
 
 
 def data_parallel_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

@@ -26,6 +26,31 @@ def test_make_mesh_factorizations():
         parallel.make_mesh([("dp", 3), ("tp", 2)])
 
 
+def test_hybrid_mesh_and_multihost_helpers():
+    """Multi-host tier: make_hybrid_mesh collapses to a flat mesh on a
+    single slice (the CPU test topology has no DCN dimension) but
+    validates dcn factorization args; distributed_init is a safe no-op
+    outside a pod; make_global_batch assembles the same sharded array
+    shard_batch does when there is one process."""
+    mesh = parallel.make_hybrid_mesh([("dp", 4), ("tp", 2)])
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (4, 2)
+    # dcn validation runs even on one slice via the multi-slice branch?
+    # no — single slice short-circuits; bad axis sizes still fail in
+    # make_mesh:
+    with pytest.raises(ValueError):
+        parallel.make_hybrid_mesh([("dp", 3), ("tp", 2)])
+
+    assert parallel.distributed_init() is False  # no pod env: no-op
+
+    x = np.arange(32.0, dtype=np.float32).reshape(8, 4)
+    g = parallel.make_global_batch(x, mesh, axis="dp")
+    assert g.shape == (8, 4)
+    ref = parallel.shard_batch(x, mesh)
+    assert g.sharding.is_equivalent_to(ref.sharding, 2)
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+
 def test_shard_batch_layout():
     mesh = parallel.make_mesh()
     x = np.arange(32.0, dtype=np.float32).reshape(8, 4)

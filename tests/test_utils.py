@@ -4,6 +4,7 @@ layer derive, JSON model load — serde.rs:10-58, quickstart.rs:47-179)."""
 import json
 
 import numpy as np
+import pytest
 
 import neuronika_tpu as nk
 from neuronika_tpu import nn, utils
@@ -248,3 +249,80 @@ class TestModelBundle:
         tgt = jax.random.randint(jax.random.key(2), (1, 4), 0, 40)
         assert jnp.allclose(t5.forward(p2, src, tgt, cfg2),
                             t5.forward(p, src, tgt, cfg))
+
+
+class TestAOTExport:
+    """jax.export tier: serialize a compiled serving program, reload it
+    WITHOUT model code, get identical outputs (utils/aot.py — the
+    TPU-native analogue of the reference's ship-the-binary deployment,
+    /root/reference/src/lib.rs:8-11)."""
+
+    def test_roundtrip_bytes_and_file(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from neuronika_tpu.models import transformer as T
+
+        cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                          d_ff=64, max_seq=16, dtype=jnp.float32,
+                          flash="off", remat=False)
+        params = T.init_params(jax.random.key(0), cfg)
+        gen = T.make_generate(cfg, max_new=4)
+        prompt = jnp.asarray(np.arange(6, dtype=np.int32)[None])
+        key = jax.random.key(7)
+        want = np.asarray(gen(params, prompt, key))
+
+        blob = utils.export_fn(gen, params, prompt, key)
+        assert isinstance(blob, bytes) and len(blob) > 100
+        got = np.asarray(utils.load_exported(blob)(params, prompt, key))
+        np.testing.assert_array_equal(got, want)
+
+        p = tmp_path / "gpt.nkx"
+        utils.save_exported(p, gen, params, prompt, key)
+        got2 = np.asarray(utils.load_exported(p)(params, prompt, key))
+        np.testing.assert_array_equal(got2, want)
+
+    def test_shape_struct_export_and_mismatch_error(self):
+        import jax
+        import jax.numpy as jnp
+
+        f = lambda x: x * 2.0 + 1.0
+        blob = utils.export_fn(
+            f, jax.ShapeDtypeStruct((4,), jnp.float32))
+        call = utils.load_exported(blob)
+        np.testing.assert_allclose(
+            np.asarray(call(jnp.ones((4,), jnp.float32))), np.full(4, 3.0))
+        with pytest.raises(Exception):
+            call(jnp.ones((5,), jnp.float32))  # shapes are fixed at export
+
+
+class TestMetricsLogger:
+    """Scalar logging tier (SURVEY.md §5 observability: the reference
+    has print_lr only — lr_scheduler/mod.rs:60-68)."""
+
+    def test_jsonl_sink_ema_and_throughput(self, tmp_path):
+        import jax.numpy as jnp
+
+        p = tmp_path / "run.jsonl"
+        with utils.MetricsLogger(str(p), ema=0.5,
+                                 tokens_per_step=100) as m:
+            r0 = m.log(0, loss=jnp.float32(4.0))      # device scalar ok
+            r1 = m.log(1, loss=2.0, lr=0.1)
+        assert r0["loss"] == 4.0 and r0["loss_ema"] == 4.0
+        assert r1["loss_ema"] == pytest.approx(3.0)   # 0.5*4 + 0.5*2
+        assert "step_ms" in r1 and "tokens_per_sec" in r1
+        lines = [json.loads(l) for l in p.read_text().splitlines()]
+        assert [l["step"] for l in lines] == [0, 1]
+        assert m.summary()["n"] == 2
+
+        # append-only resume: a second logger keeps the file
+        with utils.MetricsLogger(str(p)) as m2:
+            m2.log(2, loss=1.0)
+        assert len(p.read_text().splitlines()) == 3
+
+    def test_mfu_column(self):
+        m = utils.MetricsLogger(flops_per_step=2.0e12, peak_flops=1.0e14)
+        m.log(0, loss=1.0)
+        rec = m.log(1, loss=1.0)
+        assert 0.0 < rec["mfu"] < 1e4
+        m.close()
