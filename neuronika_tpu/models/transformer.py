@@ -2165,6 +2165,138 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
     return jax.jit(step, donate_argnums=(1,))
 
 
+# --------------------------------------------------------------------------
+# paged KV cache (block tables — vLLM-style memory management)
+
+
+def init_paged_cache(cfg: GPTConfig, n_blocks: int, block_size: int,
+                     n_slots: int):
+    """Block-pool KV cache for paged serving: K/V live in a shared pool
+    of `n_blocks` fixed-size blocks (L, NB, KV, BS, hd) instead of a
+    dense per-slot (max_seq) reservation. A request holds only the
+    blocks its actual length needs, so the same HBM serves far more
+    concurrent requests when typical lengths are below max_seq —
+    the dense slot cache's capacity is n_slots x max_seq regardless of
+    use. Block 0 is a scratch block for inactive decode lanes; the
+    allocator (serving.PagedBatcher) never hands it out."""
+    hd = cfg.d_model // cfg.n_head
+    shape = (cfg.n_layer, n_blocks, _kv_heads(cfg), block_size, hd)
+    return {
+        "pk": jnp.zeros(shape, cfg.dtype),
+        "pv": jnp.zeros(shape, cfg.dtype),
+        "pos": jnp.zeros((n_slots,), jnp.int32),
+    }
+
+
+def make_paged_prefill(cfg: GPTConfig, block_size: int,
+                       quant: str | None = None):
+    """Jitted prefill into pool blocks: (params, cache, prompt (1, P),
+    slot, blocks (MB,) int32) -> (last-position logits (V,), cache).
+    One batched MXU pass computes the prompt's K/V (`_prefill_body`),
+    which is then scattered into the slot's first ceil(P/BS) table
+    blocks; pos[slot] = P."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError("paged serving supports "
+                                  "quant=None/'int8'/'int4'")
+    BS = block_size
+
+    def pre(params, cache, prompt, slot, blocks):
+        params = _prep_decode_params(params, cfg, quant)
+        P = prompt.shape[1]
+        nb = -(-P // BS)                                   # ceil, static
+        # mini cache rounded up to a whole number of blocks so the
+        # block reshape below is exact
+        L, KV = cfg.n_layer, _kv_heads(cfg)
+        hd = cfg.d_model // cfg.n_head
+        s_round = max(nb * BS, BS)
+        mini = {"k": jnp.zeros((L, 1, KV, s_round, hd), cfg.dtype),
+                "v": jnp.zeros((L, 1, KV, s_round, hd), cfg.dtype),
+                "pos": jnp.zeros((), jnp.int32)}
+        logits, mini = _prefill_body(params, mini, prompt, cfg)
+        out = dict(cache)
+        for name, src in (("pk", mini["k"]), ("pv", mini["v"])):
+            t = src[:, 0]                                  # (L,KV,S,hd)
+            t = t.reshape(L, KV, nb, BS, hd).transpose(0, 2, 1, 3, 4)
+            out[name] = out[name].at[:, blocks[:nb]].set(
+                t.astype(out[name].dtype))
+        out["pos"] = out["pos"].at[slot].set(P)
+        return logits[0], out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
+def make_paged_decode_step(cfg: GPTConfig, block_size: int,
+                           quant: str | None = None):
+    """Jitted decode over the block pool: (params, cache, tokens (B,),
+    active (B,), table (B, MB) int32) -> (logits (B, V), cache).
+
+    `table[s, m]` names the pool block holding slot s's logical
+    positions [m*BS, (m+1)*BS): each active slot writes its new K/V at
+    (table[s, pos//BS], pos%BS) and attends a block-table gather of its
+    own pages — logical position equals gather order, so the causal /
+    sliding-window masks are unchanged from the dense slot step.
+    Inactive lanes rewrite scratch block 0 with its own values and
+    their gathers are discarded. Donates the cache."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError("paged serving supports "
+                                  "quant=None/'int8'/'int4'")
+    BS = block_size
+
+    def step(params, cache, tokens, active, table):
+        params = _prep_decode_params(params, cfg, quant)
+        pos = cache["pos"]                                 # (B,)
+        B = tokens.shape[0]
+        MB = table.shape[1]
+        pos_w = jnp.minimum(pos, MB * BS - 1)              # clamp idle slots
+        x = params["wte"][tokens]
+        if cfg.pos_emb == "learned":
+            x = x + params["wpe"][jnp.minimum(pos_w, cfg.max_seq - 1)]
+        x = x.astype(cfg.dtype)[:, None, :]
+        bar = jnp.arange(B)
+        bid = jnp.where(active, table[bar, pos_w // BS], 0)
+        off = pos_w % BS
+
+        def body(carry, inp):
+            x, pk, pv = carry
+            blk, l = inp
+            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos)
+            pk_l = lax.dynamic_index_in_dim(pk, l, 0, keepdims=False)
+            pv_l = lax.dynamic_index_in_dim(pv, l, 0, keepdims=False)
+            pk_l = pk_l.at[bid, :, off].set(
+                jnp.where(active[:, None, None], k_new[:, :, 0],
+                          pk_l[bid, :, off]))
+            pv_l = pv_l.at[bid, :, off].set(
+                jnp.where(active[:, None, None], v_new[:, :, 0],
+                          pv_l[bid, :, off]))
+            pk = lax.dynamic_update_index_in_dim(pk, pk_l, l, 0)
+            pv = lax.dynamic_update_index_in_dim(pv, pv_l, l, 0)
+            lk = pk_l[table].transpose(0, 2, 1, 3, 4)      # (B,KV,MB,BS,hd)
+            lk = lk.reshape(B, lk.shape[1], MB * BS, lk.shape[4])
+            lv = pv_l[table].transpose(0, 2, 1, 3, 4)
+            lv = lv.reshape(B, lv.shape[1], MB * BS, lv.shape[4])
+            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg)
+            return (x, pk, pv), None
+
+        (x, pk, pv), _ = lax.scan(
+            body, (x, cache["pk"], cache["pv"]),
+            (params["blocks"], jnp.arange(cfg.n_layer)))
+        x = _layer_norm(x, params["ln_f"])
+        head = params.get("head")
+        if head is not None:
+            logits = _qdot(x[:, 0], head, cfg)
+        else:
+            logits = jnp.dot(
+                x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        new_pos = jnp.where(active, pos + 1, pos)
+        return logits, {"pk": pk, "pv": pv, "pos": new_pos}
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
 def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,
                   top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
                   repetition_penalty: float = 1.0,

@@ -34,7 +34,7 @@ from .models import transformer as T
 
 
 class _Request:
-    __slots__ = ("rid", "prompt", "max_new", "tokens", "slot")
+    __slots__ = ("rid", "prompt", "max_new", "tokens", "slot", "_seq")
 
     def __init__(self, rid, prompt, max_new):
         self.rid = rid
@@ -42,6 +42,7 @@ class _Request:
         self.max_new = max_new
         self.tokens: List[int] = []
         self.slot: Optional[int] = None
+        self._seq = 0            # admission order (preemption priority)
 
 
 class ContinuousBatcher:
@@ -64,17 +65,24 @@ class ContinuousBatcher:
         self.n_slots = n_slots
         self.eos_id = eos_id
         self._quant = quant
-        self._prefill = T.make_slot_prefill(cfg, quant)
-        self._step = T.make_slot_decode_step(cfg, quant)
         self._suffix_prefill = None          # built on first register_prefix
         self._prefixes: List[Tuple[np.ndarray, object, object, int]] = []
-        self.cache = T.init_slot_cache(cfg, n_slots, quant=quant)
+        self._build_programs()
         self._free = deque(range(n_slots))
         self._queue: deque[_Request] = deque()
         self._running: Dict[int, _Request] = {}     # slot -> request
         self._next_tok = np.zeros((n_slots,), np.int32)
         self._next_rid = 0
+        self._admit_seq = 0
         self._finished: Dict[int, np.ndarray] = {}
+
+    def _build_programs(self) -> None:
+        """Build the jitted prefill/decode programs and the KV cache
+        (the paged subclass swaps in block-pool versions)."""
+        self._prefill = T.make_slot_prefill(self.cfg, self._quant)
+        self._step = T.make_slot_decode_step(self.cfg, self._quant)
+        self.cache = T.init_slot_cache(self.cfg, self.n_slots,
+                                       quant=self._quant)
 
     # ------------------------------------------------------------- prefix
     def register_prefix(self, tokens) -> int:
@@ -121,27 +129,47 @@ class ContinuousBatcher:
         self._admit()
         return req.rid
 
+    def _can_admit(self, req: _Request) -> bool:
+        """Admission gate beyond a free slot (the paged subclass also
+        needs enough free blocks)."""
+        return True
+
+    def _prefill_slot(self, req: _Request, slot: int):
+        """Prefill `req` into `slot`; returns the last-position logits."""
+        pref = self._match_prefix(req.prompt[0])
+        if pref is not None:
+            pk, pv, plen = pref
+            logits, self.cache = self._suffix_prefill(
+                self.params, self.cache, pk, pv, jnp.int32(plen),
+                jnp.asarray(req.prompt[:, plen:]), jnp.int32(slot))
+        else:
+            logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(req.prompt),
+                jnp.int32(slot))
+        return logits
+
     def _admit(self) -> None:
-        while self._queue and self._free:
+        while self._queue and self._free and self._can_admit(self._queue[0]):
             req = self._queue.popleft()
             slot = self._free.popleft()
             req.slot = slot
-            pref = self._match_prefix(req.prompt[0])
-            if pref is not None:
-                pk, pv, plen = pref
-                logits, self.cache = self._suffix_prefill(
-                    self.params, self.cache, pk, pv, jnp.int32(plen),
-                    jnp.asarray(req.prompt[:, plen:]), jnp.int32(slot))
-            else:
-                logits, self.cache = self._prefill(
-                    self.params, self.cache, jnp.asarray(req.prompt),
-                    jnp.int32(slot))
-            self._next_tok[slot] = int(jnp.argmax(logits))
-            req.tokens.append(int(self._next_tok[slot]))
+            req._seq = self._admit_seq
+            self._admit_seq += 1
+            logits = self._prefill_slot(req, slot)
+            if logits is not None:
+                # a resumed (preempted) request restores _next_tok from
+                # its own history and returns None instead of logits
+                self._next_tok[slot] = int(jnp.argmax(logits))
+                req.tokens.append(int(self._next_tok[slot]))
             self._running[slot] = req
             self._maybe_finish(slot)
 
     # ------------------------------------------------------------- decode
+    def _extra_step_args(self) -> tuple:
+        """Extra trailing args for the jitted decode step (the paged
+        subclass passes its block table)."""
+        return ()
+
     def step(self) -> None:
         """One decode step across all occupied slots."""
         if not self._running:
@@ -151,7 +179,7 @@ class ContinuousBatcher:
             active[slot] = True
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(self._next_tok),
-            jnp.asarray(active))
+            jnp.asarray(active), *self._extra_step_args())
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for slot in list(self._running):
             self._next_tok[slot] = nxt[slot]
@@ -186,3 +214,159 @@ class ContinuousBatcher:
     def stats(self) -> Tuple[int, int, int]:
         """(running, queued, free) slot counts."""
         return len(self._running), len(self._queue), len(self._free)
+
+
+class PagedBatcher(ContinuousBatcher):
+    """Continuous batching over a PAGED KV cache (vLLM-style block
+    tables).
+
+    The dense `ContinuousBatcher` reserves `n_slots x max_seq` of K/V
+    whether requests use it or not; here K/V live in a shared pool of
+    `n_blocks` fixed-size blocks and a request holds only the blocks
+    its current length covers, so the same HBM serves far more
+    concurrent requests at typical (short) lengths. Blocks are
+    allocated on demand as sequences grow; when the pool runs dry the
+    most recently admitted running request is PREEMPTED — its blocks
+    are freed and it is re-queued at the front, to be re-prefilled
+    (prompt + tokens so far) once space frees up. Preemption preserves
+    exact greedy output: the re-prefill rebuilds byte-identical K/V
+    state.
+
+    Block 0 is scratch for inactive decode lanes and is never handed
+    out. Device programs: `make_paged_prefill` / `make_paged_decode_step`
+    (models/transformer.py); the block table is host-managed and passed
+    to the decode step each call.
+
+    >>> pb = PagedBatcher(params, cfg, n_slots=8, n_blocks=128,
+    ...                   block_size=16, quant="int8")
+    >>> rid = pb.submit(prompt_ids, max_new=64)
+    >>> done = pb.run()
+    """
+
+    def __init__(self, params, cfg: T.GPTConfig, n_slots: int,
+                 n_blocks: int, block_size: int = 16,
+                 quant: Optional[str] = None,
+                 eos_id: Optional[int] = None):
+        if n_blocks < 2:
+            raise ValueError("n_blocks must be >= 2 (block 0 is scratch)")
+        self.block_size = block_size
+        self.n_blocks = n_blocks
+        self._mb = -(-cfg.max_seq // block_size)     # table width
+        super().__init__(params, cfg, n_slots, quant=quant, eos_id=eos_id)
+        self._free_blocks: deque[int] = deque(range(1, n_blocks))
+        self._table = np.zeros((n_slots, self._mb), np.int32)
+        self._slot_blocks: Dict[int, List[int]] = {}
+        self._pos = np.zeros((n_slots,), np.int64)   # host mirror of pos
+        self.preemptions = 0
+
+    def _build_programs(self) -> None:
+        self._prefill = T.make_paged_prefill(self.cfg, self.block_size,
+                                             self._quant)
+        self._step = T.make_paged_decode_step(self.cfg, self.block_size,
+                                              self._quant)
+        self.cache = T.init_paged_cache(self.cfg, self.n_blocks,
+                                        self.block_size, self.n_slots)
+
+    def register_prefix(self, tokens) -> int:
+        raise NotImplementedError(
+            "prefix caching is not yet wired to the paged cache; use "
+            "ContinuousBatcher for prefix reuse")
+
+    # ------------------------------------------------------------ blocks
+    def submit(self, prompt, max_new: int) -> int:
+        p = np.asarray(prompt).reshape(1, -1).shape[1]
+        worst = -(-(p + max_new - 1) // self.block_size)
+        if worst > self.n_blocks - 1:
+            raise ValueError(
+                f"request needs up to {worst} blocks but the pool has "
+                f"{self.n_blocks - 1}; raise n_blocks or block_size")
+        return super().submit(prompt, max_new)
+
+    def _can_admit(self, req: _Request) -> bool:
+        length = req.prompt.shape[1] + max(0, len(req.tokens) - 1)
+        return len(self._free_blocks) >= -(-length // self.block_size)
+
+    def _prefill_slot(self, req: _Request, slot: int):
+        resumed = bool(req.tokens)
+        row = req.prompt[0]
+        if resumed:
+            # rebuild the exact K/V state at preemption time: prompt
+            # plus every generated token except the last (whose K/V was
+            # never written — it is the pending decode input)
+            row = np.concatenate(
+                [row, np.asarray(req.tokens[:-1], np.int32)])
+        nb = -(-row.size // self.block_size)
+        blocks = [self._free_blocks.popleft() for _ in range(nb)]
+        self._slot_blocks[slot] = blocks
+        self._table[slot, :] = 0
+        self._table[slot, :nb] = blocks
+        logits, self.cache = self._prefill(
+            self.params, self.cache, jnp.asarray(row[None]),
+            jnp.int32(slot), jnp.asarray(np.asarray(blocks, np.int32)))
+        self._pos[slot] = row.size
+        if resumed:
+            self._next_tok[slot] = req.tokens[-1]
+            return None
+        return logits
+
+    def _release_blocks(self, slot: int) -> None:
+        for b in self._slot_blocks.pop(slot, []):
+            self._free_blocks.append(b)
+        self._table[slot, :] = 0
+
+    def _preempt(self, slot: int) -> None:
+        req = self._running.pop(slot)
+        self._release_blocks(slot)
+        self._free.append(slot)
+        req.slot = None
+        self.preemptions += 1
+        self._queue.appendleft(req)     # resumes as soon as blocks free
+
+    def _grow(self) -> None:
+        """Before a decode step, every active slot must own the block
+        covering the position it is about to write. Allocate on
+        demand, oldest request first; when the pool is dry, preempt
+        the most recently admitted OTHER request (vLLM scheduling:
+        oldest always makes progress, so no livelock)."""
+        for slot in sorted(self._running,
+                           key=lambda s: self._running[s]._seq):
+            if slot not in self._running:    # preempted by an earlier turn
+                continue
+            blocks = self._slot_blocks[slot]
+            need = int(self._pos[slot]) // self.block_size
+            while len(blocks) <= need:
+                if self._free_blocks:
+                    b = self._free_blocks.popleft()
+                    self._table[slot, len(blocks)] = b
+                    blocks.append(b)
+                    continue
+                victim = max(
+                    (s for s in self._running if s != slot),
+                    key=lambda s: self._running[s]._seq, default=None)
+                if victim is None:      # cannot happen if submit() gated
+                    raise RuntimeError("paged KV pool too small for a "
+                                       "single request")
+                self._preempt(victim)
+            self._pos[slot] += 1        # the step about to run writes here
+
+    def step(self) -> None:
+        if not self._running:
+            self._admit()
+            return
+        self._grow()
+        super().step()
+
+    def _extra_step_args(self) -> tuple:
+        return (jnp.asarray(self._table),)
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self._running.get(slot)
+        super()._maybe_finish(slot)
+        if req is not None and slot not in self._running:
+            self._release_blocks(slot)
+
+    @property
+    def block_stats(self) -> Tuple[int, int]:
+        """(blocks in use, blocks free) — block 0 excluded."""
+        used = sum(len(v) for v in self._slot_blocks.values())
+        return used, len(self._free_blocks)
