@@ -63,6 +63,9 @@ class GPTConfig:
     # (RMSNorm — no mean subtraction, no bias param; the llama family).
     # Dispatch is structure-driven: rms norm params carry only "scale".
     norm: str = "layer"
+    # norm epsilon. 1e-5 matches HF GPT-2's LayerNorm; HF llama RMSNorm
+    # checkpoints use 1e-6 (utils.hf sets this on import).
+    norm_eps: float = 1e-5
     # MLP form: "gelu" (fc_in -> gelu -> fc_out) | "swiglu"
     # (silu(x @ fc_gate) * (x @ fc_in) -> fc_out; llama family — note
     # d_ff is the hidden width as given, pick ~8/3·d_model for
@@ -1029,10 +1032,10 @@ def _block(x, blk, cfg: GPTConfig, key, train: bool, mesh=None):
     from jax.ad_checkpoint import checkpoint_name
 
     x = _seq_shard(x, cfg, mesh)
-    h1 = checkpoint_name(_layer_norm(x, blk["ln1"]), "ln1_out")
+    h1 = checkpoint_name(_layer_norm(x, blk["ln1"], cfg.norm_eps), "ln1_out")
     x = x + _attention(h1, blk, cfg, key, train, mesh)
     x = _seq_shard(x, cfg, mesh)
-    h2 = checkpoint_name(_layer_norm(x, blk["ln2"]), "ln2_out")
+    h2 = checkpoint_name(_layer_norm(x, blk["ln2"], cfg.norm_eps), "ln2_out")
     m, aux = _mlp(h2, blk, cfg, mesh)
     return x + m, aux
 
@@ -1084,7 +1087,7 @@ def hidden_states(params, tokens, cfg: GPTConfig, *, train: bool = False,
             blk_i = jax.tree.map(lambda l, i=i: l[i], params["blocks"])
             x, a = block(x, blk_i, cfg, keys[i], train, mesh)
             aux = aux + a
-    return _layer_norm(x, params["ln_f"]), aux
+    return _layer_norm(x, params["ln_f"], cfg.norm_eps), aux
 
 
 def _head_w(params, cfg: GPTConfig):
@@ -1352,7 +1355,7 @@ def make_pipelined_train_step(mesh, cfg: GPTConfig, n_micro: int):
         x = x.astype(cfg.dtype)
         micro = x.reshape(n_micro, B // n_micro, S, cfg.d_model)
         y = pipe(staged["blocks"], micro).reshape(B, S, cfg.d_model)
-        y = _layer_norm(y, staged["ln_f"])
+        y = _layer_norm(y, staged["ln_f"], cfg.norm_eps)
         logits32 = jnp.dot(
             y, staged["wte"].T.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
@@ -1428,7 +1431,7 @@ def make_pipelined_train_step_1f1b(mesh, cfg: GPTConfig, n_micro: int):
         return y, aux
 
     def loss_fn_micro(y, tgt, lp):
-        y = _layer_norm(y, lp["ln_f"])
+        y = _layer_norm(y, lp["ln_f"], cfg.norm_eps)
         logits32 = jnp.dot(
             y, lp["wte"].T.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
@@ -1667,7 +1670,7 @@ def _decode_qkv(x, blk, cfg: GPTConfig, pos=None):
     hd = cfg.d_model // H
     KV = _kv_heads(cfg)
     G = H // KV
-    h = _layer_norm(x, blk["ln1"])
+    h = _layer_norm(x, blk["ln1"], cfg.norm_eps)
     qkv = _qdot(h, blk["qkv"], cfg)
     qkv = _badd(qkv, blk, "qkv_b", cfg)
     # grouped-query attention without materialising repeated K/V: fold the
@@ -1709,9 +1712,16 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
     ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, 1, cfg.d_model)
+    return _decode_post(x, blk, ctx, cfg)
+
+
+def _decode_post(x, blk, ctx, cfg: GPTConfig):
+    """Post-attention half of a decode block: output projection,
+    residual, MLP. `ctx` is the merged-heads attention output
+    (B, 1, D)."""
     ctx = _qdot(ctx, blk["proj"], cfg)
     x = x + _badd(ctx, blk, "proj_b", cfg)
-    x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg)
     return x
 
 
@@ -1753,7 +1763,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
     def body(carry, inp):
         x, rest = carry[0], carry[1:]
         blk, l = inp
-        h = _layer_norm(x, blk["ln1"])
+        h = _layer_norm(x, blk["ln1"], cfg.norm_eps)
         qkv = _qdot(h, blk["qkv"], cfg)
         qkv = _badd(qkv, blk, "qkv_b", cfg)
         q, k, v = _unpack_qkv(qkv, cfg)
@@ -1779,7 +1789,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, P, cfg.d_model)
         ctx = _qdot(ctx, blk["proj"], cfg)
         x = x + _badd(ctx, blk, "proj_b", cfg)
-        x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+        x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg)
         at = (l, 0, 0, 0, 0)
         if quant_kv:
             ck, cv, cks, cvs = rest
@@ -1799,7 +1809,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
     carry, _ = lax.scan(
         body, (x,) + tuple(cache[n] for n in keys),
         (params["blocks"], jnp.arange(cfg.n_layer)))
-    x = _layer_norm(carry[0][:, -1], params["ln_f"])
+    x = _layer_norm(carry[0][:, -1], params["ln_f"], cfg.norm_eps)
     head = params.get("head")
     if head is not None:
         logits = _qdot(x, head, cfg)
@@ -1838,7 +1848,7 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
     def body(carry, inp):
         x, rest = carry[0], carry[1:]
         blk, l = inp
-        h = _layer_norm(x, blk["ln1"])
+        h = _layer_norm(x, blk["ln1"], cfg.norm_eps)
         qkv = _qdot(h, blk["qkv"], cfg)
         qkv = _badd(qkv, blk, "qkv_b", cfg)
         q, k, v = _unpack_qkv(qkv, cfg)
@@ -1887,14 +1897,14 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, C, cfg.d_model)
         ctx = _qdot(ctx, blk["proj"], cfg)
         x = x + _badd(ctx, blk, "proj_b", cfg)
-        x = x + _decode_mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+        x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg)
         return (x,) + rest, None
 
     keys = (("k", "v", "ks", "vs") if quant_kv else ("k", "v"))
     carry, _ = lax.scan(
         body, (x,) + tuple(cache[n] for n in keys),
         (params["blocks"], jnp.arange(cfg.n_layer)))
-    x = _layer_norm(carry[0], params["ln_f"])
+    x = _layer_norm(carry[0], params["ln_f"], cfg.norm_eps)
     head = params.get("head")
     if head is not None:
         logits = _qdot(x, head, cfg)
@@ -1953,7 +1963,7 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
             body,
             (x, cache["k"], cache["v"], cache["ks"], cache["vs"]),
             (params["blocks"], jnp.arange(L)))
-        x = _layer_norm(x, params["ln_f"])
+        x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
         head = params.get("head")
         if head is not None:
             logits = _qdot(x[:, 0], head, cfg)
@@ -1979,7 +1989,7 @@ def _decode_step_body(params, cache, token, cfg: GPTConfig):
     (x, ks, vs), _ = lax.scan(
         body, (x, cache["k"], cache["v"]),
         (params["blocks"], jnp.arange(L)))
-    x = _layer_norm(x, params["ln_f"])
+    x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
     head = params.get("head")
     if head is not None:  # int8 serving path
         logits = _qdot(x[:, 0], head, cfg)
@@ -2150,7 +2160,7 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
         (x, ks, vs), _ = lax.scan(
             body, (x, cache["k"], cache["v"]),
             (params["blocks"], jnp.arange(cfg.n_layer)))
-        x = _layer_norm(x, params["ln_f"])
+        x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
         head = params.get("head")
         if head is not None:
             logits = _qdot(x[:, 0], head, cfg)
@@ -2227,21 +2237,35 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
 
 
 def make_paged_decode_step(cfg: GPTConfig, block_size: int,
-                           quant: str | None = None):
+                           quant: str | None = None,
+                           kernel: str = "auto"):
     """Jitted decode over the block pool: (params, cache, tokens (B,),
     active (B,), table (B, MB) int32) -> (logits (B, V), cache).
 
     `table[s, m]` names the pool block holding slot s's logical
     positions [m*BS, (m+1)*BS): each active slot writes its new K/V at
-    (table[s, pos//BS], pos%BS) and attends a block-table gather of its
-    own pages — logical position equals gather order, so the causal /
-    sliding-window masks are unchanged from the dense slot step.
-    Inactive lanes rewrite scratch block 0 with its own values and
-    their gathers are discarded. Donates the cache."""
+    (table[s, pos//BS], pos%BS) and attends its own pages — logical
+    position equals page-walk order, so the causal / sliding-window
+    masks are unchanged from the dense slot step. Inactive lanes
+    rewrite scratch block 0 with its own values and their outputs are
+    discarded. Donates the cache.
+
+    `kernel` picks the attention path: "auto" fuses the block-table
+    walk into a Pallas kernel on TPU when head_dim % 128 == 0
+    (`ops/pallas/paged_attention.py` — one HBM pass over the cache
+    instead of the XLA gather's materialise-then-read); "on" forces it
+    (interpret mode off-TPU via config); "off" keeps the XLA gather."""
     _require_causal(cfg, "kv-cache decoding/serving")
     if quant == "int8-kv":
         raise NotImplementedError("paged serving supports "
                                   "quant=None/'int8'/'int4'")
+    if kernel not in ("auto", "on", "off"):
+        raise ValueError(f"kernel must be auto/on/off, got {kernel!r}")
+    from ..config import config as _cfg, on_tpu
+
+    hd_ = cfg.d_model // cfg.n_head
+    use_kernel = kernel == "on" or (
+        kernel == "auto" and on_tpu() and hd_ % 128 == 0)
     BS = block_size
 
     def step(params, cache, tokens, active, table):
@@ -2272,17 +2296,27 @@ def make_paged_decode_step(cfg: GPTConfig, block_size: int,
                           pv_l[bid, :, off]))
             pk = lax.dynamic_update_index_in_dim(pk, pk_l, l, 0)
             pv = lax.dynamic_update_index_in_dim(pv, pv_l, l, 0)
-            lk = pk_l[table].transpose(0, 2, 1, 3, 4)      # (B,KV,MB,BS,hd)
-            lk = lk.reshape(B, lk.shape[1], MB * BS, lk.shape[4])
-            lv = pv_l[table].transpose(0, 2, 1, 3, 4)
-            lv = lv.reshape(B, lv.shape[1], MB * BS, lv.shape[4])
-            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg)
+            if use_kernel:
+                from ..ops.pallas.paged_attention import paged_attention
+
+                ctx = paged_attention(
+                    q[:, :, :, 0, :], pk_l, pv_l, table, pos_w,
+                    window=cfg.window, interpret=_cfg.pallas_interpret)
+                # kv-group-major (B, KV, G, hd) == head-major merge
+                ctx = ctx.reshape(B, 1, cfg.d_model)
+                x = _decode_post(x, blk, ctx, cfg)
+            else:
+                lk = pk_l[table].transpose(0, 2, 1, 3, 4)  # (B,KV,MB,BS,hd)
+                lk = lk.reshape(B, lk.shape[1], MB * BS, lk.shape[4])
+                lv = pv_l[table].transpose(0, 2, 1, 3, 4)
+                lv = lv.reshape(B, lv.shape[1], MB * BS, lv.shape[4])
+                x = _decode_block(x, blk, q, lk, lv, pos_w, cfg)
             return (x, pk, pv), None
 
         (x, pk, pv), _ = lax.scan(
             body, (x, cache["pk"], cache["pv"]),
             (params["blocks"], jnp.arange(cfg.n_layer)))
-        x = _layer_norm(x, params["ln_f"])
+        x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
         head = params.get("head")
         if head is not None:
             logits = _qdot(x[:, 0], head, cfg)

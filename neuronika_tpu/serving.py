@@ -246,11 +246,13 @@ class PagedBatcher(ContinuousBatcher):
     def __init__(self, params, cfg: T.GPTConfig, n_slots: int,
                  n_blocks: int, block_size: int = 16,
                  quant: Optional[str] = None,
-                 eos_id: Optional[int] = None):
+                 eos_id: Optional[int] = None,
+                 kernel: str = "auto"):
         if n_blocks < 2:
             raise ValueError("n_blocks must be >= 2 (block 0 is scratch)")
         self.block_size = block_size
         self.n_blocks = n_blocks
+        self.kernel = kernel
         self._mb = -(-cfg.max_seq // block_size)     # table width
         super().__init__(params, cfg, n_slots, quant=quant, eos_id=eos_id)
         self._free_blocks: deque[int] = deque(range(1, n_blocks))
@@ -263,7 +265,8 @@ class PagedBatcher(ContinuousBatcher):
         self._prefill = T.make_paged_prefill(self.cfg, self.block_size,
                                              self._quant)
         self._step = T.make_paged_decode_step(self.cfg, self.block_size,
-                                              self._quant)
+                                              self._quant,
+                                              kernel=self.kernel)
         self.cache = T.init_paged_cache(self.cfg, self.n_blocks,
                                         self.block_size, self.n_slots)
 

@@ -1,5 +1,6 @@
 """Serialization, checkpointing, misc utilities."""
-from . import aot, hub, metrics, profiler, serde  # noqa: F401
+from . import aot, hf, hub, metrics, profiler, serde  # noqa: F401
+from .hf import from_huggingface  # noqa: F401
 from . import gradcheck as gradcheck_mod  # noqa: F401
 from .aot import export_fn, load_exported, save_exported  # noqa: F401
 from .gradcheck import gradcheck  # noqa: F401
@@ -11,7 +12,7 @@ from .serde import (  # noqa: F401
 )
 
 __all__ = [
-    "profiler", "gradcheck",
+    "profiler", "gradcheck", "hf", "from_huggingface",
     "aot", "export_fn", "load_exported", "save_exported",
     "metrics", "MetricsLogger",
     "serde", "dumps", "loads", "var_to_dict", "var_from_dict",

@@ -1102,6 +1102,24 @@ class TestPagedBatcher:
         with pytest.raises(ValueError, match="blocks"):
             pb.submit(np.arange(1, 9, dtype=np.int32), 8)
 
+    @pytest.mark.parametrize("kw", [
+        {},
+        dict(n_kv_head=2, pos_emb="rope", window=6),
+    ])
+    def test_pallas_kernel_matches_dense_batcher(self, kw):
+        """kernel="on" routes decode attention through the fused
+        block-table Pallas kernel (interpret mode off-TPU) — greedy
+        output must stay byte-identical to the dense batcher, i.e. to
+        the XLA gather path, including under GQA + rope + window."""
+        from neuronika_tpu.config import config
+
+        config.pallas_interpret = True
+        try:
+            self._run_pair(self._cfg(**kw), n_blocks=16, block_size=8,
+                           kernel="on")
+        finally:
+            config.pallas_interpret = False
+
 
 class TestRoPE:
     """pos_emb="rope": rotary positions (GPT-NeoX half-split), no wpe

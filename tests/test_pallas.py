@@ -640,3 +640,56 @@ class TestCrossShapeFlash:
         q = jax.random.normal(jax.random.key(0), (1, 1, 64, 32))
         with pytest.raises(ValueError, match="requires causal"):
             flash_attention(q, q, q, False, None, 32, 32, True, 8)
+
+
+class TestPagedAttention:
+    """Paged-attention decode kernel (ops/pallas/paged_attention.py):
+    block-table walk fused into the attention dots. Reference is the
+    dense gather + masked softmax the XLA path materialises."""
+
+    @staticmethod
+    def _ref(q, pk, pv, table, pos, window=0):
+        B, KV, G, hd = q.shape
+        MB = table.shape[1]
+        BS = pk.shape[2]
+        lk = pk[table].transpose(0, 2, 1, 3, 4).reshape(B, KV, MB * BS, hd)
+        lv = pv[table].transpose(0, 2, 1, 3, 4).reshape(B, KV, MB * BS, hd)
+        s = jnp.einsum("bkgd,bksd->bkgs", q, lk) / np.sqrt(hd)
+        idx = jnp.arange(MB * BS)[None, None, None, :]
+        keep = idx <= pos[:, None, None, None]
+        if window:
+            keep &= pos[:, None, None, None] - idx < window
+        s = jnp.where(keep, s, -1e30)
+        return jnp.einsum("bkgs,bksd->bkgd", jax.nn.softmax(s, -1), lv)
+
+    def _case(self, B=3, KV=2, G=2, hd=128, NB=16, BS=16, MB=4, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, KV, G, hd)).astype(np.float32))
+        pk = jnp.asarray(
+            rng.normal(size=(NB, KV, BS, hd)).astype(np.float32))
+        pv = jnp.asarray(
+            rng.normal(size=(NB, KV, BS, hd)).astype(np.float32))
+        # non-contiguous, per-sequence shuffled block tables
+        table = jnp.asarray(rng.permutation(
+            np.arange(1, NB))[: B * MB].reshape(B, MB).astype(np.int32))
+        pos = jnp.asarray(np.array([5, 37, MB * BS - 1], np.int32)[:B])
+        return q, pk, pv, table, pos
+
+    @pytest.mark.parametrize("window", [0, 9])
+    def test_matches_gather_reference(self, window):
+        from neuronika_tpu.ops.pallas.paged_attention import paged_attention
+
+        q, pk, pv, table, pos = self._case()
+        out = paged_attention(q, pk, pv, table, pos, window=window,
+                              interpret=True)
+        ref = self._ref(q, pk, pv, table, pos, window)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    def test_mha_single_group(self):
+        # G=1 (plain MHA): the degenerate query-group shape
+        from neuronika_tpu.ops.pallas.paged_attention import paged_attention
+
+        q, pk, pv, table, pos = self._case(KV=4, G=1, seed=1)
+        out = paged_attention(q, pk, pv, table, pos, interpret=True)
+        ref = self._ref(q, pk, pv, table, pos)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
