@@ -2236,6 +2236,58 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
     return jax.jit(pre, donate_argnums=(1,))
 
 
+def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,
+                              quant: str | None = None):
+    """Jitted suffix prefill for PREFIX CACHING over the block pool:
+    (params, cache, suffix (1, C), slot, own_blocks (nb,) int32,
+    prefix_blocks (nf,) int32) -> (last-position logits (V,), cache).
+
+    A registered prefix owns `nf` FULL pool blocks (positions
+    [0, nf*BS)); this program gathers their K/V into a dense mini
+    cache, runs the chunked suffix pass starting at position nf*BS
+    (`_verify_body` — queries attend the prefix keys), and scatters
+    the suffix K/V into the request's OWN blocks. The shared blocks
+    are read, never written — vLLM's full-block sharing invariant, so
+    no copy-on-write is ever needed (decode writes land at positions
+    >= nf*BS + 1 by the matcher's plen < prompt rule). State is
+    byte-identical to a full paged prefill of the whole row."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError("paged serving supports "
+                                  "quant=None/'int8'/'int4'")
+    BS = block_size
+
+    def pre(params, cache, suffix, slot, own_blocks, prefix_blocks):
+        params = _prep_decode_params(params, cfg, quant)
+        C = suffix.shape[1]
+        nf = prefix_blocks.shape[0]
+        nb = own_blocks.shape[0]
+        L, KV = cfg.n_layer, _kv_heads(cfg)
+        hd = cfg.d_model // cfg.n_head
+        cut = nf * BS
+        s_round = (nf + nb) * BS            # whole blocks cover cut + C
+        # gather the shared prefix blocks into logical order
+        pk = cache["pk"][:, prefix_blocks]              # (L,nf,KV,BS,hd)
+        pk = pk.transpose(0, 2, 1, 3, 4).reshape(L, 1, KV, cut, hd)
+        pv = cache["pv"][:, prefix_blocks]
+        pv = pv.transpose(0, 2, 1, 3, 4).reshape(L, 1, KV, cut, hd)
+        pad = [(0, 0)] * 5
+        pad[3] = (0, s_round - cut)
+        mini = {"k": jnp.pad(pk, pad), "v": jnp.pad(pv, pad),
+                "pos": jnp.int32(cut)}
+        logits, mini = _verify_body(params, mini, suffix, cfg)
+        out = dict(cache)
+        for name, src in (("pk", mini["k"]), ("pv", mini["v"])):
+            t = src[:, 0, :, cut:]                      # (L,KV,nb*BS,hd)
+            t = t.reshape(L, KV, nb, BS, hd).transpose(0, 2, 1, 3, 4)
+            out[name] = out[name].at[:, own_blocks].set(
+                t.astype(out[name].dtype))
+        out["pos"] = out["pos"].at[slot].set(cut + C)
+        return logits[0, -1], out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
 def make_paged_decode_step(cfg: GPTConfig, block_size: int,
                            quant: str | None = None,
                            kernel: str = "auto"):

@@ -258,8 +258,12 @@ class PagedBatcher(ContinuousBatcher):
         self._free_blocks: deque[int] = deque(range(1, n_blocks))
         self._table = np.zeros((n_slots, self._mb), np.int32)
         self._slot_blocks: Dict[int, List[int]] = {}
+        self._slot_shared: Dict[int, int] = {}       # leading shared blocks
         self._pos = np.zeros((n_slots,), np.int64)   # host mirror of pos
         self.preemptions = 0
+        self._paged_prefixes: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._n_reserved = 0                         # blocks held by prefixes
+        self._paged_suffix = None
 
     def _build_programs(self) -> None:
         self._prefill = T.make_paged_prefill(self.cfg, self.block_size,
@@ -271,41 +275,116 @@ class PagedBatcher(ContinuousBatcher):
                                         self.block_size, self.n_slots)
 
     def register_prefix(self, tokens) -> int:
-        raise NotImplementedError(
-            "prefix caching is not yet wired to the paged cache; use "
-            "ContinuousBatcher for prefix reuse")
+        """Precompute a shared prompt prefix's K/V into dedicated pool
+        blocks (vLLM full-block sharing). Only whole blocks are shared
+        — `len(tokens) // block_size` blocks are reserved for the
+        lifetime of the batcher; the remainder tokens re-prefill with
+        each request's suffix. Matching requests point their table's
+        leading entries at the shared blocks (read-only by the
+        decode-write invariant: writes land past the prefix), so the
+        prefix's attention FLOPs, weight reads AND cache HBM are paid
+        once. Longest-prefix-wins; outputs are byte-identical
+        (tested)."""
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        BS = self.block_size
+        nf = tokens.size // BS
+        if nf < 1:
+            raise ValueError(
+                f"prefix must cover at least one full block "
+                f"({BS} tokens); got {tokens.size}")
+        if tokens.size >= self.cfg.max_seq:
+            raise ValueError("prefix must be < max_seq tokens")
+        if len(self._free_blocks) < nf:
+            raise ValueError(
+                f"prefix needs {nf} pool blocks but only "
+                f"{len(self._free_blocks)} are free")
+        if self._paged_suffix is None:
+            self._paged_suffix = T.make_paged_suffix_prefill(
+                self.cfg, BS, self._quant)
+            self._prefix_fill = T.make_prefill(self.cfg, self._quant)
+        cut = nf * BS
+        blocks = np.asarray(
+            [self._free_blocks.popleft() for _ in range(nf)], np.int32)
+        self._n_reserved += nf
+        mini = T.init_kv_cache(self.cfg, 1)
+        _, mini = self._prefix_fill(self.params, mini,
+                                    jnp.asarray(tokens[None, :cut]))
+        L = self.cfg.n_layer
+        KV = mini["k"].shape[2]
+        hd = mini["k"].shape[-1]
+        for pool, src in (("pk", mini["k"]), ("pv", mini["v"])):
+            t = src[:, 0, :, :cut]                     # (L, KV, cut, hd)
+            t = t.reshape(L, KV, nf, BS, hd).transpose(0, 2, 1, 3, 4)
+            self.cache[pool] = self.cache[pool].at[jnp.index_exp[
+                :, jnp.asarray(blocks)]].set(t.astype(self.cache[pool].dtype))
+        self._paged_prefixes.append((tokens[:cut], blocks))
+        self._paged_prefixes.sort(key=lambda e: -e[0].size)
+        return len(self._paged_prefixes) - 1
+
+    def _match_paged_prefix(self, row: np.ndarray):
+        for toks, blocks in self._paged_prefixes:
+            if toks.size < row.size and np.array_equal(
+                    row[:toks.size], toks):
+                return toks.size, blocks
+        return None
 
     # ------------------------------------------------------------ blocks
     def submit(self, prompt, max_new: int) -> int:
         p = np.asarray(prompt).reshape(1, -1).shape[1]
         worst = -(-(p + max_new - 1) // self.block_size)
-        if worst > self.n_blocks - 1:
+        if worst > self.n_blocks - 1 - self._n_reserved:
             raise ValueError(
                 f"request needs up to {worst} blocks but the pool has "
-                f"{self.n_blocks - 1}; raise n_blocks or block_size")
+                f"{self.n_blocks - 1 - self._n_reserved}; raise n_blocks "
+                f"or block_size")
         return super().submit(prompt, max_new)
 
+    def _req_row(self, req: _Request) -> np.ndarray:
+        """The token row a (re-)prefill must cover: the prompt, plus —
+        for a preempted request resuming — every generated token except
+        the last (whose K/V was never written; it is the pending decode
+        input)."""
+        row = req.prompt[0]
+        if req.tokens:
+            row = np.concatenate(
+                [row, np.asarray(req.tokens[:-1], np.int32)])
+        return row
+
     def _can_admit(self, req: _Request) -> bool:
-        length = req.prompt.shape[1] + max(0, len(req.tokens) - 1)
-        return len(self._free_blocks) >= -(-length // self.block_size)
+        row = self._req_row(req)
+        pref = self._match_paged_prefix(row)
+        nf = len(pref[1]) if pref is not None else 0
+        return len(self._free_blocks) >= -(-row.size
+                                           // self.block_size) - nf
 
     def _prefill_slot(self, req: _Request, slot: int):
         resumed = bool(req.tokens)
-        row = req.prompt[0]
-        if resumed:
-            # rebuild the exact K/V state at preemption time: prompt
-            # plus every generated token except the last (whose K/V was
-            # never written — it is the pending decode input)
-            row = np.concatenate(
-                [row, np.asarray(req.tokens[:-1], np.int32)])
-        nb = -(-row.size // self.block_size)
-        blocks = [self._free_blocks.popleft() for _ in range(nb)]
-        self._slot_blocks[slot] = blocks
+        row = self._req_row(req)
+        BS = self.block_size
+        pref = self._match_paged_prefix(row)
         self._table[slot, :] = 0
-        self._table[slot, :nb] = blocks
-        logits, self.cache = self._prefill(
-            self.params, self.cache, jnp.asarray(row[None]),
-            jnp.int32(slot), jnp.asarray(np.asarray(blocks, np.int32)))
+        if pref is not None:
+            cut, shared_blocks = pref
+            nf = len(shared_blocks)
+            nb_own = -(-row.size // BS) - nf
+            own = [self._free_blocks.popleft() for _ in range(nb_own)]
+            self._slot_blocks[slot] = own
+            self._slot_shared[slot] = nf
+            self._table[slot, :nf] = shared_blocks
+            self._table[slot, nf:nf + nb_own] = own
+            logits, self.cache = self._paged_suffix(
+                self.params, self.cache, jnp.asarray(row[None, cut:]),
+                jnp.int32(slot), jnp.asarray(np.asarray(own, np.int32)),
+                jnp.asarray(shared_blocks))
+        else:
+            nb = -(-row.size // BS)
+            blocks = [self._free_blocks.popleft() for _ in range(nb)]
+            self._slot_blocks[slot] = blocks
+            self._slot_shared[slot] = 0
+            self._table[slot, :nb] = blocks
+            logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(row[None]),
+                jnp.int32(slot), jnp.asarray(np.asarray(blocks, np.int32)))
         self._pos[slot] = row.size
         if resumed:
             self._next_tok[slot] = req.tokens[-1]
@@ -315,6 +394,7 @@ class PagedBatcher(ContinuousBatcher):
     def _release_blocks(self, slot: int) -> None:
         for b in self._slot_blocks.pop(slot, []):
             self._free_blocks.append(b)
+        self._slot_shared.pop(slot, None)
         self._table[slot, :] = 0
 
     def _preempt(self, slot: int) -> None:
@@ -336,11 +416,12 @@ class PagedBatcher(ContinuousBatcher):
             if slot not in self._running:    # preempted by an earlier turn
                 continue
             blocks = self._slot_blocks[slot]
+            shared = self._slot_shared.get(slot, 0)
             need = int(self._pos[slot]) // self.block_size
-            while len(blocks) <= need:
+            while shared + len(blocks) <= need:
                 if self._free_blocks:
                     b = self._free_blocks.popleft()
-                    self._table[slot, len(blocks)] = b
+                    self._table[slot, shared + len(blocks)] = b
                     blocks.append(b)
                     continue
                 victim = max(
@@ -370,6 +451,12 @@ class PagedBatcher(ContinuousBatcher):
 
     @property
     def block_stats(self) -> Tuple[int, int]:
-        """(blocks in use, blocks free) — block 0 excluded."""
+        """(blocks in use, blocks free) — block 0 and blocks reserved
+        by registered prefixes excluded."""
         used = sum(len(v) for v in self._slot_blocks.values())
         return used, len(self._free_blocks)
+
+    @property
+    def reserved_blocks(self) -> int:
+        """Pool blocks permanently held by registered prefixes."""
+        return self._n_reserved

@@ -1104,6 +1104,79 @@ class TestPagedBatcher:
 
     @pytest.mark.parametrize("kw", [
         {},
+        dict(n_kv_head=2, pos_emb="rope"),
+    ])
+    def test_prefix_caching_matches_unprefixed(self, kw):
+        """vLLM full-block prefix sharing: a registered prefix reserves
+        whole pool blocks once; matching requests point their tables at
+        them and prefill only the suffix — greedy output must be
+        byte-identical to the unprefixed paged batcher."""
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg(**kw)
+        params = T.init_params(jax.random.key(0), cfg)
+        prefix = np.arange(1, 18, dtype=np.int32)       # 17 toks, BS=8
+        prompts = [np.concatenate([prefix, extra]) for extra in (
+            np.array([20, 21], np.int32),
+            np.array([30], np.int32),
+            np.array([40, 41, 42, 43, 44, 45, 46, 47], np.int32),
+        )]
+        plain = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                             block_size=8)
+        r0 = [plain.submit(p, m) for p, m in zip(prompts, (8, 6, 5))]
+        ref = plain.run()
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                          block_size=8)
+        pid = pb.register_prefix(prefix)
+        assert pid == 0 and pb.reserved_blocks == 2    # 17 // 8 full blocks
+        r1 = [pb.submit(p, m) for p, m in zip(prompts, (8, 6, 5))]
+        out = pb.run()
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(out[b], ref[a])
+        # shared blocks stay reserved, own blocks all returned
+        assert pb.block_stats == (0, 32 - 1 - 2)
+
+    def test_prefix_survives_preemption(self):
+        """A preempted prefix-matched request must re-match on resume
+        and still produce identical tokens."""
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prefix = np.arange(1, 9, dtype=np.int32)        # exactly 1 block
+        prompts = [np.concatenate([prefix, np.array([20 + i], np.int32)])
+                   for i in range(3)]
+        plain = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                             block_size=4)
+        r0 = [plain.submit(p, 10) for p in prompts]
+        ref = plain.run()
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=8,
+                          block_size=4)   # tight pool -> preemption
+        pb.register_prefix(prefix)
+        r1 = [pb.submit(p, 10) for p in prompts]
+        out = pb.run()
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(out[b], ref[a])
+        assert pb.preemptions > 0
+
+    def test_prefix_validation(self):
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        pb = PagedBatcher(params, cfg, n_slots=1, n_blocks=8,
+                          block_size=8)
+        with pytest.raises(ValueError, match="full block"):
+            pb.register_prefix(np.arange(5, dtype=np.int32))
+
+    @pytest.mark.parametrize("kw", [
+        {},
         dict(n_kv_head=2, pos_emb="rope", window=6),
     ])
     def test_pallas_kernel_matches_dense_batcher(self, kw):
