@@ -2503,6 +2503,49 @@ def sample_logits(logits, key, temperature: float = 0.0, top_k: int = 0,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def _sample_row(logits, key, temperature, top_k, top_p, min_p):
+    """Single-row `sample_logits` with TRACED (per-request) controls:
+    every filter keys off runtime scalars, so one compiled program
+    serves any mix of greedy/temperature/top-k/top-p/min-p rows
+    (continuous batching serves heterogeneous requests). Filter order
+    matches `sample_logits` (min-p, top-k, top-p on the
+    temperature-scaled logits); each filter always keeps the top
+    token, so the row can never go fully -inf."""
+    V = logits.shape[-1]
+    l32 = logits.astype(jnp.float32)
+    greedy = l32.argmax().astype(jnp.int32)
+    lt = l32 / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(lt)
+    keep = (min_p <= 0.0) | (probs >= min_p * probs.max())
+    lt = jnp.where(keep, lt, -jnp.inf)
+    sorted_desc = jnp.sort(lt)[::-1]
+    kth = sorted_desc[jnp.clip(top_k - 1, 0, V - 1)]
+    lt = jnp.where((top_k <= 0) | (lt >= kth), lt, -jnp.inf)
+    sorted_desc = jnp.sort(lt)[::-1]
+    probs_s = jax.nn.softmax(sorted_desc)
+    cum = jnp.cumsum(probs_s)
+    keep_sorted = cum - probs_s < jnp.where(top_p > 0.0, top_p, 1.0)
+    cutoff = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf))
+    lt = jnp.where(lt >= cutoff, lt, -jnp.inf)
+    samp = jax.random.categorical(key, lt).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, samp)
+
+
+def sample_logits_batched(logits, seeds, steps, temperature, top_k,
+                          top_p, min_p):
+    """Per-row sampling over (B, V) logits with PER-ROW controls and
+    PER-ROW reproducible randomness: row b's key is
+    fold_in(key(seeds[b]), steps[b]), so a request's token sequence
+    depends only on its own seed and its own step count — co-batched
+    requests, slot placement and admission order cannot change it
+    (continuous batching changes batch composition every step)."""
+    keys = jax.vmap(
+        lambda s, t: jax.random.fold_in(jax.random.key(s), t)
+    )(seeds, steps)
+    return jax.vmap(_sample_row)(logits, keys, temperature, top_k,
+                                 top_p, min_p)
+
+
 def make_prefill(cfg: GPTConfig, quant: str | None = None):
     """Jitted batched prefill: (params, cache, prompt (B, P)) ->
     (last-position logits (B, V), cache filled through position P-1).

@@ -34,15 +34,22 @@ from .models import transformer as T
 
 
 class _Request:
-    __slots__ = ("rid", "prompt", "max_new", "tokens", "slot", "_seq")
+    __slots__ = ("rid", "prompt", "max_new", "tokens", "slot", "_seq",
+                 "temperature", "top_k", "top_p", "min_p", "seed")
 
-    def __init__(self, rid, prompt, max_new):
+    def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0,
+                 top_p=0.0, min_p=0.0, seed=None):
         self.rid = rid
         self.prompt = prompt
         self.max_new = max_new
         self.tokens: List[int] = []
         self.slot: Optional[int] = None
         self._seq = 0            # admission order (preemption priority)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.min_p = float(min_p)
+        self.seed = int(rid if seed is None else seed) & 0x7FFFFFFF
 
 
 class ContinuousBatcher:
@@ -66,6 +73,7 @@ class ContinuousBatcher:
         self.eos_id = eos_id
         self._quant = quant
         self._suffix_prefill = None          # built on first register_prefix
+        self._sampler = None                 # built on first sample
         self._prefixes: List[Tuple[np.ndarray, object, object, int]] = []
         self._build_programs()
         self._free = deque(range(n_slots))
@@ -117,17 +125,69 @@ class ContinuousBatcher:
         return None
 
     # ------------------------------------------------------------- intake
-    def submit(self, prompt, max_new: int) -> int:
+    def submit(self, prompt, max_new: int, *, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
+               seed: Optional[int] = None) -> int:
         """Queue a request (prompt: 1-d int array). Returns a request id;
-        the request starts as soon as a slot frees up."""
+        the request starts as soon as a slot frees up.
+
+        Sampling is PER-REQUEST (`sample_logits_batched`): temperature 0
+        (default) is greedy; temperature/top_k/top_p/min_p mirror
+        `make_generate`'s controls. `seed` (default: the request id)
+        makes the request's token sequence reproducible regardless of
+        what it is co-batched with — the row key is
+        fold_in(key(seed), tokens_emitted), so admission order, slot
+        placement and even preemption cannot change the output."""
         prompt = np.asarray(prompt, np.int32).reshape(1, -1)
         if prompt.shape[1] + max_new > self.cfg.max_seq:
             raise ValueError("prompt + max_new exceeds cfg.max_seq")
-        req = _Request(self._next_rid, prompt, max_new)
+        req = _Request(self._next_rid, prompt, max_new,
+                       temperature=temperature, top_k=top_k, top_p=top_p,
+                       min_p=min_p, seed=seed)
         self._next_rid += 1
         self._queue.append(req)
         self._admit()
         return req.rid
+
+    # ----------------------------------------------------------- sampling
+    def _get_sampler(self):
+        if self._sampler is None:
+            self._sampler = jax.jit(T.sample_logits_batched)
+        return self._sampler
+
+    def _sample_one(self, logits, req: _Request) -> int:
+        """Sample the next token for one request from (V,) logits."""
+        out = self._get_sampler()(
+            jnp.asarray(logits).reshape(1, -1),
+            jnp.asarray([req.seed], np.uint32),
+            jnp.asarray([len(req.tokens)], np.int32),
+            jnp.asarray([req.temperature], np.float32),
+            jnp.asarray([req.top_k], np.int32),
+            jnp.asarray([req.top_p], np.float32),
+            jnp.asarray([req.min_p], np.float32))
+        return int(out[0])
+
+    def _sample_batch(self, logits) -> np.ndarray:
+        """Sample every running slot's next token from (B, V) logits."""
+        B = self.n_slots
+        seeds = np.zeros((B,), np.uint32)
+        steps = np.zeros((B,), np.int32)
+        temp = np.zeros((B,), np.float32)
+        top_k = np.zeros((B,), np.int32)
+        top_p = np.zeros((B,), np.float32)
+        min_p = np.zeros((B,), np.float32)
+        for slot, req in self._running.items():
+            seeds[slot] = req.seed
+            steps[slot] = len(req.tokens)
+            temp[slot] = req.temperature
+            top_k[slot] = req.top_k
+            top_p[slot] = req.top_p
+            min_p[slot] = req.min_p
+        out = self._get_sampler()(
+            logits, jnp.asarray(seeds), jnp.asarray(steps),
+            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
+            jnp.asarray(min_p))
+        return np.asarray(out, np.int32)
 
     def _can_admit(self, req: _Request) -> bool:
         """Admission gate beyond a free slot (the paged subclass also
@@ -159,7 +219,7 @@ class ContinuousBatcher:
             if logits is not None:
                 # a resumed (preempted) request restores _next_tok from
                 # its own history and returns None instead of logits
-                self._next_tok[slot] = int(jnp.argmax(logits))
+                self._next_tok[slot] = self._sample_one(logits, req)
                 req.tokens.append(int(self._next_tok[slot]))
             self._running[slot] = req
             self._maybe_finish(slot)
@@ -180,7 +240,7 @@ class ContinuousBatcher:
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(self._next_tok),
             jnp.asarray(active), *self._extra_step_args())
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        nxt = self._sample_batch(logits)
         for slot in list(self._running):
             self._next_tok[slot] = nxt[slot]
             self._running[slot].tokens.append(int(nxt[slot]))
@@ -329,7 +389,7 @@ class PagedBatcher(ContinuousBatcher):
         return None
 
     # ------------------------------------------------------------ blocks
-    def submit(self, prompt, max_new: int) -> int:
+    def submit(self, prompt, max_new: int, **sampling) -> int:
         p = np.asarray(prompt).reshape(1, -1).shape[1]
         worst = -(-(p + max_new - 1) // self.block_size)
         if worst > self.n_blocks - 1 - self._n_reserved:
@@ -337,7 +397,7 @@ class PagedBatcher(ContinuousBatcher):
                 f"request needs up to {worst} blocks but the pool has "
                 f"{self.n_blocks - 1 - self._n_reserved}; raise n_blocks "
                 f"or block_size")
-        return super().submit(prompt, max_new)
+        return super().submit(prompt, max_new, **sampling)
 
     def _req_row(self, req: _Request) -> np.ndarray:
         """The token row a (re-)prefill must cover: the prompt, plus —

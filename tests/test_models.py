@@ -1194,6 +1194,108 @@ class TestPagedBatcher:
             config.pallas_interpret = False
 
 
+class TestBatcherSampling:
+    """Per-request sampling in the batchers (`submit(..., temperature=,
+    top_k=, top_p=, min_p=, seed=)`), built on `sample_logits_batched`
+    — one compiled program serves heterogeneous greedy/sampled rows,
+    and each row's randomness keys off (seed, tokens_emitted) so output
+    is independent of batch composition."""
+
+    def _cfg(self):
+        import jax.numpy as jnp
+
+        return T.GPTConfig(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                           d_ff=128, max_seq=48, dtype=jnp.float32,
+                           flash="off")
+
+    def test_sampler_greedy_rows_match_argmax(self):
+        import jax
+
+        logits = jax.random.normal(jax.random.key(0), (4, 64))
+        out = T.sample_logits_batched(
+            logits, jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.int32),
+            jnp.zeros(4), jnp.zeros(4, jnp.int32), jnp.zeros(4),
+            jnp.zeros(4))
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(logits.argmax(-1)))
+
+    def test_sampler_respects_topk_filter(self):
+        import jax
+
+        logits = jax.random.normal(jax.random.key(1), (2, 64))
+        top3 = np.asarray(jax.lax.top_k(logits, 3)[1])
+        for step in range(50):
+            out = np.asarray(T.sample_logits_batched(
+                logits, jnp.asarray([7, 8], jnp.uint32),
+                jnp.full((2,), step, jnp.int32),
+                jnp.full((2,), 5.0), jnp.full((2,), 3, jnp.int32),
+                jnp.zeros(2), jnp.zeros(2)))
+            for b in range(2):
+                assert out[b] in top3[b], (b, out[b], top3[b])
+
+    def test_topk1_equals_greedy_end_to_end(self):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompt = np.array([3, 1, 4, 1, 5], np.int32)
+        cb = ContinuousBatcher(params, cfg, n_slots=2)
+        r_greedy = cb.submit(prompt, 8)
+        r_k1 = cb.submit(prompt, 8, temperature=1.7, top_k=1)
+        out = cb.run()
+        np.testing.assert_array_equal(out[r_k1], out[r_greedy])
+
+    def test_sampled_request_independent_of_batchmates(self):
+        """Same (prompt, seed, controls) must emit the same tokens
+        whether served alone or co-batched with other requests — the
+        per-row fold_in(seed, tokens_emitted) key schedule."""
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompt = np.array([9, 10, 11], np.int32)
+        kw = dict(temperature=0.9, top_k=8, seed=42)
+        alone = ContinuousBatcher(params, cfg, n_slots=3)
+        r0 = alone.submit(prompt, 10, **kw)
+        want = alone.run()[r0]
+        crowded = ContinuousBatcher(params, cfg, n_slots=3)
+        crowded.submit(np.array([20, 21], np.int32), 12)
+        r1 = crowded.submit(prompt, 10, **kw)
+        crowded.submit(np.array([30], np.int32), 6, temperature=1.2,
+                       seed=7)
+        out = crowded.run()
+        np.testing.assert_array_equal(out[r1], want)
+
+    def test_sampling_survives_preemption_paged(self):
+        """A sampled request preempted mid-stream must resume with the
+        SAME continuation (key schedule counts tokens emitted, and the
+        re-prefill rebuilds exact K/V)."""
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts = [np.array([1, 2, 3, 4, 5, 6, 7, 8, 9], np.int32),
+                   np.array([20, 21, 22, 23, 24, 25, 26, 27], np.int32)]
+        kw = dict(temperature=0.8, top_k=12, seed=5)
+        roomy = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                             block_size=4)
+        r0 = [roomy.submit(p, 10, **kw) for p in prompts]
+        ref = roomy.run()
+        tight = PagedBatcher(params, cfg, n_slots=2, n_blocks=8,
+                             block_size=4)
+        r1 = [tight.submit(p, 10, **kw) for p in prompts]
+        out = tight.run()
+        assert tight.preemptions > 0
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(out[b], ref[a])
+
+
 class TestRoPE:
     """pos_emb="rope": rotary positions (GPT-NeoX half-split), no wpe
     param; keys cached post-rotation so decode needs no re-rotation."""
