@@ -16,9 +16,13 @@ over whatever mix of requests currently occupies them:
   next queued request takes it over — no waiting for the batch's longest
   sequence, which is the whole point.
 
-Greedy decoding (the deterministic serving mode); per-request sampling
-belongs to the one-shot `make_generate`. Everything device-side is two
-jitted programs reused across requests — no recompiles at steady state.
+Sampling is PER-REQUEST (`submit(..., temperature=, top_k=, top_p=,
+min_p=, seed=)`; temperature 0 = greedy, the default): one compiled
+sampler with traced per-row controls serves heterogeneous batches, and
+each row's key schedule is fold_in(key(seed), tokens_emitted) — output
+is reproducible no matter what a request is co-batched with.
+Everything device-side is three jitted programs reused across requests
+— no recompiles at steady state.
 """
 
 from __future__ import annotations
