@@ -103,3 +103,84 @@ def make_lora_train_step(cfg: T.GPTConfig, *, alpha: float = 8.0,
         return lora, opt_state, loss
 
     return jax.jit(step, donate_argnums=(1, 2))
+
+
+# --------------------------------------------------------------------------
+# QLoRA: adapters over an int4-quantized frozen base (Dettmers et al.
+# 2023, mapped onto this repo's serving quantizer instead of NF4)
+
+QLORA_QUANT_LEAVES = ("qkv", "proj", "fc_in", "fc_out", "fc_gate")
+
+
+def qlora_quantize_base(params) -> Dict:
+    """Freeze the base for QLoRA fine-tuning: every stacked (L, in, out)
+    matmul leaf is stored group-wise int4 (`transformer._quant_w4` —
+    packed nibbles + per-128-group f32 scales, ~4.25 bits/weight = 7.5x
+    smaller than f32), embeddings / norms / biases / untied head stay
+    f32. The PERSISTENT training state then is: int4 base + f32
+    adapters + adapter Adam moments — the f32 master weights and their
+    optimizer state, the dominant fine-tuning memory, are gone. (The
+    transient bf16 merged tree during a step is unchanged vs LoRA.)"""
+    blocks = dict(params["blocks"])
+    for name in QLORA_QUANT_LEAVES:
+        w = blocks.get(name)
+        if w is not None and not isinstance(w, dict) and w.ndim == 3:
+            blocks[name] = T._quant_w4(w)
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
+def qlora_apply(qparams, lora, alpha: float = 8.0,
+                dtype=jnp.bfloat16):
+    """Merged compute tree from a quantized base: dequantize each int4
+    leaf to `dtype` (`transformer.dequant_w4`) and add the adapter
+    delta — the QLoRA forward is the plain forward over this tree, so
+    flash/remat/sharding apply unchanged (the same merge-on-the-fly
+    stance as `lora_apply`)."""
+    blocks = dict(qparams["blocks"])
+    for name, w in list(blocks.items()):
+        if isinstance(w, dict) and "q4p" in w:
+            blocks[name] = T.dequant_w4(w, dtype)
+    for name, ab in lora.items():
+        rank = ab["A"].shape[-1]
+        delta = jnp.einsum("lir,lro->lio", ab["A"], ab["B"],
+                           preferred_element_type=jnp.float32)
+        w = blocks[name]
+        blocks[name] = (w.astype(jnp.float32)
+                        + delta * (alpha / rank)).astype(w.dtype)
+    out = dict(qparams)
+    out["blocks"] = blocks
+    return out
+
+
+def make_qlora_train_step(cfg: T.GPTConfig, *, alpha: float = 8.0,
+                          grad_clip: float = 0.0):
+    """QLoRA fine-tuning step — `make_lora_train_step` over a
+    `qlora_quantize_base` tree: step(qparams, lora, opt_state, tokens,
+    targets, lr, key) -> (lora, opt_state, loss). Gradients flow
+    through the dequantize (a linear rescale) into the adapters only;
+    the int4 base is frozen by construction (integer leaves carry no
+    tangents) and never materialises in f32."""
+    from ..optim.functional import adam_update, clip_by_global_norm
+
+    def loss_of(lora, qparams, tokens, targets, key):
+        merged = qlora_apply(jax.lax.stop_gradient(qparams), lora, alpha,
+                             dtype=cfg.dtype)
+        return T.loss_fn(merged, tokens, targets, cfg, train=True, key=key)
+
+    def step(qparams, lora, opt_state, tokens, targets, lr, key):
+        loss, grads = jax.value_and_grad(loss_of)(
+            lora, qparams, tokens, targets, key)
+        if grad_clip > 0.0:
+            grads, _ = clip_by_global_norm(grads, grad_clip)
+        lora, opt_state = adam_update(lora, grads, opt_state, lr)
+        return lora, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(1, 2))
+
+
+def qlora_merge(qparams, lora, alpha: float = 8.0, dtype=jnp.bfloat16):
+    """Export: dequantized base + adapters as a plain params tree
+    (identical numbers to the training-time merged tree)."""
+    return qlora_apply(qparams, lora, alpha, dtype=dtype)

@@ -1578,6 +1578,21 @@ def _quant_w4(w, group: int = 128):
     return {"q4p": packed, "s4": s}
 
 
+def dequant_w4(w: dict, dtype) -> jax.Array:
+    """Inverse of `_quant_w4`: unpack the nibbles with two arithmetic
+    shifts, apply per-group scales in f32, emit `dtype` at the original
+    (..., K, N) shape. HBM reads the int4 bytes; the dequant multiply
+    rides the VMEM pass (used by serving's W4A16 dot and by QLoRA's
+    merged-weight reconstruction)."""
+    p, s = w["q4p"], w["s4"]                     # (G, g/2, N), (G, 1, N)
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)      # sign-extend low
+    hi = jnp.right_shift(p, 4)                         # arithmetic: high
+    q = jnp.stack([lo, hi], axis=-2)                   # (G, g/2, 2, N)
+    q = q.reshape(p.shape[:-2] + (p.shape[-2] * 2, p.shape[-1]))
+    wd = (q.astype(jnp.float32) * s).astype(dtype)
+    return wd.reshape(wd.shape[:-3] + (-1, wd.shape[-1]))
+
+
 def _quant_decode_params(params, cfg: GPTConfig, bits: int = 8):
     """Weight quantization for serving. `bits=8`: W8A8 with dynamic
     per-token activation scales — see `_qdot`. `bits=4`: W4A16 —
@@ -1618,13 +1633,7 @@ def _qdot(x, w, cfg: GPTConfig):
     two arithmetic shifts, dequantized per group in VMEM, bf16 MXU dot —
     HBM reads the int4 bytes, not the dequantized matrix)."""
     if isinstance(w, dict) and "q4p" in w:
-        p, s = w["q4p"], w["s4"]                 # (G, g/2, N), (G, 1, N)
-        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)  # sign-extend low
-        hi = jnp.right_shift(p, 4)                     # arithmetic: high
-        q = jnp.stack([lo, hi], axis=-2)               # (G, g/2, 2, N)
-        q = q.reshape(p.shape[:-2] + (p.shape[-2] * 2, p.shape[-1]))
-        wd = (q.astype(jnp.float32) * s).astype(cfg.dtype)
-        wd = wd.reshape(wd.shape[:-3] + (-1, wd.shape[-1]))      # (K, N)
+        wd = dequant_w4(w, cfg.dtype)                            # (K, N)
         return jnp.dot(x.astype(cfg.dtype), wd,
                        preferred_element_type=jnp.float32)
     if isinstance(w, dict):

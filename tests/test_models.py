@@ -1755,6 +1755,74 @@ class TestLoRA:
         assert np.isfinite(float(loss))
 
 
+class TestQLoRA:
+    """QLoRA: adapters over an int4-quantized frozen base. The
+    persistent state is int4 base + f32 adapters + adapter Adam
+    moments; the forward is the plain forward over the dequantized
+    merged tree."""
+
+    def _setup(self):
+        from neuronika_tpu.models import lora as LR
+
+        cfg = T.GPTConfig(vocab_size=32, n_layer=2, n_head=2, d_model=32,
+                          d_ff=64, max_seq=16, dtype=jnp.float32)
+        params = T.init_params(jax.random.key(0), cfg)
+        qbase = LR.qlora_quantize_base(params)
+        ad = LR.lora_init(jax.random.key(1), params, rank=4)
+        return LR, cfg, params, qbase, ad
+
+    def test_base_is_int4_and_smaller(self):
+        LR, cfg, params, qbase, ad = self._setup()
+        q = qbase["blocks"]["qkv"]
+        assert set(q) == {"q4p", "s4"} and q["q4p"].dtype == jnp.int8
+        f32_bytes = params["blocks"]["qkv"].size * 4
+        q_bytes = q["q4p"].size + q["s4"].size * 4
+        assert q_bytes < f32_bytes / 6     # ~4.25 bits/weight
+        # embeddings / norms stay full precision
+        assert qbase["wte"].dtype == jnp.float32
+
+    def test_zero_adapters_match_dequantized_base(self):
+        LR, cfg, params, qbase, ad = self._setup()
+        toks = jax.random.randint(jax.random.key(2), (2, 16), 0, 32)
+        a = T.forward(LR.qlora_apply(qbase, ad, dtype=jnp.float32),
+                      toks, cfg)
+        b = T.forward(params, toks, cfg)
+        # int4 is the only error source (B=0 -> adapters are identity)
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 0.15, rel
+
+    def test_train_step_moves_only_adapters(self):
+        LR, cfg, params, qbase, ad = self._setup()
+        step = LR.make_qlora_train_step(cfg)
+        opt = T.adam_init(ad)
+        toks = jax.random.randint(jax.random.key(2), (4, 16), 0, 32)
+        tgts = jnp.roll(toks, -1, axis=1)
+        frozen = jax.tree.map(jnp.copy, qbase)
+        losses = []
+        for i in range(8):
+            ad, opt, loss = step(qbase, ad, opt, toks, tgts,
+                                 jnp.float32(1e-2), jax.random.key(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        same = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), qbase, frozen)
+        assert max(jax.tree.leaves(same)) == 0.0
+        assert float(jnp.abs(ad["qkv"]["B"]).max()) > 0.0
+
+    def test_merge_exports_plain_tree(self):
+        LR, cfg, params, qbase, ad = self._setup()
+        ad = jax.tree.map(
+            lambda x: x + 0.01 * jax.random.normal(
+                jax.random.key(9), x.shape), ad)
+        toks = jax.random.randint(jax.random.key(2), (2, 16), 0, 32)
+        merged = LR.qlora_merge(qbase, ad, dtype=jnp.float32)
+        assert not isinstance(merged["blocks"]["qkv"], dict)
+        a = T.forward(merged, toks, cfg)
+        b = T.forward(LR.qlora_apply(qbase, ad, dtype=jnp.float32),
+                      toks, cfg)
+        assert_close(a, b, tol=1e-6)
+
+
 class TestBertEncoder:
     """causal=False: the GPT body becomes a bidirectional encoder
     (models/bert.py) with MLM pre-training and classification tiers."""

@@ -25,14 +25,16 @@ from jax import lax
 from neuronika_tpu.models import transformer as T
 
 
-def timed_chain(step, cache0, iters=8, reps=5):
+def timed_chain(step, cache0, iters=8, reps=3):
     f = jax.jit(lambda c, n: lax.fori_loop(0, n, lambda i, c: step(c), c))
 
     def run(n):
         out = f(cache0, jnp.int32(n))
         return float(jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32))
 
+    print("  compiling...", flush=True)
     run(iters)
+    print("  compiled; warming", flush=True)
     run(4 * iters)
     diffs = []
     for _ in range(reps):
@@ -48,9 +50,9 @@ def timed_chain(step, cache0, iters=8, reps=5):
 
 def main():
     cfg = T.GPTConfig(vocab_size=16384, n_layer=8, n_head=12,
-                      d_model=1536, d_ff=6144, max_seq=1024,
+                      d_model=1536, d_ff=6144, max_seq=512,
                       dtype=jnp.bfloat16, flash="auto")
-    B, BS = 16, 16
+    B, BS = 8, 16
     MB = cfg.max_seq // BS
     NB = B * MB + 1
     params = T.init_params(jax.random.key(0), cfg)
@@ -73,7 +75,19 @@ def main():
     # remote-compile tunnel is minutes — keep the program count at 2)
     results = {}
     for kernel in ("off", "on"):
+        print(f"--- kernel={kernel}", flush=True)
         step_fn = T.make_paged_decode_step(cfg, BS, kernel=kernel)
+        # bare-step compile + one synced call first (diagnostic: if THIS
+        # is slow, it is the base program, not the fori_loop wrapper)
+        t0 = time.perf_counter()
+        # deep-copy: the step donates its cache argument, and dict() is
+        # a shallow copy sharing the pristine cache's buffers
+        logits, c2 = step_fn(params, jax.tree.map(jnp.copy, cache),
+                             tokens, active, table)
+        _ = float(logits.ravel()[0])
+        print(f"  bare step compile+run {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        del c2
 
         def one(c, step_fn=step_fn):
             logits, c2 = step_fn(params, c, tokens, active, table)
