@@ -1670,7 +1670,33 @@ def _cast_decode_params(params, cfg: GPTConfig):
     return p
 
 
-def _decode_qkv(x, blk, cfg: GPTConfig, pos=None):
+def _lora_delta(h, ab, name, sel, cfg: GPTConfig):
+    """Per-slot low-rank correction for serving with MANY adapters
+    resident at once (S-LoRA): `ab` holds ONE layer's stacked adapters
+    {name: {"A": (NA, d_in, r), "B": (NA, r, d_out)}} and `sel` (B,)
+    names each sequence's adapter (0 = the zero adapter = base model).
+    The correction (h @ A[sel]) @ B[sel] costs O(B·d·r) — merging
+    per-request weights would cost a full weight-tree copy per request
+    and could not serve two adapters in one batched step at all.
+    alpha/r is folded into B at registration (serving.register_adapter)."""
+    if ab is None or name not in ab:
+        return None
+    A = ab[name]["A"][sel].astype(cfg.dtype)      # (B, d_in, r)
+    Bm = ab[name]["B"][sel].astype(cfg.dtype)     # (B, r, d_out)
+    t = jnp.einsum("bqd,bdr->bqr", h.astype(cfg.dtype), A,
+                   preferred_element_type=jnp.float32).astype(cfg.dtype)
+    return jnp.einsum("bqr,bro->bqo", t, Bm,
+                      preferred_element_type=jnp.float32).astype(cfg.dtype)
+
+
+def _ldot(h, blk, name, cfg: GPTConfig, ab=None, sel=None):
+    """`_qdot` plus the optional per-slot LoRA correction."""
+    y = _qdot(h, blk[name], cfg)
+    d = _lora_delta(h, ab, name, sel, cfg)
+    return y if d is None else y + d
+
+
+def _decode_qkv(x, blk, cfg: GPTConfig, pos=None, ab=None, sel=None):
     """q (B,KV,G,1,hd), new-token k/v (B,KV,1,hd) for one layer. `pos`
     (scalar or (B,)) rotates q/k under rope — keys enter the cache
     post-rotation, so cached reads need no re-rotation."""
@@ -1680,7 +1706,7 @@ def _decode_qkv(x, blk, cfg: GPTConfig, pos=None):
     KV = _kv_heads(cfg)
     G = H // KV
     h = _layer_norm(x, blk["ln1"], cfg.norm_eps)
-    qkv = _qdot(h, blk["qkv"], cfg)
+    qkv = _ldot(h, blk, "qkv", cfg, ab, sel)
     qkv = _badd(qkv, blk, "qkv_b", cfg)
     # grouped-query attention without materialising repeated K/V: fold the
     # group axis into the query side (g = H/KV queries share a KV head)
@@ -1700,11 +1726,13 @@ def _decode_qkv(x, blk, cfg: GPTConfig, pos=None):
     return q, k, v
 
 
-def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
+def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig, ab=None,
+                  sel=None):
     """Attention + MLP for a single new token x (B, 1, D). `q` comes from
     `_decode_qkv`; `lk`/`lv` are this layer's cached K/V (B, KV, S, hd)
     ALREADY holding the new token at `pos` (the cache write happens in
-    the caller, touching just position `pos`)."""
+    the caller, touching just position `pos`). `ab`/`sel` route per-slot
+    LoRA adapters (see `_lora_delta`)."""
     B = x.shape[0]
     hd = cfg.d_model // cfg.n_head
     att = jnp.einsum("bkgqd,bksd->bkgqs", q, lk,
@@ -1721,41 +1749,46 @@ def _decode_block(x, blk, q, lk, lv, pos, cfg: GPTConfig):
     ctx = jnp.einsum("bkgqs,bksd->bkgqd", att, lv,
                      preferred_element_type=jnp.float32).astype(cfg.dtype)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, 1, cfg.d_model)
-    return _decode_post(x, blk, ctx, cfg)
+    return _decode_post(x, blk, ctx, cfg, ab, sel)
 
 
-def _decode_post(x, blk, ctx, cfg: GPTConfig):
+def _decode_post(x, blk, ctx, cfg: GPTConfig, ab=None, sel=None):
     """Post-attention half of a decode block: output projection,
     residual, MLP. `ctx` is the merged-heads attention output
     (B, 1, D)."""
-    ctx = _qdot(ctx, blk["proj"], cfg)
+    ctx = _ldot(ctx, blk, "proj", cfg, ab, sel)
     x = x + _badd(ctx, blk, "proj_b", cfg)
-    x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg)
+    x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg,
+                        ab, sel)
     return x
 
 
-def _decode_mlp(x, blk, cfg: GPTConfig):
-    if isinstance(blk["fc_in"], dict):  # int8 serving path
-        h = _qdot(x, blk["fc_in"], cfg)
+def _decode_mlp(x, blk, cfg: GPTConfig, ab=None, sel=None):
+    mlp_lora = ab is not None and any(
+        k in ab for k in ("fc_in", "fc_out", "fc_gate"))
+    if isinstance(blk["fc_in"], dict) or mlp_lora:
+        h = _ldot(x, blk, "fc_in", cfg, ab, sel)
         h = _badd(h, blk, "fc_in_b", cfg)
         if cfg.mlp == "swiglu":
-            g = _badd(_qdot(x, blk["fc_gate"], cfg), blk,
+            g = _badd(_ldot(x, blk, "fc_gate", cfg, ab, sel), blk,
                       "fc_gate_b", cfg)
             h = (jax.nn.silu(g.astype(jnp.float32)) * h).astype(cfg.dtype)
         else:
             h = jax.nn.gelu(h)
-        o = _qdot(h, blk["fc_out"], cfg)
+        o = _ldot(h, blk, "fc_out", cfg, ab, sel)
         return _badd(o, blk, "fc_out_b", cfg)
     return _mlp(x, blk, cfg)[0]
 
 
-def _prefill_body(params, cache, prompt, cfg: GPTConfig):
+def _prefill_body(params, cache, prompt, cfg: GPTConfig, ab=None, sel=None):
     """Batched prefill: ONE MXU-efficient pass over the whole prompt
     (B, P) fills the KV cache and returns the last position's logits.
     The previous scanned prefill paid P sequential single-token steps —
     each reading all weights — so long prompts cost as much as decoding
     them (~half the serving time at P=128/N=256). Shares `_qdot` /
-    `_quant_kv`, so all quant modes work identically."""
+    `_quant_kv`, so all quant modes work identically. `ab` (stacked
+    adapters, leading layer axis — see `_lora_delta`) and `sel` (B,)
+    apply per-row LoRA corrections during the prompt pass."""
     B, P = prompt.shape
     H = cfg.n_head
     KV = _kv_heads(cfg)
@@ -1771,9 +1804,9 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
 
     def body(carry, inp):
         x, rest = carry[0], carry[1:]
-        blk, l = inp
+        blk, ab_l, l = inp
         h = _layer_norm(x, blk["ln1"], cfg.norm_eps)
-        qkv = _qdot(h, blk["qkv"], cfg)
+        qkv = _ldot(h, blk, "qkv", cfg, ab_l, sel)
         qkv = _badd(qkv, blk, "qkv_b", cfg)
         q, k, v = _unpack_qkv(qkv, cfg)
         if cfg.pos_emb == "rope":      # q/k (B,P,KV,{G,}hd): rotate by P
@@ -1796,9 +1829,10 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
                          preferred_element_type=jnp.float32).astype(
             cfg.dtype)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, P, cfg.d_model)
-        ctx = _qdot(ctx, blk["proj"], cfg)
+        ctx = _ldot(ctx, blk, "proj", cfg, ab_l, sel)
         x = x + _badd(ctx, blk, "proj_b", cfg)
-        x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg)
+        x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk,
+                            cfg, ab_l, sel)
         at = (l, 0, 0, 0, 0)
         if quant_kv:
             ck, cv, cks, cvs = rest
@@ -1817,7 +1851,7 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig):
     keys = (("k", "v", "ks", "vs") if quant_kv else ("k", "v"))
     carry, _ = lax.scan(
         body, (x,) + tuple(cache[n] for n in keys),
-        (params["blocks"], jnp.arange(cfg.n_layer)))
+        (params["blocks"], ab, jnp.arange(cfg.n_layer)))
     x = _layer_norm(carry[0][:, -1], params["ln_f"], cfg.norm_eps)
     head = params.get("head")
     if head is not None:
@@ -2076,10 +2110,11 @@ def make_slot_prefill(cfg: GPTConfig, quant: str | None = None):
     batch without disturbing it."""
     _require_causal(cfg, "kv-cache decoding/serving")
 
-    def pre(params, cache, prompt, slot):
+    def pre(params, cache, prompt, slot, adapters=None, sel=None):
         params = _prep_decode_params(params, cfg, quant)
         mini = init_kv_cache(cfg, 1, quant=quant)
-        logits, mini = _prefill_body(params, mini, prompt, cfg)
+        logits, mini = _prefill_body(params, mini, prompt, cfg, adapters,
+                                     sel)
         out = dict(cache)
         for n in ("k", "v", "ks", "vs"):
             if n in out:
@@ -2138,7 +2173,7 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
             "slot serving supports quant=None/'int8'/'int4' (int8-kv's "
             "scale rows would need the same scatter plumbing)")
 
-    def step(params, cache, tokens, active):
+    def step(params, cache, tokens, active, adapters=None, sel=None):
         params = _prep_decode_params(params, cfg, quant)
         pos = cache["pos"]                              # (B,)
         B = tokens.shape[0]
@@ -2151,8 +2186,8 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
 
         def body(carry, inp):
             x, ck, cv = carry
-            blk, l = inp
-            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos)
+            blk, ab_l, l = inp
+            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos, ab_l, sel)
             lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
             lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
             lk = lk.at[bar, :, pos_w].set(
@@ -2163,12 +2198,12 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
                           lv[bar, :, pos_w]))
             ck = lax.dynamic_update_slice(ck, lk[None], (l, 0, 0, 0, 0))
             cv = lax.dynamic_update_slice(cv, lv[None], (l, 0, 0, 0, 0))
-            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg)
+            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg, ab_l, sel)
             return (x, ck, cv), None
 
         (x, ks, vs), _ = lax.scan(
             body, (x, cache["k"], cache["v"]),
-            (params["blocks"], jnp.arange(cfg.n_layer)))
+            (params["blocks"], adapters, jnp.arange(cfg.n_layer)))
         x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
         head = params.get("head")
         if head is not None:
@@ -2220,7 +2255,7 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
                                   "quant=None/'int8'/'int4'")
     BS = block_size
 
-    def pre(params, cache, prompt, slot, blocks):
+    def pre(params, cache, prompt, slot, blocks, adapters=None, sel=None):
         params = _prep_decode_params(params, cfg, quant)
         P = prompt.shape[1]
         nb = -(-P // BS)                                   # ceil, static
@@ -2232,7 +2267,8 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
         mini = {"k": jnp.zeros((L, 1, KV, s_round, hd), cfg.dtype),
                 "v": jnp.zeros((L, 1, KV, s_round, hd), cfg.dtype),
                 "pos": jnp.zeros((), jnp.int32)}
-        logits, mini = _prefill_body(params, mini, prompt, cfg)
+        logits, mini = _prefill_body(params, mini, prompt, cfg, adapters,
+                                     sel)
         out = dict(cache)
         for name, src in (("pk", mini["k"]), ("pv", mini["v"])):
             t = src[:, 0]                                  # (L,KV,S,hd)
@@ -2329,7 +2365,7 @@ def make_paged_decode_step(cfg: GPTConfig, block_size: int,
         kernel == "auto" and on_tpu() and hd_ % 128 == 0)
     BS = block_size
 
-    def step(params, cache, tokens, active, table):
+    def step(params, cache, tokens, active, table, adapters=None, sel=None):
         params = _prep_decode_params(params, cfg, quant)
         pos = cache["pos"]                                 # (B,)
         B = tokens.shape[0]
@@ -2345,8 +2381,8 @@ def make_paged_decode_step(cfg: GPTConfig, block_size: int,
 
         def body(carry, inp):
             x, pk, pv = carry
-            blk, l = inp
-            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos)
+            blk, ab_l, l = inp
+            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos, ab_l, sel)
             pk_l = lax.dynamic_index_in_dim(pk, l, 0, keepdims=False)
             pv_l = lax.dynamic_index_in_dim(pv, l, 0, keepdims=False)
             pk_l = pk_l.at[bid, :, off].set(
@@ -2365,18 +2401,18 @@ def make_paged_decode_step(cfg: GPTConfig, block_size: int,
                     window=cfg.window, interpret=_cfg.pallas_interpret)
                 # kv-group-major (B, KV, G, hd) == head-major merge
                 ctx = ctx.reshape(B, 1, cfg.d_model)
-                x = _decode_post(x, blk, ctx, cfg)
+                x = _decode_post(x, blk, ctx, cfg, ab_l, sel)
             else:
                 lk = pk_l[table].transpose(0, 2, 1, 3, 4)  # (B,KV,MB,BS,hd)
                 lk = lk.reshape(B, lk.shape[1], MB * BS, lk.shape[4])
                 lv = pv_l[table].transpose(0, 2, 1, 3, 4)
                 lv = lv.reshape(B, lv.shape[1], MB * BS, lv.shape[4])
-                x = _decode_block(x, blk, q, lk, lv, pos_w, cfg)
+                x = _decode_block(x, blk, q, lk, lv, pos_w, cfg, ab_l, sel)
             return (x, pk, pv), None
 
         (x, pk, pv), _ = lax.scan(
             body, (x, cache["pk"], cache["pv"]),
-            (params["blocks"], jnp.arange(cfg.n_layer)))
+            (params["blocks"], adapters, jnp.arange(cfg.n_layer)))
         x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
         head = params.get("head")
         if head is not None:

@@ -39,10 +39,11 @@ from .models import transformer as T
 
 class _Request:
     __slots__ = ("rid", "prompt", "max_new", "tokens", "slot", "_seq",
-                 "temperature", "top_k", "top_p", "min_p", "seed")
+                 "temperature", "top_k", "top_p", "min_p", "seed",
+                 "adapter")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0,
-                 top_p=0.0, min_p=0.0, seed=None):
+                 top_p=0.0, min_p=0.0, seed=None, adapter=0):
         self.rid = rid
         self.prompt = prompt
         self.max_new = max_new
@@ -54,6 +55,7 @@ class _Request:
         self.top_p = float(top_p)
         self.min_p = float(min_p)
         self.seed = int(rid if seed is None else seed) & 0x7FFFFFFF
+        self.adapter = int(adapter)
 
 
 class ContinuousBatcher:
@@ -79,6 +81,9 @@ class ContinuousBatcher:
         self._suffix_prefill = None          # built on first register_prefix
         self._sampler = None                 # built on first sample
         self._prefixes: List[Tuple[np.ndarray, object, object, int]] = []
+        self._adapter_trees: List[Dict] = []  # host copies, re-stackable
+        self._adapters = None                 # stacked device tree or None
+        self._sel = np.zeros((n_slots,), np.int32)  # per-slot adapter id
         self._build_programs()
         self._free = deque(range(n_slots))
         self._queue: deque[_Request] = deque()
@@ -128,10 +133,90 @@ class ContinuousBatcher:
                 return pk, pv, plen
         return None
 
+    # ----------------------------------------------------------- adapters
+    def register_adapter(self, lora, alpha: float = 8.0) -> int:
+        """Register a LoRA adapter for PER-REQUEST serving (S-LoRA,
+        Sheng et al. 2023): a mixed batch serves many fine-tunes of one
+        base model in the SAME jitted decode step.
+
+        `lora` is a `models.lora.lora_init`-shaped tree
+        ({target: {"A": (L, in, r), "B": (L, r, out)}}); alpha/r is
+        folded into B here, so the device-side correction is just
+        (h @ A[sel]) @ B[sel] per adapted matmul — merging weights
+        per request would copy the whole tree and could never co-batch
+        two adapters. All registered adapters are stacked into one
+        device tree indexed by a per-slot selector; id 0 is the base
+        model (a zero adapter). Ranks and target sets may differ across
+        adapters (zero-padded to the per-target max — exact, since
+        padded A columns meet zero B rows). Returns the adapter id
+        (1-based).
+
+        Registration re-stacks and re-traces the step programs —
+        register adapters up front, not mid-serve. Prefix caching
+        applies only to base-model requests: a prefix K/V computed
+        under the base would be wrong for an adapter, so adapter
+        requests always take the full-prefill path."""
+        L = self.cfg.n_layer
+        tree = {}
+        for name, ab in lora.items():
+            A = np.asarray(ab["A"], np.float32)
+            B = np.asarray(ab["B"], np.float32)
+            if (A.ndim != 3 or B.ndim != 3 or A.shape[0] != L
+                    or B.shape[0] != L or A.shape[2] != B.shape[1]):
+                raise ValueError(
+                    f"adapter target {name!r}: want A (L, in, r) / "
+                    f"B (L, r, out) with L={L}, got {A.shape} / {B.shape}")
+            r = A.shape[2]
+            tree[name] = (A, B * (alpha / r))
+        if not tree:
+            raise ValueError("adapter has no targets")
+        self._adapter_trees.append(tree)
+        self._restack_adapters()
+        return len(self._adapter_trees)
+
+    def _restack_adapters(self) -> None:
+        """Rebuild the stacked device tree {target: {"A": (L, NA, in,
+        R), "B": (L, NA, R, out)}} from the host copies (adapter 0 =
+        zeros = base model). The leading L axis rides the decode step's
+        layer scan."""
+        L = self.cfg.n_layer
+        NA = len(self._adapter_trees) + 1
+        names = sorted({n for t in self._adapter_trees for n in t})
+        out = {}
+        for name in names:
+            entries = [t.get(name) for t in self._adapter_trees]
+            have = [e for e in entries if e is not None]
+            d_in = have[0][0].shape[1]
+            d_out = have[0][1].shape[2]
+            R = max(e[0].shape[2] for e in have)
+            A = np.zeros((L, NA, d_in, R), np.float32)
+            B = np.zeros((L, NA, R, d_out), np.float32)
+            for i, e in enumerate(entries, start=1):
+                if e is None:
+                    continue
+                r = e[0].shape[2]
+                A[:, i, :, :r] = e[0]
+                B[:, i, :r, :] = e[1]
+            out[name] = {"A": jnp.asarray(A, self.cfg.dtype),
+                         "B": jnp.asarray(B, self.cfg.dtype)}
+        self._adapters = out
+
+    def _lora_args(self) -> tuple:
+        """Trailing (adapters, sel) for the decode step; () when no
+        adapter is registered (keeps the no-LoRA trace unchanged)."""
+        if self._adapters is None:
+            return ()
+        return (self._adapters, jnp.asarray(self._sel))
+
+    def _lora_prefill_args(self, req: _Request) -> tuple:
+        if self._adapters is None:
+            return ()
+        return (self._adapters, jnp.full((1,), req.adapter, jnp.int32))
+
     # ------------------------------------------------------------- intake
     def submit(self, prompt, max_new: int, *, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
-               seed: Optional[int] = None) -> int:
+               seed: Optional[int] = None, adapter: int = 0) -> int:
         """Queue a request (prompt: 1-d int array). Returns a request id;
         the request starts as soon as a slot frees up.
 
@@ -141,13 +226,21 @@ class ContinuousBatcher:
         makes the request's token sequence reproducible regardless of
         what it is co-batched with — the row key is
         fold_in(key(seed), tokens_emitted), so admission order, slot
-        placement and even preemption cannot change the output."""
+        placement and even preemption cannot change the output.
+
+        `adapter` selects a LoRA adapter registered with
+        `register_adapter` (0 = base model) — requests with different
+        adapters co-batch in the same decode step."""
         prompt = np.asarray(prompt, np.int32).reshape(1, -1)
         if prompt.shape[1] + max_new > self.cfg.max_seq:
             raise ValueError("prompt + max_new exceeds cfg.max_seq")
+        if not 0 <= adapter <= len(self._adapter_trees):
+            raise ValueError(
+                f"adapter id {adapter} not registered (have "
+                f"{len(self._adapter_trees)}; 0 = base model)")
         req = _Request(self._next_rid, prompt, max_new,
                        temperature=temperature, top_k=top_k, top_p=top_p,
-                       min_p=min_p, seed=seed)
+                       min_p=min_p, seed=seed, adapter=adapter)
         self._next_rid += 1
         self._queue.append(req)
         self._admit()
@@ -200,7 +293,8 @@ class ContinuousBatcher:
 
     def _prefill_slot(self, req: _Request, slot: int):
         """Prefill `req` into `slot`; returns the last-position logits."""
-        pref = self._match_prefix(req.prompt[0])
+        pref = (None if req.adapter
+                else self._match_prefix(req.prompt[0]))
         if pref is not None:
             pk, pv, plen = pref
             logits, self.cache = self._suffix_prefill(
@@ -209,7 +303,7 @@ class ContinuousBatcher:
         else:
             logits, self.cache = self._prefill(
                 self.params, self.cache, jnp.asarray(req.prompt),
-                jnp.int32(slot))
+                jnp.int32(slot), *self._lora_prefill_args(req))
         return logits
 
     def _admit(self) -> None:
@@ -219,6 +313,7 @@ class ContinuousBatcher:
             req.slot = slot
             req._seq = self._admit_seq
             self._admit_seq += 1
+            self._sel[slot] = req.adapter
             logits = self._prefill_slot(req, slot)
             if logits is not None:
                 # a resumed (preempted) request restores _next_tok from
@@ -243,7 +338,8 @@ class ContinuousBatcher:
             active[slot] = True
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(self._next_tok),
-            jnp.asarray(active), *self._extra_step_args())
+            jnp.asarray(active), *self._extra_step_args(),
+            *self._lora_args())
         nxt = self._sample_batch(logits)
         for slot in list(self._running):
             self._next_tok[slot] = nxt[slot]
@@ -416,7 +512,7 @@ class PagedBatcher(ContinuousBatcher):
 
     def _can_admit(self, req: _Request) -> bool:
         row = self._req_row(req)
-        pref = self._match_paged_prefix(row)
+        pref = None if req.adapter else self._match_paged_prefix(row)
         nf = len(pref[1]) if pref is not None else 0
         return len(self._free_blocks) >= -(-row.size
                                            // self.block_size) - nf
@@ -425,7 +521,7 @@ class PagedBatcher(ContinuousBatcher):
         resumed = bool(req.tokens)
         row = self._req_row(req)
         BS = self.block_size
-        pref = self._match_paged_prefix(row)
+        pref = None if req.adapter else self._match_paged_prefix(row)
         self._table[slot, :] = 0
         if pref is not None:
             cut, shared_blocks = pref
@@ -448,7 +544,8 @@ class PagedBatcher(ContinuousBatcher):
             self._table[slot, :nb] = blocks
             logits, self.cache = self._prefill(
                 self.params, self.cache, jnp.asarray(row[None]),
-                jnp.int32(slot), jnp.asarray(np.asarray(blocks, np.int32)))
+                jnp.int32(slot), jnp.asarray(np.asarray(blocks, np.int32)),
+                *self._lora_prefill_args(req))
         self._pos[slot] = row.size
         if resumed:
             self._next_tok[slot] = req.tokens[-1]

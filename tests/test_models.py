@@ -2106,3 +2106,126 @@ class TestSeq2Seq:
         d = t5.forward(p, None, tgt, cfg, memory=mem)
         assert float(jnp.abs(a - b).max()) > 1e-4   # dropout varies
         assert_close(c, d, tol=0)                   # eval deterministic
+
+
+class TestMultiLoRAServing:
+    """S-LoRA-style multi-adapter serving: requests with DIFFERENT LoRA
+    adapters co-batch in one jitted decode step via a stacked adapter
+    tree + per-slot selector (adapter 0 = base model)."""
+
+    def _setup(self):
+        from neuronika_tpu.models import lora as LR
+
+        cfg = T.GPTConfig(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                          d_ff=128, max_seq=48, dtype=jnp.float32,
+                          flash="off")
+        params = T.init_params(jax.random.key(0), cfg)
+
+        def mk_adapter(key, rank, targets):
+            ad = LR.lora_init(key, params, rank, targets=targets)
+            # nonzero B so the adapter actually changes the model
+            return jax.tree.map(
+                lambda x: x + 0.05 * jax.random.normal(
+                    jax.random.fold_in(key, 7), x.shape), ad)
+
+        # heterogeneous ranks AND target sets (exercises zero-padding)
+        ad1 = mk_adapter(jax.random.key(1), 2, ("qkv", "proj"))
+        ad2 = mk_adapter(jax.random.key(2), 4, ("qkv", "fc_in", "fc_out"))
+        return LR, cfg, params, ad1, ad2
+
+    def test_adapter_zero_is_base(self):
+        """Requests with adapter=0 through a batcher that HAS adapters
+        registered emit exactly the base model's tokens."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        LR, cfg, params, ad1, ad2 = self._setup()
+        p = np.array([3, 4, 5, 6], np.int32)
+        cb = ContinuousBatcher(params, cfg, n_slots=2)
+        cb.register_adapter(ad1)
+        rid = cb.submit(p, max_new=8)          # adapter defaults to 0
+        out = cb.run()
+        gen = T.make_generate(cfg, max_new=8)
+        ref = np.asarray(gen(params, p[None], jax.random.key(1)))[0]
+        np.testing.assert_array_equal(out[rid], ref[len(p):])
+
+    def test_mixed_batch_matches_merged_models(self):
+        """Three co-batched requests — adapter 1, adapter 2, base —
+        each match a one-shot generate on the correspondingly MERGED
+        weights (merge-at-serve == low-rank correction at use sites)."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        LR, cfg, params, ad1, ad2 = self._setup()
+        prompts = [np.array([1, 2, 3, 4], np.int32),
+                   np.array([7, 8, 9], np.int32),
+                   np.array([20, 21], np.int32)]
+        cb = ContinuousBatcher(params, cfg, n_slots=3)
+        a1 = cb.register_adapter(ad1)
+        a2 = cb.register_adapter(ad2)
+        assert (a1, a2) == (1, 2)
+        rids = [cb.submit(prompts[0], 8, adapter=a1),
+                cb.submit(prompts[1], 8, adapter=a2),
+                cb.submit(prompts[2], 8, adapter=0)]
+        out = cb.run()
+        for p, rid, ad in zip(prompts, rids, [ad1, ad2, None]):
+            ref_p = params if ad is None else LR.lora_merge(params, ad)
+            gen = T.make_generate(cfg, max_new=8)
+            ref = np.asarray(gen(ref_p, p[None], jax.random.key(1)))[0]
+            np.testing.assert_array_equal(out[rid], ref[len(p):])
+
+    def test_paged_matches_dense(self):
+        """The paged batcher with per-request adapters is byte-identical
+        to the dense-slot batcher with the same adapters."""
+        from neuronika_tpu.serving import ContinuousBatcher, PagedBatcher
+
+        LR, cfg, params, ad1, ad2 = self._setup()
+        prompts = [np.array([1, 2, 3, 4, 5], np.int32),
+                   np.array([9, 10, 11], np.int32)]
+
+        dense = ContinuousBatcher(params, cfg, n_slots=2)
+        dense.register_adapter(ad1)
+        dense.register_adapter(ad2)
+        r0 = [dense.submit(prompts[0], 8, adapter=1),
+              dense.submit(prompts[1], 8, adapter=2)]
+        ref = dense.run()
+
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=16,
+                          block_size=8)
+        pb.register_adapter(ad1)
+        pb.register_adapter(ad2)
+        r1 = [pb.submit(prompts[0], 8, adapter=1),
+              pb.submit(prompts[1], 8, adapter=2)]
+        out = pb.run()
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(ref[a], out[b])
+
+    def test_adapter_requests_skip_prefix_cache(self):
+        """A registered prompt prefix must NOT be reused by adapter
+        requests: the prefix K/V was computed under the base model, so
+        adapter requests take the full-prefill path (and still produce
+        the merged model's output)."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        LR, cfg, params, ad1, ad2 = self._setup()
+        system = np.array([5, 6, 7, 8], np.int32)
+        p = np.concatenate([system, [1, 2]]).astype(np.int32)
+        cb = ContinuousBatcher(params, cfg, n_slots=1)
+        cb.register_prefix(system)
+        cb.register_adapter(ad1)
+        rid = cb.submit(p, 6, adapter=1)
+        out = cb.run()
+        gen = T.make_generate(cfg, max_new=6)
+        ref = np.asarray(gen(LR.lora_merge(params, ad1), p[None],
+                             jax.random.key(1)))[0]
+        np.testing.assert_array_equal(out[rid], ref[len(p):])
+
+    def test_bad_adapter_id_and_shapes(self):
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        LR, cfg, params, ad1, ad2 = self._setup()
+        cb = ContinuousBatcher(params, cfg, n_slots=1)
+        with pytest.raises(ValueError, match="not registered"):
+            cb.submit(np.array([1, 2], np.int32), 4, adapter=1)
+        with pytest.raises(ValueError, match="want A"):
+            cb.register_adapter(
+                {"qkv": {"A": np.zeros((2, 64, 4), np.float32),
+                         "B": np.zeros((2, 8, 64), np.float32)}})
