@@ -1,7 +1,13 @@
 """Minimal HTTP text-generation server on the continuous batcher.
 
-POST /generate  {"prompt": "...", "max_new": 32}  ->  {"text": "..."}
+POST /generate  {"prompt": "...", "max_new": 32,
+                 "temperature": 0.8, "top_k": 40, "top_p": 0.95,
+                 "seed": 1, "adapter": 0}          ->  {"text": "..."}
 GET  /stats     ->  {"running": n, "queued": n, "free_slots": n}
+
+Sampling keys are optional (defaults greedy); `adapter` selects a LoRA
+adapter registered on the batcher (`register_adapter`; 0 = base model),
+so one server can front many fine-tunes of the same base weights.
 
 One background thread drives `ContinuousBatcher.step()` continuously;
 HTTP handlers only enqueue requests and wait on their completion event,
@@ -77,11 +83,11 @@ class Engine:
             if not busy:
                 time.sleep(0.005)
 
-    def generate(self, prompt: str, max_new: int) -> str:
+    def generate(self, prompt: str, max_new: int, **sampling) -> str:
         ids = self.tok.encode(prompt) or [0]
         ev = threading.Event()
         with self.lock:
-            rid = self.cb.submit(ids, max_new=max_new)
+            rid = self.cb.submit(ids, max_new=max_new, **sampling)
             self.events[rid] = ev
         ev.wait(timeout=120)
         with self.lock:
@@ -116,8 +122,15 @@ def make_handler(engine: Engine):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                sampling = {}
+                for k, cast in (("temperature", float), ("top_k", int),
+                                ("top_p", float), ("min_p", float),
+                                ("seed", int), ("adapter", int)):
+                    if k in req:
+                        sampling[k] = cast(req[k])
                 text = engine.generate(str(req.get("prompt", "")),
-                                       int(req.get("max_new", 32)))
+                                       int(req.get("max_new", 32)),
+                                       **sampling)
                 self._json(200, {"text": text})
             except Exception as e:  # demo server: report, don't die
                 self._json(500, {"error": str(e)})

@@ -1866,14 +1866,16 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig, ab=None, sel=None):
     return logits, new_cache
 
 
-def _verify_body(params, cache, tokens, cfg: GPTConfig):
+def _verify_body(params, cache, tokens, cfg: GPTConfig, ab=None, sel=None):
     """Chunked decode for speculative verification: process `tokens`
     (B, C) starting at cache position `pos` in ONE batched pass (the
     target model scores a draft's C proposals for the cost of roughly
     one decode step — decode is weight-bound, so reading the weights
     once for C tokens is the entire win). K/V are written at positions
     pos..pos+C-1; each query at pos+i attends cache keys <= pos+i.
-    Returns (logits (B, C, V), cache with pos advanced by C)."""
+    Returns (logits (B, C, V), cache with pos advanced by C).
+    `ab`/`sel` apply per-row LoRA corrections (see `_lora_delta`) —
+    used by chunked prefill under multi-adapter serving."""
     B, C = tokens.shape
     H = cfg.n_head
     KV = _kv_heads(cfg)
@@ -1890,9 +1892,9 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
 
     def body(carry, inp):
         x, rest = carry[0], carry[1:]
-        blk, l = inp
+        blk, ab_l, l = inp
         h = _layer_norm(x, blk["ln1"], cfg.norm_eps)
-        qkv = _qdot(h, blk["qkv"], cfg)
+        qkv = _ldot(h, blk, "qkv", cfg, ab_l, sel)
         qkv = _badd(qkv, blk, "qkv_b", cfg)
         q, k, v = _unpack_qkv(qkv, cfg)
         if cfg.pos_emb == "rope":
@@ -1938,15 +1940,16 @@ def _verify_body(params, cache, tokens, cfg: GPTConfig):
                          preferred_element_type=jnp.float32).astype(
             cfg.dtype)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(B, C, cfg.d_model)
-        ctx = _qdot(ctx, blk["proj"], cfg)
+        ctx = _ldot(ctx, blk, "proj", cfg, ab_l, sel)
         x = x + _badd(ctx, blk, "proj_b", cfg)
-        x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk, cfg)
+        x = x + _decode_mlp(_layer_norm(x, blk["ln2"], cfg.norm_eps), blk,
+                            cfg, ab_l, sel)
         return (x,) + rest, None
 
     keys = (("k", "v", "ks", "vs") if quant_kv else ("k", "v"))
     carry, _ = lax.scan(
         body, (x,) + tuple(cache[n] for n in keys),
-        (params["blocks"], jnp.arange(cfg.n_layer)))
+        (params["blocks"], ab, jnp.arange(cfg.n_layer)))
     x = _layer_norm(carry[0], params["ln_f"], cfg.norm_eps)
     head = params.get("head")
     if head is not None:
@@ -2160,6 +2163,49 @@ def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None):
     return jax.jit(pre, donate_argnums=(1,))
 
 
+def make_slot_chunk_prefill(cfg: GPTConfig, quant: str | None = None):
+    """Jitted CHUNKED prefill for slot-based serving (SARATHI-style):
+    (params, cache, chunk (1, C), slot, start) -> (logits (V,) at the
+    chunk's last position, cache).
+
+    A monolithic prefill of a long prompt stalls every co-running
+    decode for the whole prompt's duration; processing the prompt in
+    fixed-size chunks interleaved with decode steps bounds that stall
+    to one chunk's time. Each call continues the SLOT'S OWN partial
+    K/V state: the chunk's queries attend positions < start (already
+    filled by earlier chunks) plus the within-chunk causal range
+    (`_verify_body` — the same kernel speculative verification uses),
+    and K/V land at start..start+C-1 with pos[slot] = start + C.
+
+    The chunk shape is FIXED (one compiled program): the scheduler
+    sends ceil(P/C)-1 aligned chunks and a final chunk of the LAST C
+    tokens (start = P-C) — the overlap recomputes identical K/V (a
+    deterministic rewrite) instead of padding, so no garbage positions
+    ever enter the cache and the returned logits are always the real
+    last token's. Trailing (adapters, sel) serve per-request LoRA."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError(
+            "slot serving supports quant=None/'int8'/'int4' (see "
+            "make_slot_decode_step)")
+
+    def pre(params, cache, chunk, slot, start, adapters=None, sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+        mini = {"k": lax.dynamic_slice_in_dim(cache["k"], slot, 1, 1),
+                "v": lax.dynamic_slice_in_dim(cache["v"], slot, 1, 1),
+                "pos": start}
+        logits, mini = _verify_body(params, mini, chunk, cfg, adapters,
+                                    sel)
+        out = dict(cache)
+        for n in ("k", "v"):
+            out[n] = lax.dynamic_update_slice(
+                out[n], mini[n], (0, slot, 0, 0, 0))
+        out["pos"] = out["pos"].at[slot].set(start + chunk.shape[1])
+        return logits[0, -1], out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
 def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
     """Jitted decode across slots with PER-SLOT positions (continuous
     batching): (params, cache, tokens (B,), active (B,) bool) ->
@@ -2328,6 +2374,52 @@ def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,
             out[name] = out[name].at[:, own_blocks].set(
                 t.astype(out[name].dtype))
         out["pos"] = out["pos"].at[slot].set(cut + C)
+        return logits[0, -1], out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
+def make_paged_chunk_prefill(cfg: GPTConfig, block_size: int,
+                             quant: str | None = None):
+    """Jitted CHUNKED prefill over the block pool (SARATHI-style —
+    see `make_slot_chunk_prefill` for the scheduling rationale):
+    (params, cache, chunk (1, C), slot, start, row (MB,) int32) ->
+    (logits (V,) at the chunk's last position, cache).
+
+    `row` is the slot's FULL block-table row (unallocated tail entries
+    point at scratch block 0): the whole row is gathered into a dense
+    mini cache, the chunk runs from `start`, and the whole row is
+    scattered back — fixed shapes, ONE compiled program for every
+    chunk of every prompt length. The full-row round trip costs one
+    extra cache-row read+write per chunk (duplicate scratch-0 entries
+    collapse to harmless garbage in the scratch block); chunked
+    prefill trades that bounded HBM cost for bounded decode stalls.
+    The final chunk is the prompt's last C tokens (overlap rewrite,
+    never padding) exactly as in the dense version."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError("paged serving supports "
+                                  "quant=None/'int8'/'int4'")
+    BS = block_size
+
+    def pre(params, cache, chunk, slot, start, row, adapters=None,
+            sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+        L, KV = cfg.n_layer, _kv_heads(cfg)
+        hd = cfg.d_model // cfg.n_head
+        MB = row.shape[0]
+        pk = cache["pk"][:, row]                       # (L, MB, KV, BS, hd)
+        pk = pk.transpose(0, 2, 1, 3, 4).reshape(L, 1, KV, MB * BS, hd)
+        pv = cache["pv"][:, row]
+        pv = pv.transpose(0, 2, 1, 3, 4).reshape(L, 1, KV, MB * BS, hd)
+        mini = {"k": pk, "v": pv, "pos": start}
+        logits, mini = _verify_body(params, mini, chunk, cfg, adapters,
+                                    sel)
+        out = dict(cache)
+        for name, src in (("pk", mini["k"]), ("pv", mini["v"])):
+            t = src[:, 0].reshape(L, KV, MB, BS, hd).transpose(0, 2, 1, 3, 4)
+            out[name] = out[name].at[:, row].set(t.astype(out[name].dtype))
+        out["pos"] = out["pos"].at[slot].set(start + chunk.shape[1])
         return logits[0, -1], out
 
     return jax.jit(pre, donate_argnums=(1,))

@@ -69,7 +69,8 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: T.GPTConfig, n_slots: int,
                  quant: Optional[str] = None,
-                 eos_id: Optional[int] = None):
+                 eos_id: Optional[int] = None,
+                 prefill_chunk: Optional[int] = None):
         self.cfg = cfg
         # quantize/cast ONCE: the batcher calls the jitted step per token,
         # so in-program quantization would re-read the f32 weights every
@@ -77,6 +78,12 @@ class ContinuousBatcher:
         self.params = T.prepare_decode_params(params, cfg, quant)
         self.n_slots = n_slots
         self.eos_id = eos_id
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError("prefill_chunk must be >= 1 tokens")
+        self.prefill_chunk = prefill_chunk
+        self._chunk_fill = None              # built on first chunked prefill
+        self._prefilling: Dict[int, _Request] = {}   # slot -> mid-prefill
+        self._chunk_state: Dict[int, Tuple[np.ndarray, int]] = {}
         self._quant = quant
         self._suffix_prefill = None          # built on first register_prefix
         self._sampler = None                 # built on first sample
@@ -291,6 +298,81 @@ class ContinuousBatcher:
         needs enough free blocks)."""
         return True
 
+    def _req_row(self, req: _Request) -> np.ndarray:
+        """The token row a (re-)prefill must cover: the prompt, plus —
+        for a preempted request resuming — every generated token except
+        the last (whose K/V was never written; it is the pending decode
+        input)."""
+        row = req.prompt[0]
+        if req.tokens:
+            row = np.concatenate(
+                [row, np.asarray(req.tokens[:-1], np.int32)])
+        return row
+
+    # ---------------------------------------------------- chunked prefill
+    def _should_chunk(self, req: _Request) -> bool:
+        """Chunk a prefill when it is longer than `prefill_chunk` and
+        takes the full-prefill path (prefix-cache hits stay one-shot:
+        the suffix is already short)."""
+        C = self.prefill_chunk
+        if not C or self._req_row(req).size <= C:
+            return False
+        return bool(req.adapter) or self._match_prefix(req.prompt[0]) is None
+
+    def _chunk_call(self, req: _Request, slot: int, chunk: np.ndarray,
+                    start: int):
+        """One device chunk-prefill call (paged subclass adds the block
+        row); returns the chunk's last-position logits."""
+        if self._chunk_fill is None:
+            self._chunk_fill = T.make_slot_chunk_prefill(self.cfg,
+                                                         self._quant)
+        logits, self.cache = self._chunk_fill(
+            self.params, self.cache, jnp.asarray(chunk[None]),
+            jnp.int32(slot), jnp.int32(start),
+            *self._lora_prefill_args(req))
+        return logits
+
+    def _start_chunked(self, req: _Request, slot: int) -> None:
+        """Admit `req` in chunked-prefill mode: process the FIRST chunk
+        now, queue the rest for `_advance_chunks` (one chunk per
+        `step()`, so co-running decodes stall at most one chunk's
+        worth of time per token — SARATHI-style scheduling)."""
+        row = self._req_row(req)
+        C = self.prefill_chunk
+        self._chunk_call(req, slot, row[:C], 0)
+        self._chunk_state[slot] = (row, C)
+        self._prefilling[slot] = req
+
+    def _note_prefilled(self, slot: int, row_len: int) -> None:
+        """Bookkeeping hook when a chunked prefill completes (the paged
+        subclass syncs its host position mirror)."""
+
+    def _advance_chunks(self) -> None:
+        """Advance ONE mid-prefill slot by one chunk (admission order).
+        The final chunk covers the row's LAST `C` tokens — the overlap
+        with the previous chunk rewrites identical K/V, so chunk
+        geometry never pads (see make_slot_chunk_prefill)."""
+        if not self._prefilling:
+            return
+        slot = min(self._prefilling, key=lambda s: self._prefilling[s]._seq)
+        req = self._prefilling[slot]
+        row, ns = self._chunk_state[slot]
+        C = self.prefill_chunk
+        final = ns + C >= row.size
+        start = row.size - C if final else ns
+        logits = self._chunk_call(req, slot, row[start:start + C], start)
+        if not final:
+            self._chunk_state[slot] = (row, ns + C)
+            return
+        del self._prefilling[slot], self._chunk_state[slot]
+        self._note_prefilled(slot, row.size)
+        if req.tokens:      # resumed after preemption: restore, don't sample
+            self._next_tok[slot] = req.tokens[-1]
+        else:
+            self._next_tok[slot] = self._sample_one(logits, req)
+            req.tokens.append(int(self._next_tok[slot]))
+        self._maybe_finish(slot)
+
     def _prefill_slot(self, req: _Request, slot: int):
         """Prefill `req` into `slot`; returns the last-position logits."""
         pref = (None if req.adapter
@@ -314,6 +396,10 @@ class ContinuousBatcher:
             req._seq = self._admit_seq
             self._admit_seq += 1
             self._sel[slot] = req.adapter
+            if self._should_chunk(req):
+                self._start_chunked(req, slot)
+                self._running[slot] = req
+                continue
             logits = self._prefill_slot(req, slot)
             if logits is not None:
                 # a resumed (preempted) request restores _next_tok from
@@ -330,21 +416,27 @@ class ContinuousBatcher:
         return ()
 
     def step(self) -> None:
-        """One decode step across all occupied slots."""
+        """One decode step across all occupied slots (plus at most one
+        prefill chunk for a slot still mid-prefill — see
+        `prefill_chunk`)."""
         if not self._running:
             return
-        active = np.zeros((self.n_slots,), bool)
-        for slot in self._running:
-            active[slot] = True
-        logits, self.cache = self._step(
-            self.params, self.cache, jnp.asarray(self._next_tok),
-            jnp.asarray(active), *self._extra_step_args(),
-            *self._lora_args())
-        nxt = self._sample_batch(logits)
-        for slot in list(self._running):
-            self._next_tok[slot] = nxt[slot]
-            self._running[slot].tokens.append(int(nxt[slot]))
-            self._maybe_finish(slot)
+        self._advance_chunks()
+        decodable = [s for s in self._running if s not in self._prefilling]
+        if decodable:
+            active = np.zeros((self.n_slots,), bool)
+            active[decodable] = True
+            logits, self.cache = self._step(
+                self.params, self.cache, jnp.asarray(self._next_tok),
+                jnp.asarray(active), *self._extra_step_args(),
+                *self._lora_args())
+            nxt = self._sample_batch(logits)
+            for slot in decodable:
+                if slot not in self._running:
+                    continue
+                self._next_tok[slot] = nxt[slot]
+                self._running[slot].tokens.append(int(nxt[slot]))
+                self._maybe_finish(slot)
         self._admit()
 
     def _maybe_finish(self, slot: int) -> None:
@@ -407,14 +499,16 @@ class PagedBatcher(ContinuousBatcher):
                  n_blocks: int, block_size: int = 16,
                  quant: Optional[str] = None,
                  eos_id: Optional[int] = None,
-                 kernel: str = "auto"):
+                 kernel: str = "auto",
+                 prefill_chunk: Optional[int] = None):
         if n_blocks < 2:
             raise ValueError("n_blocks must be >= 2 (block 0 is scratch)")
         self.block_size = block_size
         self.n_blocks = n_blocks
         self.kernel = kernel
         self._mb = -(-cfg.max_seq // block_size)     # table width
-        super().__init__(params, cfg, n_slots, quant=quant, eos_id=eos_id)
+        super().__init__(params, cfg, n_slots, quant=quant, eos_id=eos_id,
+                         prefill_chunk=prefill_chunk)
         self._free_blocks: deque[int] = deque(range(1, n_blocks))
         self._table = np.zeros((n_slots, self._mb), np.int32)
         self._slot_blocks: Dict[int, List[int]] = {}
@@ -499,23 +593,47 @@ class PagedBatcher(ContinuousBatcher):
                 f"or block_size")
         return super().submit(prompt, max_new, **sampling)
 
-    def _req_row(self, req: _Request) -> np.ndarray:
-        """The token row a (re-)prefill must cover: the prompt, plus —
-        for a preempted request resuming — every generated token except
-        the last (whose K/V was never written; it is the pending decode
-        input)."""
-        row = req.prompt[0]
-        if req.tokens:
-            row = np.concatenate(
-                [row, np.asarray(req.tokens[:-1], np.int32)])
-        return row
-
     def _can_admit(self, req: _Request) -> bool:
         row = self._req_row(req)
         pref = None if req.adapter else self._match_paged_prefix(row)
         nf = len(pref[1]) if pref is not None else 0
         return len(self._free_blocks) >= -(-row.size
                                            // self.block_size) - nf
+
+    def _should_chunk(self, req: _Request) -> bool:
+        C = self.prefill_chunk
+        row = self._req_row(req)
+        if not C or row.size <= C:
+            return False
+        return (bool(req.adapter)
+                or self._match_paged_prefix(row) is None)
+
+    def _start_chunked(self, req: _Request, slot: int) -> None:
+        # allocate the whole row's blocks up front (identical accounting
+        # to the one-shot path); chunks then fill them progressively
+        row = self._req_row(req)
+        nb = -(-row.size // self.block_size)
+        self._table[slot, :] = 0
+        blocks = [self._free_blocks.popleft() for _ in range(nb)]
+        self._slot_blocks[slot] = blocks
+        self._slot_shared[slot] = 0
+        self._table[slot, :nb] = blocks
+        super()._start_chunked(req, slot)
+
+    def _chunk_call(self, req: _Request, slot: int, chunk: np.ndarray,
+                    start: int):
+        if self._chunk_fill is None:
+            self._chunk_fill = T.make_paged_chunk_prefill(
+                self.cfg, self.block_size, self._quant)
+        logits, self.cache = self._chunk_fill(
+            self.params, self.cache, jnp.asarray(chunk[None]),
+            jnp.int32(slot), jnp.int32(start),
+            jnp.asarray(self._table[slot]),
+            *self._lora_prefill_args(req))
+        return logits
+
+    def _note_prefilled(self, slot: int, row_len: int) -> None:
+        self._pos[slot] = row_len
 
     def _prefill_slot(self, req: _Request, slot: int):
         resumed = bool(req.tokens)
@@ -562,6 +680,10 @@ class PagedBatcher(ContinuousBatcher):
         req = self._running.pop(slot)
         self._release_blocks(slot)
         self._free.append(slot)
+        # a mid-prefill victim drops its chunk progress with its blocks;
+        # it re-chunks from scratch on re-admission
+        self._prefilling.pop(slot, None)
+        self._chunk_state.pop(slot, None)
         req.slot = None
         self.preemptions += 1
         self._queue.appendleft(req)     # resumes as soon as blocks free
@@ -575,6 +697,8 @@ class PagedBatcher(ContinuousBatcher):
         for slot in sorted(self._running,
                            key=lambda s: self._running[s]._seq):
             if slot not in self._running:    # preempted by an earlier turn
+                continue
+            if slot in self._prefilling:     # not decoding yet: no growth
                 continue
             blocks = self._slot_blocks[slot]
             shared = self._slot_shared.get(slot, 0)

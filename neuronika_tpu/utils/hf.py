@@ -1,5 +1,5 @@
-"""HuggingFace checkpoint import: torch `transformers` models -> this
-framework's param pytrees + `GPTConfig`.
+"""HuggingFace checkpoint import AND export: torch `transformers`
+models <-> this framework's param pytrees + `GPTConfig`.
 
 `from_huggingface(model)` converts a loaded `GPT2LMHeadModel`,
 `LlamaForCausalLM` or `MistralForCausalLM` (any size) into the stacked-
@@ -35,7 +35,8 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["from_huggingface", "from_hf_gpt2", "from_hf_llama"]
+__all__ = ["from_huggingface", "from_hf_gpt2", "from_hf_llama",
+           "to_huggingface", "to_hf_gpt2", "to_hf_llama"]
 
 
 def _np(t) -> np.ndarray:
@@ -201,3 +202,163 @@ def from_huggingface(model, *, dtype: Any = jnp.bfloat16):
             f"unsupported HF model_type {mt!r}; supported: "
             f"{sorted(_IMPORTERS)}")
     return fn(model, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# export: this framework's param pytrees -> torch `transformers` models
+# (the inverse of the importers above, so fine-tunes made here — full,
+# LoRA-merged or QLoRA-merged — flow back into the HF ecosystem via
+# `model.save_pretrained(...)`)
+
+
+def _unpack_qkv_np(w: np.ndarray, H: int, KV: int,
+                   hd: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """kv-group-major packed (D, W) -> head-major q (D, H*hd) /
+    k, v (D, KV*hd): `_pack_qkv`'s exact inverse (bias rows too)."""
+    D = w.shape[0]
+    G = H // KV
+    t = w.reshape(D, KV, G + 2, hd)
+    q = np.ascontiguousarray(t[:, :, :G]).reshape(D, H * hd)
+    k = np.ascontiguousarray(t[:, :, G]).reshape(D, KV * hd)
+    v = np.ascontiguousarray(t[:, :, G + 1]).reshape(D, KV * hd)
+    return q, k, v
+
+
+def _tt(x) -> "Any":
+    # copy: jax arrays expose a read-only buffer torch would warn about
+    return _torch().from_numpy(np.array(x, np.float32))
+
+
+def _require(cfg, cond: bool, what: str) -> None:
+    if not cond:
+        raise ValueError(f"cannot export this config to HF: {what} "
+                         f"(cfg: {cfg})")
+
+
+def to_hf_gpt2(params, cfg) -> "Any":
+    """params + GPTConfig (GPT-2 family: learned positions, LayerNorm,
+    gelu, biases, tied head) -> a `GPT2LMHeadModel` with identical
+    logits (f32). Save with `model.save_pretrained(dir)`."""
+    import transformers
+
+    _require(cfg, cfg.pos_emb == "learned" and cfg.norm == "layer"
+             and cfg.mlp == "gelu" and cfg.bias and cfg.tied_head,
+             "GPT-2 export needs learned positions + LayerNorm + gelu + "
+             "biases + tied head (use to_hf_llama for the llama family)")
+    _require(cfg, not cfg.n_experts, "MoE blocks have no HF GPT-2 form")
+    _require(cfg, not getattr(cfg, "n_kv_head", 0),
+             "GPT-2 has no grouped-query attention")
+    H = cfg.n_head
+    hd = cfg.d_model // H
+    hc = transformers.GPT2Config(
+        vocab_size=cfg.vocab_size, n_positions=cfg.max_seq,
+        n_embd=cfg.d_model, n_layer=cfg.n_layer, n_head=H,
+        n_inner=cfg.d_ff, layer_norm_epsilon=cfg.norm_eps,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    model = transformers.GPT2LMHeadModel(hc).eval()
+    sd = model.state_dict()
+    b = params["blocks"]
+
+    def put(name, val):
+        sd[f"transformer.{name}"] = _tt(val)
+
+    put("wte.weight", params["wte"])
+    put("wpe.weight", params["wpe"])
+    put("ln_f.weight", params["ln_f"]["scale"])
+    put("ln_f.bias", params["ln_f"]["bias"])
+    for i in range(cfg.n_layer):
+        p = f"h.{i}"
+        put(f"{p}.ln_1.weight", b["ln1"]["scale"][i])
+        put(f"{p}.ln_1.bias", b["ln1"]["bias"][i])
+        put(f"{p}.ln_2.weight", b["ln2"]["scale"][i])
+        put(f"{p}.ln_2.bias", b["ln2"]["bias"][i])
+        q, k, v = _unpack_qkv_np(np.asarray(b["qkv"][i], np.float32),
+                                 H, H, hd)
+        put(f"{p}.attn.c_attn.weight", np.concatenate([q, k, v], axis=1))
+        qb, kb, vb = _unpack_qkv_np(
+            np.asarray(b["qkv_b"][i], np.float32)[None], H, H, hd)
+        put(f"{p}.attn.c_attn.bias",
+            np.concatenate([qb, kb, vb], axis=1)[0])
+        put(f"{p}.attn.c_proj.weight", b["proj"][i])
+        put(f"{p}.attn.c_proj.bias", b["proj_b"][i])
+        put(f"{p}.mlp.c_fc.weight", b["fc_in"][i])
+        put(f"{p}.mlp.c_fc.bias", b["fc_in_b"][i])
+        put(f"{p}.mlp.c_proj.weight", b["fc_out"][i])
+        put(f"{p}.mlp.c_proj.bias", b["fc_out_b"][i])
+    sd["lm_head.weight"] = _tt(params["wte"])       # tied
+    model.load_state_dict(sd)
+    return model
+
+
+def to_hf_llama(params, cfg) -> "Any":
+    """params + GPTConfig (llama family: RoPE, RMSNorm, SwiGLU, no
+    biases) -> `LlamaForCausalLM`, or `MistralForCausalLM` when
+    cfg.window is set (sliding-window attention). Identical logits
+    (f32); save with `model.save_pretrained(dir)`."""
+    import transformers
+
+    _require(cfg, cfg.pos_emb == "rope" and cfg.norm == "rms"
+             and cfg.mlp == "swiglu" and not cfg.bias,
+             "llama export needs rope + RMSNorm + SwiGLU + no biases "
+             "(use to_hf_gpt2 for the GPT-2 family)")
+    _require(cfg, not cfg.n_experts, "MoE export is not supported")
+    H = cfg.n_head
+    KV = getattr(cfg, "n_kv_head", 0) or H
+    hd = cfg.d_model // H
+    common = dict(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.d_model,
+        intermediate_size=cfg.d_ff, num_hidden_layers=cfg.n_layer,
+        num_attention_heads=H, num_key_value_heads=KV,
+        max_position_embeddings=cfg.max_seq, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=cfg.tied_head,
+        attention_dropout=0.0,
+    )
+    if cfg.window:
+        hc = transformers.MistralConfig(sliding_window=cfg.window,
+                                        **common)
+        model = transformers.MistralForCausalLM(hc).eval()
+    else:
+        hc = transformers.LlamaConfig(attention_bias=False, **common)
+        model = transformers.LlamaForCausalLM(hc).eval()
+    sd = model.state_dict()
+    b = params["blocks"]
+    sd["model.embed_tokens.weight"] = _tt(params["wte"])
+    sd["model.norm.weight"] = _tt(params["ln_f"]["scale"])
+    for i in range(cfg.n_layer):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = _tt(b["ln1"]["scale"][i])
+        sd[f"{p}.post_attention_layernorm.weight"] = _tt(
+            b["ln2"]["scale"][i])
+        q, k, v = _unpack_qkv_np(np.asarray(b["qkv"][i], np.float32),
+                                 H, KV, hd)
+        # nn.Linear stores (out, in): transpose back from (in, out)
+        sd[f"{p}.self_attn.q_proj.weight"] = _tt(q.T)
+        sd[f"{p}.self_attn.k_proj.weight"] = _tt(k.T)
+        sd[f"{p}.self_attn.v_proj.weight"] = _tt(v.T)
+        sd[f"{p}.self_attn.o_proj.weight"] = _tt(
+            np.asarray(b["proj"][i], np.float32).T)
+        sd[f"{p}.mlp.gate_proj.weight"] = _tt(
+            np.asarray(b["fc_gate"][i], np.float32).T)
+        sd[f"{p}.mlp.up_proj.weight"] = _tt(
+            np.asarray(b["fc_in"][i], np.float32).T)
+        sd[f"{p}.mlp.down_proj.weight"] = _tt(
+            np.asarray(b["fc_out"][i], np.float32).T)
+    if not cfg.tied_head:
+        sd["lm_head.weight"] = _tt(params["lm_head"])
+    model.load_state_dict(sd)
+    return model
+
+
+def to_huggingface(params, cfg) -> "Any":
+    """Export a params tree to a torch `transformers` model — the
+    inverse of `from_huggingface` (round-trip tested to exact logit
+    parity). Dispatches on the config's family: RMSNorm+rope+SwiGLU ->
+    llama/mistral (`window` picks mistral), learned+LayerNorm+gelu ->
+    GPT-2. Merge adapters first for LoRA/QLoRA fine-tunes
+    (`lora_merge` / `qlora_merge`); then
+    `to_huggingface(params, cfg).save_pretrained(dir)` hands the model
+    to the HF ecosystem (safetensors, hub, vLLM, ...)."""
+    if cfg.norm == "rms" and cfg.pos_emb == "rope":
+        return to_hf_llama(params, cfg)
+    return to_hf_gpt2(params, cfg)

@@ -130,3 +130,107 @@ def test_gpt2_greedy_generate_matches_hf(gpt2):
             pad_token_id=0,
         ).numpy()
     np.testing.assert_array_equal(ours, ref)
+
+
+# ---------------------------------------------------------------------------
+# export (to_huggingface): the inverse mapping, proven by torch-side
+# logit parity and an exact export->import round trip
+
+
+from neuronika_tpu.utils.hf import (  # noqa: E402
+    to_hf_gpt2, to_hf_llama, to_huggingface,
+)
+
+
+class TestHFExport:
+    def _gpt2_cfg(self):
+        return T.GPTConfig(vocab_size=97, n_layer=2, n_head=4,
+                           d_model=64, d_ff=256, max_seq=64,
+                           dtype=jnp.float32)
+
+    def _llama_cfg(self, **kw):
+        base = dict(vocab_size=97, n_layer=2, n_head=4, n_kv_head=2,
+                    d_model=64, d_ff=128, max_seq=64,
+                    dtype=jnp.float32)
+        base.update(kw)
+        return T.llama_config(**base)
+
+    def test_gpt2_export_logit_parity(self):
+        import jax
+
+        cfg = self._gpt2_cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        model = to_huggingface(params, cfg)
+        assert model.__class__.__name__ == "GPT2LMHeadModel"
+        ids = np.random.default_rng(0).integers(0, 97, (2, 16)).astype(
+            np.int32)
+        _assert_close(_logits_torch(model, ids),
+                      _logits_ours(params, cfg, ids))
+
+    def test_llama_export_logit_parity_and_roundtrip(self):
+        import jax
+
+        cfg = self._llama_cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        model = to_huggingface(params, cfg)
+        assert model.__class__.__name__ == "LlamaForCausalLM"
+        ids = np.random.default_rng(1).integers(0, 97, (2, 16)).astype(
+            np.int32)
+        _assert_close(_logits_torch(model, ids),
+                      _logits_ours(params, cfg, ids))
+        # export -> import is the identity on every leaf
+        params2, cfg2 = from_huggingface(model, dtype=jnp.float32)
+        assert cfg2.n_kv_head == cfg.n_kv_head
+        assert cfg2.norm_eps == cfg.norm_eps
+        import jax as _jax
+
+        for pa, pb in zip(_jax.tree.leaves(params),
+                          _jax.tree.leaves(params2)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       atol=1e-6)
+
+    def test_mistral_window_export(self):
+        import jax
+
+        cfg = self._llama_cfg(window=16)
+        params = T.init_params(jax.random.key(0), cfg)
+        model = to_huggingface(params, cfg)
+        assert model.__class__.__name__ == "MistralForCausalLM"
+        assert model.config.sliding_window == 16
+        ids = np.random.default_rng(2).integers(0, 97, (1, 24)).astype(
+            np.int32)
+        _assert_close(_logits_torch(model, ids),
+                      _logits_ours(params, cfg, ids))
+
+    def test_export_rejects_unsupported(self):
+        import jax
+
+        cfg = T.GPTConfig(vocab_size=32, n_layer=1, n_head=2, d_model=32,
+                          d_ff=64, max_seq=16, dtype=jnp.float32,
+                          n_experts=2)
+        params = T.init_params(jax.random.key(0), cfg)
+        with pytest.raises(ValueError, match="MoE"):
+            to_hf_gpt2(params, cfg)
+        cfg2 = self._llama_cfg()
+        params2 = T.init_params(jax.random.key(0), cfg2)
+        with pytest.raises(ValueError, match="GPT-2 export needs"):
+            to_hf_gpt2(params2, cfg2)
+        with pytest.raises(ValueError, match="llama export needs"):
+            to_hf_llama(params, cfg)
+
+    def test_save_pretrained_roundtrip(self, tmp_path):
+        """The exported model survives save_pretrained/from_pretrained
+        (safetensors on disk) with identical logits."""
+        import jax
+        import transformers
+
+        cfg = self._llama_cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        model = to_huggingface(params, cfg)
+        model.save_pretrained(tmp_path / "m")
+        loaded = transformers.AutoModelForCausalLM.from_pretrained(
+            tmp_path / "m").eval()
+        ids = np.random.default_rng(3).integers(0, 97, (1, 12)).astype(
+            np.int32)
+        _assert_close(_logits_torch(loaded, ids),
+                      _logits_torch(model, ids), atol=1e-6)

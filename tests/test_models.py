@@ -2229,3 +2229,146 @@ class TestMultiLoRAServing:
             cb.register_adapter(
                 {"qkv": {"A": np.zeros((2, 64, 4), np.float32),
                          "B": np.zeros((2, 8, 64), np.float32)}})
+
+
+class TestChunkedPrefill:
+    """SARATHI-style chunked prefill: long prompts prefill in fixed
+    chunks interleaved with decode steps, bounding the stall a new
+    admission imposes on co-running requests. Outputs must be
+    token-identical to the one-shot prefill."""
+
+    def _cfg(self, **kw):
+        base = dict(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                    d_ff=128, max_seq=48, dtype=jnp.float32, flash="off")
+        base.update(kw)
+        return T.GPTConfig(**base)
+
+    def _prompts(self):
+        rng = np.random.default_rng(3)
+        return [rng.integers(1, 60, n).astype(np.int32)
+                for n in (20, 17, 3)]          # 17: odd → overlap chunk
+
+    @pytest.mark.parametrize("quant", [None, "int4"])
+    def test_dense_matches_one_shot(self, quant):
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts = self._prompts()
+        plain = ContinuousBatcher(params, cfg, n_slots=2, quant=quant)
+        r0 = [plain.submit(p, 8) for p in prompts]
+        ref = plain.run()
+        cb = ContinuousBatcher(params, cfg, n_slots=2, quant=quant,
+                               prefill_chunk=8)
+        r1 = [cb.submit(p, 8) for p in prompts]
+        out = cb.run()
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(ref[a], out[b])
+
+    def test_paged_matches_one_shot(self):
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts = self._prompts()
+        plain = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                             block_size=8)
+        r0 = [plain.submit(p, 8) for p in prompts]
+        ref = plain.run()
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                          block_size=8, prefill_chunk=8)
+        r1 = [pb.submit(p, 8) for p in prompts]
+        out = pb.run()
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(ref[a], out[b])
+
+    def test_decode_progress_during_chunked_prefill(self):
+        """The whole point: while a long prompt prefills chunk by
+        chunk, an already-running request keeps emitting tokens."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        cb = ContinuousBatcher(params, cfg, n_slots=2, prefill_chunk=4)
+        short = cb.submit(np.array([1, 2, 3], np.int32), 30)
+        long_r = cb.submit(np.arange(1, 25, dtype=np.int32), 8)
+        req_s = cb._running[0]
+        assert cb._prefilling           # long one is mid-prefill
+        before = len(req_s.tokens)
+        while cb._prefilling:
+            cb.step()
+        # the short request decoded on every step of the long prefill
+        assert len(req_s.tokens) > before
+        out = cb.run()
+        gen = T.make_generate(cfg, max_new=30)
+        ref = np.asarray(gen(params, np.array([[1, 2, 3]], np.int32),
+                             jax.random.key(1)))[0]
+        np.testing.assert_array_equal(out[short], ref[3:])
+        assert long_r in out
+
+    def test_chunked_with_adapter(self):
+        from neuronika_tpu.models import lora as LR
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        ad = LR.lora_init(jax.random.key(1), params, 2)
+        ad = jax.tree.map(lambda x: x + 0.05 * jax.random.normal(
+            jax.random.key(7), x.shape), ad)
+        p = np.arange(2, 22, dtype=np.int32)
+        cb = ContinuousBatcher(params, cfg, n_slots=1, prefill_chunk=8)
+        cb.register_adapter(ad)
+        rid = cb.submit(p, 6, adapter=1)
+        out = cb.run()
+        gen = T.make_generate(cfg, max_new=6)
+        ref = np.asarray(gen(LR.lora_merge(params, ad), p[None],
+                             jax.random.key(1)))[0]
+        np.testing.assert_array_equal(out[rid], ref[len(p):])
+
+    def test_prefix_hit_stays_one_shot(self):
+        """A prefix-cache hit prefills only the (short) suffix, so it
+        is never chunked; a long non-matching prompt in the same
+        batcher is. Outputs match the unchunked batcher either way."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        system = np.arange(1, 13, dtype=np.int32)
+        p_hit = np.concatenate([system, [30, 31]]).astype(np.int32)
+        p_miss = np.arange(40, 60, dtype=np.int32)
+        plain = ContinuousBatcher(params, cfg, n_slots=2)
+        r0 = [plain.submit(p_hit, 6), plain.submit(p_miss, 6)]
+        ref = plain.run()
+        cb = ContinuousBatcher(params, cfg, n_slots=2, prefill_chunk=8)
+        cb.register_prefix(system)
+        assert not cb._should_chunk(
+            __import__("neuronika_tpu.serving", fromlist=["_Request"]
+                       )._Request(0, p_hit[None], 6))
+        r1 = [cb.submit(p_hit, 6), cb.submit(p_miss, 6)]
+        out = cb.run()
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(ref[a], out[b])
+
+    def test_paged_preemption_of_chunked(self):
+        """Preempting a request mid-chunked-prefill drops its chunk
+        progress with its blocks; on resume it re-chunks and emits the
+        same tokens."""
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        p1 = np.arange(1, 17, dtype=np.int32)     # 2 blocks @ BS=8
+        p2 = np.arange(20, 40, dtype=np.int32)    # 3 blocks
+        plain = PagedBatcher(params, cfg, n_slots=2, n_blocks=32,
+                             block_size=8)
+        r0 = [plain.submit(p1, 12), plain.submit(p2, 12)]
+        ref = plain.run()
+        # tight pool: p1 decodes past a block boundary and must steal
+        # p2's blocks while p2 may still be prefilling
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=7,
+                          block_size=8, prefill_chunk=8)
+        r1 = [pb.submit(p1, 12), pb.submit(p2, 12)]
+        out = pb.run()
+        assert pb.preemptions >= 1
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(ref[a], out[b])
