@@ -27,6 +27,7 @@ Everything device-side is three jitted programs reused across requests
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from typing import Dict, List, Optional, Tuple
 
@@ -40,10 +41,12 @@ from .models import transformer as T
 class _Request:
     __slots__ = ("rid", "prompt", "max_new", "tokens", "slot", "_seq",
                  "temperature", "top_k", "top_p", "min_p", "seed",
-                 "adapter")
+                 "adapter", "stop", "on_token", "t_submit", "t_first",
+                 "t_done")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0,
-                 top_p=0.0, min_p=0.0, seed=None, adapter=0):
+                 top_p=0.0, min_p=0.0, seed=None, adapter=0, stop=None,
+                 on_token=None):
         self.rid = rid
         self.prompt = prompt
         self.max_new = max_new
@@ -56,6 +59,15 @@ class _Request:
         self.min_p = float(min_p)
         self.seed = int(rid if seed is None else seed) & 0x7FFFFFFF
         self.adapter = int(adapter)
+        # stop: iterable of token-id sequences; generation ends when the
+        # output ends with any of them (the match is trimmed from the
+        # returned tokens, vLLM-style)
+        self.stop = ([tuple(int(t) for t in np.atleast_1d(s))
+                      for s in stop] if stop else [])
+        self.on_token = on_token
+        self.t_submit = time.monotonic()
+        self.t_first: Optional[float] = None
+        self.t_done: Optional[float] = None
 
 
 class ContinuousBatcher:
@@ -99,6 +111,8 @@ class ContinuousBatcher:
         self._next_rid = 0
         self._admit_seq = 0
         self._finished: Dict[int, np.ndarray] = {}
+        self._stats = {"completed": 0, "tokens_out": 0,
+                       "ttft_sum": 0.0, "itl_sum": 0.0, "itl_n": 0}
 
     def _build_programs(self) -> None:
         """Build the jitted prefill/decode programs and the KV cache
@@ -223,7 +237,8 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- intake
     def submit(self, prompt, max_new: int, *, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
-               seed: Optional[int] = None, adapter: int = 0) -> int:
+               seed: Optional[int] = None, adapter: int = 0,
+               stop=None, on_token=None) -> int:
         """Queue a request (prompt: 1-d int array). Returns a request id;
         the request starts as soon as a slot frees up.
 
@@ -237,7 +252,14 @@ class ContinuousBatcher:
 
         `adapter` selects a LoRA adapter registered with
         `register_adapter` (0 = base model) — requests with different
-        adapters co-batch in the same decode step."""
+        adapters co-batch in the same decode step.
+
+        `stop`: iterable of token-id sequences; generation ends as soon
+        as the output ends with any of them, and the matched sequence
+        is trimmed from the result (eos_id, by contrast, is kept).
+        `on_token(rid, token_id)` streams each generated token as it is
+        sampled — called inline from `step()`, so keep it cheap (hand
+        off to a queue for SSE-style streaming)."""
         prompt = np.asarray(prompt, np.int32).reshape(1, -1)
         if prompt.shape[1] + max_new > self.cfg.max_seq:
             raise ValueError("prompt + max_new exceeds cfg.max_seq")
@@ -247,7 +269,8 @@ class ContinuousBatcher:
                 f"{len(self._adapter_trees)}; 0 = base model)")
         req = _Request(self._next_rid, prompt, max_new,
                        temperature=temperature, top_k=top_k, top_p=top_p,
-                       min_p=min_p, seed=seed, adapter=adapter)
+                       min_p=min_p, seed=seed, adapter=adapter,
+                       stop=stop, on_token=on_token)
         self._next_rid += 1
         self._queue.append(req)
         self._admit()
@@ -370,7 +393,7 @@ class ContinuousBatcher:
             self._next_tok[slot] = req.tokens[-1]
         else:
             self._next_tok[slot] = self._sample_one(logits, req)
-            req.tokens.append(int(self._next_tok[slot]))
+            self._emit(req, int(self._next_tok[slot]))
         self._maybe_finish(slot)
 
     def _prefill_slot(self, req: _Request, slot: int):
@@ -405,7 +428,7 @@ class ContinuousBatcher:
                 # a resumed (preempted) request restores _next_tok from
                 # its own history and returns None instead of logits
                 self._next_tok[slot] = self._sample_one(logits, req)
-                req.tokens.append(int(self._next_tok[slot]))
+                self._emit(req, int(self._next_tok[slot]))
             self._running[slot] = req
             self._maybe_finish(slot)
 
@@ -435,21 +458,51 @@ class ContinuousBatcher:
                 if slot not in self._running:
                     continue
                 self._next_tok[slot] = nxt[slot]
-                self._running[slot].tokens.append(int(nxt[slot]))
+                self._emit(self._running[slot], int(nxt[slot]))
                 self._maybe_finish(slot)
         self._admit()
+
+    def _emit(self, req: _Request, tok: int) -> None:
+        """Record one generated token: history, first-token timestamp
+        (TTFT), and the streaming callback."""
+        req.tokens.append(tok)
+        if req.t_first is None:
+            req.t_first = time.monotonic()
+        if req.on_token is not None:
+            req.on_token(req.rid, tok)
+
+    @staticmethod
+    def _stop_match(req: _Request) -> int:
+        """Length of the stop sequence the output currently ends with
+        (0 = none)."""
+        for s in req.stop:
+            if len(req.tokens) >= len(s) and tuple(
+                    req.tokens[-len(s):]) == s:
+                return len(s)
+        return 0
 
     def _maybe_finish(self, slot: int) -> None:
         req = self._running.get(slot)
         if req is None:
             return
-        done = len(req.tokens) >= req.max_new or (
+        trim = self._stop_match(req)
+        done = trim > 0 or len(req.tokens) >= req.max_new or (
             self.eos_id is not None and req.tokens
             and req.tokens[-1] == self.eos_id)
         if done:
-            self._finished[req.rid] = np.asarray(req.tokens, np.int32)
+            out = req.tokens[:-trim] if trim else req.tokens
+            self._finished[req.rid] = np.asarray(out, np.int32)
             del self._running[slot]
             self._free.append(slot)
+            req.t_done = time.monotonic()
+            st = self._stats
+            st["completed"] += 1
+            st["tokens_out"] += len(req.tokens)
+            if req.t_first is not None:
+                st["ttft_sum"] += req.t_first - req.t_submit
+                if len(req.tokens) > 1:
+                    st["itl_sum"] += req.t_done - req.t_first
+                    st["itl_n"] += len(req.tokens) - 1
 
     # ------------------------------------------------------------- drive
     def run(self, max_steps: int = 100000) -> Dict[int, np.ndarray]:
@@ -466,6 +519,23 @@ class ContinuousBatcher:
     def stats(self) -> Tuple[int, int, int]:
         """(running, queued, free) slot counts."""
         return len(self._running), len(self._queue), len(self._free)
+
+    @property
+    def metrics(self) -> Dict[str, float]:
+        """Serving latency/throughput over completed requests:
+        `completed`, `tokens_out`, `ttft_mean_s` (submit -> first
+        token, prefill + queueing), `itl_mean_s` (mean inter-token
+        latency after the first — the per-token SLO chunked prefill
+        protects). Means are 0.0 until something completes."""
+        st = self._stats
+        return {
+            "completed": st["completed"],
+            "tokens_out": st["tokens_out"],
+            "ttft_mean_s": (st["ttft_sum"] / st["completed"]
+                            if st["completed"] else 0.0),
+            "itl_mean_s": (st["itl_sum"] / st["itl_n"]
+                           if st["itl_n"] else 0.0),
+        }
 
 
 class PagedBatcher(ContinuousBatcher):

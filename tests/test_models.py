@@ -2372,3 +2372,74 @@ class TestChunkedPrefill:
         assert pb.preemptions >= 1
         for a, b in zip(r0, r1):
             np.testing.assert_array_equal(ref[a], out[b])
+
+
+class TestServingUX:
+    """Per-request stop sequences, streaming token callbacks, and the
+    batcher's latency/throughput metrics."""
+
+    def _setup(self):
+        cfg = T.GPTConfig(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                          d_ff=128, max_seq=48, dtype=jnp.float32,
+                          flash="off")
+        params = T.init_params(jax.random.key(0), cfg)
+        return cfg, params
+
+    def test_stop_sequence_trims(self):
+        """Generation ends at the first suffix match of any stop
+        sequence and the match is trimmed — checked against a host-side
+        replay of the same sampled reference tokens."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg, params = self._setup()
+        p = np.array([3, 4, 5], np.int32)
+        sample = dict(temperature=1.0, seed=7)    # varied, reproducible
+        ref_cb = ContinuousBatcher(params, cfg, n_slots=1)
+        rid = ref_cb.submit(p, 10, **sample)
+        ref = ref_cb.run()[rid].tolist()
+        stop = [ref[2:4], ref[6:9]]
+
+        def host_expect(tokens, stops):
+            out = []
+            for t in tokens:
+                out.append(t)
+                for s in stops:
+                    if len(out) >= len(s) and out[-len(s):] == s:
+                        return out[:-len(s)]
+            return out
+
+        expect = host_expect(ref, stop)
+        assert len(expect) < len(ref)            # a stop actually fired
+        cb = ContinuousBatcher(params, cfg, n_slots=1)
+        rid2 = cb.submit(p, 10, stop=stop, **sample)
+        out = cb.run()[rid2]
+        np.testing.assert_array_equal(out, np.asarray(expect, np.int32))
+
+    def test_on_token_streams_everything(self):
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg, params = self._setup()
+        got = []
+        cb = ContinuousBatcher(params, cfg, n_slots=2)
+        r1 = cb.submit(np.array([3, 4, 5], np.int32), 7,
+                       on_token=lambda rid, t: got.append((rid, t)))
+        r2 = cb.submit(np.array([9, 8], np.int32), 5)
+        out = cb.run()
+        streamed = [t for rid, t in got if rid == r1]
+        np.testing.assert_array_equal(np.asarray(streamed), out[r1])
+        assert not any(rid == r2 for rid, _ in got)
+
+    def test_metrics_accumulate(self):
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg, params = self._setup()
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=16,
+                          block_size=8)
+        pb.submit(np.array([3, 4, 5], np.int32), 6)
+        pb.submit(np.arange(1, 10, dtype=np.int32), 4)
+        pb.run()
+        m = pb.metrics
+        assert m["completed"] == 2
+        assert m["tokens_out"] == 10
+        assert m["ttft_mean_s"] > 0.0
+        assert m["itl_mean_s"] > 0.0
