@@ -329,6 +329,45 @@ _register(
     lambda e, p, o, g: (g * p[1], g * p[0]),
 )
 
+
+# batched matmul — extension beyond the reference's Ix2-only `mm` (the
+# reference kit is 2-d, SURVEY §2.1; TPU models want (B, S, K) @ (K, N) so
+# the MXU sees one large GEMM per projection instead of S-many row GEMVs).
+# lhs (..., K), rhs (K, N); f32 accumulate, compute-dtype output.
+def _matmul_fwd(e, a, b):
+    out = lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(a.dtype)
+
+
+def _matmul_vjp(e, p, o, g):
+    a, b = p
+    da = lax.dot_general(
+        g, b, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(a.dtype)
+    batch_axes = tuple(range(a.ndim - 1))
+    db = lax.dot_general(
+        a, g, ((batch_axes, batch_axes), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(b.dtype)
+    return da, db
+
+
+_register("matmul", _matmul_fwd, _matmul_vjp)
+
+
+# dtype cast — extension (bf16 compute bodies with f32 loss heads). The
+# VJP casts the cotangent back to the input dtype (standard mixed-precision
+# convention).
+_register(
+    "astype",
+    lambda e, a: a.astype(e[0]),
+    lambda e, p, o, g: (g.astype(p[0].dtype),),
+)
+
 # --------------------------------------------------------------------------
 # dropout (node/dropout/mod.rs:53-128): Bernoulli(1-p) mask scaled 1/(1-p);
 # identity when eval or p==0; zeros when p==1. Mask regenerated from the key.
@@ -359,6 +398,101 @@ def _dropout_vjp(e, prim, o, g, *, key, train):
 
 
 _register("dropout", _dropout_fwd, _dropout_vjp, rng=True)
+
+# --------------------------------------------------------------------------
+# fused attention — extension beyond the reference (VERDICT r3 #1: the
+# define-by-run tier needs the flash kernel reachable from the Var API, not
+# only from the functional transformer). Operand: the packed group-major
+# qkv projection (B, S, (H + 2·KV)·hd) — exactly what one fused
+# `x.matmul(w_qkv)` produces; returns (B, S, H·hd) head-major. extra =
+# (n_head, n_kv_head, causal, rate, block). Dropout is status-gated like
+# the `dropout` op: the op is rng and regenerates its in-kernel mask seed
+# from the recorded PRNG key in the VJP.
+
+
+def _attn_geometry(n_head, n_kv_head, width):
+    kv = n_kv_head or n_head
+    hd = width // (n_head + 2 * kv)
+    if hd * (n_head + 2 * kv) != width:
+        raise ValueError(
+            f"packed qkv width {width} does not factor into H={n_head}, "
+            f"KV={kv} heads"
+        )
+    return kv, hd
+
+
+def _attn_xla(qkv, n_head, n_kv_head, causal, rate, key):
+    """Reference-math fallback (identical unpack to the Pallas kernel's
+    group-major layout, ops/pallas/attention.py `_qkv_geometry`)."""
+    b, s, w = qkv.shape
+    kv, hd = _attn_geometry(n_head, n_kv_head, w)
+    g_sz = n_head // kv
+    parts = qkv.reshape(b, s, kv, g_sz + 2, hd)
+    q = parts[:, :, :, :g_sz, :].reshape(b, s, n_head, hd).transpose(0, 2, 1, 3)
+    k = parts[:, :, :, g_sz, :].transpose(0, 2, 1, 3)
+    v = parts[:, :, :, g_sz + 1, :].transpose(0, 2, 1, 3)
+    if kv != n_head:
+        k = jnp.repeat(k, g_sz, axis=1)
+        v = jnp.repeat(v, g_sz, axis=1)
+    scale = 1.0 / (hd ** 0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if rate > 0.0:
+        keep = jax.random.bernoulli(key, 1.0 - rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - rate), 0.0)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(qkv.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, n_head * hd)
+
+
+def _attn_use_kernel(qkv, n_head, n_kv_head):
+    from ..config import config, on_tpu
+
+    _, s, w = qkv.shape
+    _, hd = _attn_geometry(n_head, n_kv_head, w)
+    return (
+        (on_tpu() or config.pallas_interpret)
+        and s % 128 == 0
+        and hd % 128 == 0
+    )
+
+
+def _attn_fwd(e, qkv, *, key, train):
+    n_head, n_kv_head, causal, rate, block = e
+    rate = float(rate) if train else 0.0
+    if _attn_use_kernel(qkv, n_head, n_kv_head):
+        from ..config import config
+        from .pallas.attention import flash_attention_qkv
+
+        s = qkv.shape[1]
+        # in-kernel dropout adds a (bq, bk) u32 mask tile to scoped VMEM;
+        # cap blocks at 512 when active (transformer.py:_attention does the
+        # same for the functional tier)
+        bq = bk = min(block, s, 512 if rate > 0.0 else 1 << 30)
+        seed = (
+            jax.random.randint(key, (), 0, 1 << 30).astype(jnp.float32)
+            if rate > 0.0 else None
+        )
+        return flash_attention_qkv(
+            qkv, seed, n_head, n_kv_head, causal, None, bq, bk,
+            config.pallas_interpret, rate, True, True,
+        )
+    return _attn_xla(qkv, n_head, n_kv_head, causal, rate, key)
+
+
+def _attn_vjp(e, p, o, g, *, key, train):
+    _, vjp_fn = jax.vjp(lambda q: _attn_fwd(e, q, key=key, train=train), p[0])
+    return vjp_fn(g)
+
+
+_register("flash_attention", _attn_fwd, _attn_vjp, rng=True)
 
 # --------------------------------------------------------------------------
 # padding (node/pad) — extra = (padding per trailing spatial axis, mode, value)

@@ -80,7 +80,13 @@ def _infer_shape(op, extra, parents):
     hit = _SHAPE_MEMO.get(key)
     if hit is None:
         avals = [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in parents]
-        out = jax.eval_shape(lambda *xs: op.fwd(extra, *xs), *avals)
+        if op.rng:
+            out = jax.eval_shape(
+                lambda k, *xs: op.fwd(extra, *xs, key=k, train=True),
+                jax.random.key(0), *avals,
+            )
+        else:
+            out = jax.eval_shape(lambda *xs: op.fwd(extra, *xs), *avals)
         hit = (out.shape, out.dtype)
         _SHAPE_MEMO[key] = hit
     return hit
@@ -90,10 +96,7 @@ def _apply(name: str, operands: Sequence["Var"], extra: Tuple = (), status=None)
     op = OPS[name]
     parents = [o.node for o in operands]
     diff = any(isinstance(o, VarDiff) for o in operands)
-    if op.rng:
-        out_shape, out_dtype = parents[0].shape, parents[0].dtype
-    else:
-        out_shape, out_dtype = _infer_shape(op, extra, parents)
+    out_shape, out_dtype = _infer_shape(op, extra, parents)
     node = Node(
         name,
         out_shape,
@@ -211,6 +214,12 @@ class Var:
 
     def vv(self, rhs):
         return _apply("vv", (self, _to_operand(rhs)))
+
+    def matmul(self, rhs):
+        """Batched matmul: self (..., K) @ rhs (K, N) — the MXU-friendly
+        extension beyond the reference's 2-d `mm` (one large GEMM per
+        projection at any batch rank)."""
+        return _apply("matmul", (self, _to_operand(rhs, self.dtype)))
 
     # --------------------------------------------------------- elementwise
     def pow(self, exp: int):
@@ -335,6 +344,41 @@ class Var:
             stride if isinstance(stride, (tuple, list)) else (stride,)
         ))
         return _apply("avg_pool", (self,), (w, s))
+
+    def astype(self, dtype):
+        """Dtype cast (extension: bf16 compute bodies with f32 loss heads).
+        The VJP casts the cotangent back to this variable's dtype."""
+        return _apply("astype", (self,), (jnp.dtype(dtype).name,))
+
+    # ----------------------------------------------------------- attention
+    def flash_attention(self, n_head: int, n_kv_head: int = 0,
+                        causal: bool = True, dropout: float = 0.0,
+                        status: StatusCell = None, block: int = 512):  # noqa: RUF013
+        """Fused multi-head attention on the packed group-major qkv
+        projection `self` (B, S, (H + 2·KV)·hd) -> (B, S, H·hd) head-major.
+        Runs the Pallas flash kernel (packed layout, fast softmax, fused
+        single-pass backward — ops/pallas/attention.py) on TPU and the
+        identical-math XLA form elsewhere. Dropout is status-gated like
+        `Var.dropout` (reference semantics, var.rs:375-393)."""
+        if not 0.0 <= dropout <= 1.0:
+            raise ValueError(
+                f"dropout probability has to be between 0 and 1, but got "
+                f"{dropout}"
+            )
+        if dropout > 0.0 and status is None:
+            raise ValueError(
+                "attention dropout requires a StatusCell (train/eval switch)"
+            )
+        if self.ndim != 3:
+            raise ValueError(
+                "flash_attention expects a packed (B, S, W) qkv tensor"
+            )
+        return _apply(
+            "flash_attention", (self,),
+            (int(n_head), int(n_kv_head), bool(causal), float(dropout),
+             int(block)),
+            status=status,
+        )
 
     # ------------------------------------------------------------- dropout
     def dropout(self, p: float, status: StatusCell):
