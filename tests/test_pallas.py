@@ -693,3 +693,51 @@ class TestPagedAttention:
         out = paged_attention(q, pk, pv, table, pos, interpret=True)
         ref = self._ref(q, pk, pv, table, pos)
         assert float(jnp.abs(out - ref).max()) < 1e-5
+
+
+class TestConvRouting:
+    """VERDICT r3 #2c: with `use_pallas` on, conv tier selection consults
+    the measured route table so the flag never pessimises; "force" keeps
+    the direct kernels reachable."""
+
+    def test_auto_routes_conv_to_xla(self):
+        from neuronika_tpu.ops.pallas.conv import route_conv2d
+
+        # every measured configuration routes to XLA today (r4 sweep)
+        for nd, s, d in ((2, (1, 1), (1, 1)), (2, (2, 2), (1, 1)),
+                         ((1), (1,), (1,)), (3, (1, 1, 1), (1, 1, 1))):
+            assert route_conv2d(nd, s, d, 1) == "xla"
+
+    def test_force_selects_pallas(self):
+        from neuronika_tpu.config import config
+        from neuronika_tpu.ops.pallas.conv import route_conv2d
+
+        config.pallas_conv_route = "force"
+        try:
+            assert route_conv2d(2, (1, 1), (1, 1), 1) == "pallas"
+        finally:
+            config.pallas_conv_route = "auto"
+
+    def test_use_pallas_auto_conv_matches_lax(self):
+        """conv through the Var op with use_pallas on (auto route, no
+        interpret): runs the XLA tier and matches the flag-off result."""
+        import numpy as np
+
+        import neuronika_tpu as nk
+        from neuronika_tpu.config import enable_pallas
+
+        x = np.random.rand(2, 3, 8, 8).astype(np.float32)
+        w = np.random.rand(4, 3, 3, 3).astype(np.float32)
+        # kernel-as-receiver, matching the reference (var.rs:704-724)
+        v = nk.from_ndarray(w).convolution(nk.from_ndarray(x), 1, 1)
+        v.forward()
+        base = v.data()
+        enable_pallas(True)  # interpret=False: auto routing active
+        try:
+            v2 = nk.from_ndarray(w).convolution(nk.from_ndarray(x), 1, 1)
+            v2.forward()
+            out = v2.data()
+        finally:
+            enable_pallas(False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
