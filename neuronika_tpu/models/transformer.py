@@ -2221,48 +2221,98 @@ def make_slot_decode_step(cfg: GPTConfig, quant: str | None = None):
 
     def step(params, cache, tokens, active, adapters=None, sel=None):
         params = _prep_decode_params(params, cfg, quant)
-        pos = cache["pos"]                              # (B,)
-        B = tokens.shape[0]
-        pos_w = jnp.minimum(pos, cfg.max_seq - 1)       # clamp idle slots
-        x = params["wte"][tokens]
-        if cfg.pos_emb == "learned":
-            x = x + params["wpe"][pos_w]                # (B, D) gather
-        x = x.astype(cfg.dtype)[:, None, :]
-        bar = jnp.arange(B)
-
-        def body(carry, inp):
-            x, ck, cv = carry
-            blk, ab_l, l = inp
-            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos, ab_l, sel)
-            lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-            lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-            lk = lk.at[bar, :, pos_w].set(
-                jnp.where(active[:, None, None], k_new[:, :, 0],
-                          lk[bar, :, pos_w]))
-            lv = lv.at[bar, :, pos_w].set(
-                jnp.where(active[:, None, None], v_new[:, :, 0],
-                          lv[bar, :, pos_w]))
-            ck = lax.dynamic_update_slice(ck, lk[None], (l, 0, 0, 0, 0))
-            cv = lax.dynamic_update_slice(cv, lv[None], (l, 0, 0, 0, 0))
-            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg, ab_l, sel)
-            return (x, ck, cv), None
-
-        (x, ks, vs), _ = lax.scan(
-            body, (x, cache["k"], cache["v"]),
-            (params["blocks"], adapters, jnp.arange(cfg.n_layer)))
-        x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
-        head = params.get("head")
-        if head is not None:
-            logits = _qdot(x[:, 0], head, cfg)
-        else:
-            logits = jnp.dot(
-                x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
-                preferred_element_type=jnp.float32,
-            )
-        new_pos = jnp.where(active, jnp.minimum(pos + 1, cfg.max_seq), pos)
-        return logits, {"k": ks, "v": vs, "pos": new_pos}
+        return _slot_decode_body(params, cache, tokens, active, cfg,
+                                 adapters, sel)
 
     return jax.jit(step, donate_argnums=(1,))
+
+
+def _slot_decode_body(params, cache, tokens, active, cfg: GPTConfig,
+                      adapters=None, sel=None):
+    """One slot-decode step on PREPARED params (the shared body of
+    `make_slot_decode_step` and `make_slot_decode_many`)."""
+    pos = cache["pos"]                              # (B,)
+    B = tokens.shape[0]
+    pos_w = jnp.minimum(pos, cfg.max_seq - 1)       # clamp idle slots
+    x = params["wte"][tokens]
+    if cfg.pos_emb == "learned":
+        x = x + params["wpe"][pos_w]                # (B, D) gather
+    x = x.astype(cfg.dtype)[:, None, :]
+    bar = jnp.arange(B)
+
+    def body(carry, inp):
+        x, ck, cv = carry
+        blk, ab_l, l = inp
+        q, k_new, v_new = _decode_qkv(x, blk, cfg, pos, ab_l, sel)
+        lk = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        lv = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        lk = lk.at[bar, :, pos_w].set(
+            jnp.where(active[:, None, None], k_new[:, :, 0],
+                      lk[bar, :, pos_w]))
+        lv = lv.at[bar, :, pos_w].set(
+            jnp.where(active[:, None, None], v_new[:, :, 0],
+                      lv[bar, :, pos_w]))
+        ck = lax.dynamic_update_slice(ck, lk[None], (l, 0, 0, 0, 0))
+        cv = lax.dynamic_update_slice(cv, lv[None], (l, 0, 0, 0, 0))
+        x = _decode_block(x, blk, q, lk, lv, pos_w, cfg, ab_l, sel)
+        return (x, ck, cv), None
+
+    (x, ks, vs), _ = lax.scan(
+        body, (x, cache["k"], cache["v"]),
+        (params["blocks"], adapters, jnp.arange(cfg.n_layer)))
+    x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
+    head = params.get("head")
+    if head is not None:
+        logits = _qdot(x[:, 0], head, cfg)
+    else:
+        logits = jnp.dot(
+            x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    new_pos = jnp.where(active, jnp.minimum(pos + 1, cfg.max_seq), pos)
+    return logits, {"k": ks, "v": vs, "pos": new_pos}
+
+
+def make_slot_decode_many(cfg: GPTConfig, k: int,
+                          quant: str | None = None):
+    """k decode steps + per-row sampling in ONE jitted program
+    (multi-step scheduling): (params, cache, tokens (B,), active (B,),
+    seeds (B,) u32, steps0 (B,) i32, temperature/top_k/top_p/min_p
+    (B,)) -> (tokens (k, B) i32, cache).
+
+    Host-driven continuous batching fetches every step's sampled tokens
+    to detect finishes — one host<->device round trip PER TOKEN, which
+    through a network tunnel (or any remote host) dwarfs the ~1-6 ms
+    device step. Scanning k steps device-side amortises that round trip
+    k ways. Outputs are EXACTLY the per-step path's: row b's token at
+    step i is fold_in(key(seeds[b]), steps0[b]+i) over its own causal
+    lane, so neither the window size nor co-batched rows change it —
+    the host simply discards any tokens past a row's stop/eos/budget
+    (bounded overshoot is the standard multi-step trade; the batcher
+    caps k at the tightest remaining budget)."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError(
+            "slot serving supports quant=None/'int8'/'int4'")
+
+    def many(params, cache, tokens, active, seeds, steps0,
+             temperature, top_k, top_p, min_p, adapters=None, sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+
+        def body(carry, i):
+            tok, cache = carry
+            logits, cache = _slot_decode_body(params, cache, tok, active,
+                                              cfg, adapters, sel)
+            nxt = sample_logits_batched(logits, seeds, steps0 + i,
+                                        temperature, top_k, top_p, min_p)
+            tok = jnp.where(active, nxt, tok)
+            return (tok, cache), nxt
+
+        (tok, cache), toks = lax.scan(body, (tokens, cache),
+                                      jnp.arange(k, dtype=jnp.int32))
+        return toks, cache
+
+    return jax.jit(many, donate_argnums=(1,))
 
 
 # --------------------------------------------------------------------------
@@ -2459,65 +2509,119 @@ def make_paged_decode_step(cfg: GPTConfig, block_size: int,
 
     def step(params, cache, tokens, active, table, adapters=None, sel=None):
         params = _prep_decode_params(params, cfg, quant)
-        pos = cache["pos"]                                 # (B,)
-        B = tokens.shape[0]
-        MB = table.shape[1]
-        pos_w = jnp.minimum(pos, MB * BS - 1)              # clamp idle slots
-        x = params["wte"][tokens]
-        if cfg.pos_emb == "learned":
-            x = x + params["wpe"][jnp.minimum(pos_w, cfg.max_seq - 1)]
-        x = x.astype(cfg.dtype)[:, None, :]
-        bar = jnp.arange(B)
-        bid = jnp.where(active, table[bar, pos_w // BS], 0)
-        off = pos_w % BS
-
-        def body(carry, inp):
-            x, pk, pv = carry
-            blk, ab_l, l = inp
-            q, k_new, v_new = _decode_qkv(x, blk, cfg, pos, ab_l, sel)
-            pk_l = lax.dynamic_index_in_dim(pk, l, 0, keepdims=False)
-            pv_l = lax.dynamic_index_in_dim(pv, l, 0, keepdims=False)
-            pk_l = pk_l.at[bid, :, off].set(
-                jnp.where(active[:, None, None], k_new[:, :, 0],
-                          pk_l[bid, :, off]))
-            pv_l = pv_l.at[bid, :, off].set(
-                jnp.where(active[:, None, None], v_new[:, :, 0],
-                          pv_l[bid, :, off]))
-            pk = lax.dynamic_update_index_in_dim(pk, pk_l, l, 0)
-            pv = lax.dynamic_update_index_in_dim(pv, pv_l, l, 0)
-            if use_kernel:
-                from ..ops.pallas.paged_attention import paged_attention
-
-                ctx = paged_attention(
-                    q[:, :, :, 0, :], pk_l, pv_l, table, pos_w,
-                    window=cfg.window, interpret=_cfg.pallas_interpret)
-                # kv-group-major (B, KV, G, hd) == head-major merge
-                ctx = ctx.reshape(B, 1, cfg.d_model)
-                x = _decode_post(x, blk, ctx, cfg, ab_l, sel)
-            else:
-                lk = pk_l[table].transpose(0, 2, 1, 3, 4)  # (B,KV,MB,BS,hd)
-                lk = lk.reshape(B, lk.shape[1], MB * BS, lk.shape[4])
-                lv = pv_l[table].transpose(0, 2, 1, 3, 4)
-                lv = lv.reshape(B, lv.shape[1], MB * BS, lv.shape[4])
-                x = _decode_block(x, blk, q, lk, lv, pos_w, cfg, ab_l, sel)
-            return (x, pk, pv), None
-
-        (x, pk, pv), _ = lax.scan(
-            body, (x, cache["pk"], cache["pv"]),
-            (params["blocks"], adapters, jnp.arange(cfg.n_layer)))
-        x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
-        head = params.get("head")
-        if head is not None:
-            logits = _qdot(x[:, 0], head, cfg)
-        else:
-            logits = jnp.dot(
-                x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
-                preferred_element_type=jnp.float32,
-            )
-        new_pos = jnp.where(active, pos + 1, pos)
-        return logits, {"pk": pk, "pv": pv, "pos": new_pos}
+        return _paged_decode_body(params, cache, tokens, active, table,
+                                  cfg, use_kernel, BS, adapters, sel)
 
     return jax.jit(step, donate_argnums=(1,))
+
+
+def _paged_decode_body(params, cache, tokens, active, table,
+                       cfg: GPTConfig, use_kernel: bool, BS: int,
+                       adapters=None, sel=None):
+    """One paged-decode step on PREPARED params (the shared body of
+    `make_paged_decode_step` and `make_paged_decode_many`)."""
+    from ..config import config as _cfg
+
+    pos = cache["pos"]                                 # (B,)
+    B = tokens.shape[0]
+    MB = table.shape[1]
+    pos_w = jnp.minimum(pos, MB * BS - 1)              # clamp idle slots
+    x = params["wte"][tokens]
+    if cfg.pos_emb == "learned":
+        x = x + params["wpe"][jnp.minimum(pos_w, cfg.max_seq - 1)]
+    x = x.astype(cfg.dtype)[:, None, :]
+    bar = jnp.arange(B)
+    bid = jnp.where(active, table[bar, pos_w // BS], 0)
+    off = pos_w % BS
+
+    def body(carry, inp):
+        x, pk, pv = carry
+        blk, ab_l, l = inp
+        q, k_new, v_new = _decode_qkv(x, blk, cfg, pos, ab_l, sel)
+        pk_l = lax.dynamic_index_in_dim(pk, l, 0, keepdims=False)
+        pv_l = lax.dynamic_index_in_dim(pv, l, 0, keepdims=False)
+        pk_l = pk_l.at[bid, :, off].set(
+            jnp.where(active[:, None, None], k_new[:, :, 0],
+                      pk_l[bid, :, off]))
+        pv_l = pv_l.at[bid, :, off].set(
+            jnp.where(active[:, None, None], v_new[:, :, 0],
+                      pv_l[bid, :, off]))
+        pk = lax.dynamic_update_index_in_dim(pk, pk_l, l, 0)
+        pv = lax.dynamic_update_index_in_dim(pv, pv_l, l, 0)
+        if use_kernel:
+            from ..ops.pallas.paged_attention import paged_attention
+
+            ctx = paged_attention(
+                q[:, :, :, 0, :], pk_l, pv_l, table, pos_w,
+                window=cfg.window, interpret=_cfg.pallas_interpret)
+            # kv-group-major (B, KV, G, hd) == head-major merge
+            ctx = ctx.reshape(B, 1, cfg.d_model)
+            x = _decode_post(x, blk, ctx, cfg, ab_l, sel)
+        else:
+            lk = pk_l[table].transpose(0, 2, 1, 3, 4)  # (B,KV,MB,BS,hd)
+            lk = lk.reshape(B, lk.shape[1], MB * BS, lk.shape[4])
+            lv = pv_l[table].transpose(0, 2, 1, 3, 4)
+            lv = lv.reshape(B, lv.shape[1], MB * BS, lv.shape[4])
+            x = _decode_block(x, blk, q, lk, lv, pos_w, cfg, ab_l, sel)
+        return (x, pk, pv), None
+
+    (x, pk, pv), _ = lax.scan(
+        body, (x, cache["pk"], cache["pv"]),
+        (params["blocks"], adapters, jnp.arange(cfg.n_layer)))
+    x = _layer_norm(x, params["ln_f"], cfg.norm_eps)
+    head = params.get("head")
+    if head is not None:
+        logits = _qdot(x[:, 0], head, cfg)
+    else:
+        logits = jnp.dot(
+            x[:, 0], _head_w(params, cfg).T.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    new_pos = jnp.where(active, pos + 1, pos)
+    return logits, {"pk": pk, "pv": pv, "pos": new_pos}
+
+
+def make_paged_decode_many(cfg: GPTConfig, block_size: int, k: int,
+                           quant: str | None = None,
+                           kernel: str = "auto"):
+    """k paged-decode steps + per-row sampling in ONE jitted program —
+    the paged twin of `make_slot_decode_many` (same output-identity
+    argument; see its docstring). The block `table` is FIXED for the
+    window, so the scheduler must pre-allocate every active slot's
+    blocks through position pos+k before calling (PagedBatcher.step_many
+    does, preempting under pressure exactly like per-step growth)."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError("paged serving supports "
+                                  "quant=None/'int8'/'int4'")
+    if kernel not in ("auto", "on", "off"):
+        raise ValueError(f"kernel must be auto/on/off, got {kernel!r}")
+    from ..config import on_tpu
+
+    hd_ = cfg.d_model // cfg.n_head
+    use_kernel = kernel == "on" or (
+        kernel == "auto" and on_tpu() and hd_ % 128 == 0)
+    BS = block_size
+
+    def many(params, cache, tokens, active, table, seeds, steps0,
+             temperature, top_k, top_p, min_p, adapters=None, sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+
+        def body(carry, i):
+            tok, cache = carry
+            logits, cache = _paged_decode_body(
+                params, cache, tok, active, table, cfg, use_kernel, BS,
+                adapters, sel)
+            nxt = sample_logits_batched(logits, seeds, steps0 + i,
+                                        temperature, top_k, top_p, min_p)
+            tok = jnp.where(active, nxt, tok)
+            return (tok, cache), nxt
+
+        (tok, cache), toks = lax.scan(body, (tokens, cache),
+                                      jnp.arange(k, dtype=jnp.int32))
+        return toks, cache
+
+    return jax.jit(many, donate_argnums=(1,))
 
 
 def make_generate(cfg: GPTConfig, max_new: int, temperature: float = 0.0,

@@ -438,6 +438,84 @@ class ContinuousBatcher:
         subclass passes its block table)."""
         return ()
 
+    # --------------------------------------------------------- multi-step
+    def _grow_many(self, k: int) -> bool:
+        """Reserve whatever the next k decode steps need (the paged
+        subclass allocates blocks, preempting under pressure). Returns
+        False when the window cannot be reserved."""
+        return True
+
+    def _many_prog(self, k: int):
+        progs = getattr(self, "_many_progs", None)
+        if progs is None:
+            progs = self._many_progs = {}
+        if k not in progs:
+            progs[k] = T.make_slot_decode_many(self.cfg, k, self._quant)
+        return progs[k]
+
+    def step_many(self, k: int) -> None:
+        """Run up to k decode steps in ONE device program (multi-step
+        scheduling). The host-driven `step()` fetches every step's
+        sampled tokens to detect finishes — one host<->device round
+        trip per token, which on a remote/tunneled host dwarfs the
+        device step itself. `step_many` scans k decode+sample steps
+        device-side and fetches ONCE.
+
+        Outputs are EXACTLY the per-step path's (tested): each row's
+        sampling depends only on its own seed and step count and its
+        own causal lane, so tokens a request would not have generated
+        (past its stop/eos) are simply discarded; the window is capped
+        at the tightest remaining token budget so no row overshoots
+        max_new. Trades: finishes are detected at window ends (a freed
+        slot re-admits up to k-1 steps later than with `step()`), and
+        streaming callbacks arrive in window-sized bursts. Falls back
+        to `step()` while any slot is mid-chunked-prefill or requests
+        are queued (admission latency beats window amortisation)."""
+        if k <= 1 or not self._running or self._prefilling or self._queue:
+            self.step()
+            return
+        k = min([k] + [r.max_new - len(r.tokens)
+                       for r in self._running.values()])
+        if k <= 1 or not self._grow_many(k):
+            self.step()
+            return
+        B = self.n_slots
+        active = np.zeros((B,), bool)
+        seeds = np.zeros((B,), np.uint32)
+        steps0 = np.zeros((B,), np.int32)
+        temp = np.zeros((B,), np.float32)
+        top_k = np.zeros((B,), np.int32)
+        top_p = np.zeros((B,), np.float32)
+        min_p = np.zeros((B,), np.float32)
+        for slot, req in self._running.items():
+            active[slot] = True
+            seeds[slot] = req.seed
+            steps0[slot] = len(req.tokens)
+            temp[slot] = req.temperature
+            top_k[slot] = req.top_k
+            top_p[slot] = req.top_p
+            min_p[slot] = req.min_p
+        toks, self.cache = self._many_prog(k)(
+            self.params, self.cache, jnp.asarray(self._next_tok),
+            jnp.asarray(active), *self._extra_step_args(),
+            jnp.asarray(seeds), jnp.asarray(steps0), jnp.asarray(temp),
+            jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(min_p),
+            *self._lora_args())
+        toks = np.asarray(toks)          # (k, B) — the ONE fetch
+        was_active = [s for s in range(B) if active[s]]
+        for i in range(k):
+            for slot in was_active:
+                req = self._running.get(slot)
+                if req is None:          # finished earlier in the window:
+                    continue             # its later tokens are discarded
+                self._next_tok[slot] = int(toks[i, slot])
+                self._emit(req, int(toks[i, slot]))
+                self._maybe_finish(slot)
+        # a slot that finished mid-window kept decoding device-side; its
+        # overshoot K/V and position are rewritten by the next prefill
+        # into the slot, so no fixup is needed
+        self._admit()
+
     def step(self) -> None:
         """One decode step across all occupied slots (plus at most one
         prefill chunk for a slot still mid-prefill — see
@@ -505,12 +583,18 @@ class ContinuousBatcher:
                     st["itl_n"] += len(req.tokens) - 1
 
     # ------------------------------------------------------------- drive
-    def run(self, max_steps: int = 100000) -> Dict[int, np.ndarray]:
+    def run(self, max_steps: int = 100000,
+            multi_step: int = 1) -> Dict[int, np.ndarray]:
         """Decode until every submitted request finished; returns
-        {rid: generated tokens (prompt excluded)}."""
+        {rid: generated tokens (prompt excluded)}. `multi_step=k` drives
+        the loop with `step_many(k)` (one device round trip per k
+        tokens; identical outputs — see step_many)."""
         steps = 0
         while (self._running or self._queue) and steps < max_steps:
-            self.step()
+            if multi_step > 1:
+                self.step_many(multi_step)
+            else:
+                self.step()
             steps += 1
         out, self._finished = self._finished, {}
         return out
@@ -794,6 +878,47 @@ class PagedBatcher(ContinuousBatcher):
             return
         self._grow()
         super().step()
+
+    def _many_prog(self, k: int):
+        progs = getattr(self, "_many_progs", None)
+        if progs is None:
+            progs = self._many_progs = {}
+        if k not in progs:
+            progs[k] = T.make_paged_decode_many(
+                self.cfg, self.block_size, k, self._quant,
+                kernel=self.kernel)
+        return progs[k]
+
+    def _grow_many(self, k: int) -> bool:
+        """Reserve every running slot's blocks through position pos+k-1
+        (the window's table is fixed device-side), preempting the most
+        recently admitted other request when the pool runs dry — the
+        same discipline as per-step `_grow`, paid up front. Advances
+        the host position mirror by k for the slots that will decode
+        (matching the device program's k increments)."""
+        for slot in sorted(self._running,
+                           key=lambda s: self._running[s]._seq):
+            if slot not in self._running:    # preempted below
+                continue
+            blocks = self._slot_blocks[slot]
+            shared = self._slot_shared.get(slot, 0)
+            # the window writes positions pos .. pos+k-1
+            need = (int(self._pos[slot]) + k - 1) // self.block_size
+            while shared + len(blocks) <= need:
+                if self._free_blocks:
+                    b = self._free_blocks.popleft()
+                    self._table[slot, shared + len(blocks)] = b
+                    blocks.append(b)
+                    continue
+                victim = max(
+                    (s for s in self._running if s != slot),
+                    key=lambda s: self._running[s]._seq, default=None)
+                if victim is None:
+                    return False     # lone request: shrink the window
+                self._preempt(victim)
+        for slot in self._running:
+            self._pos[slot] += k
+        return True
 
     def _extra_step_args(self) -> tuple:
         return (jnp.asarray(self._table),)

@@ -2443,3 +2443,96 @@ class TestServingUX:
         assert m["tokens_out"] == 10
         assert m["ttft_mean_s"] > 0.0
         assert m["itl_mean_s"] > 0.0
+
+
+class TestMultiStepDecode:
+    """step_many / run(multi_step=k): k decode+sample steps in ONE device
+    program must emit exactly the per-step path's tokens — per-request
+    seeded sampling makes the window size unobservable (overshoot past
+    eos/stop is discarded; the window caps at the tightest budget)."""
+
+    def _cfg(self, **kw):
+        import jax.numpy as jnp
+
+        base = dict(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                    d_ff=128, max_seq=48, dtype=jnp.float32, flash="off")
+        base.update(kw)
+        return T.GPTConfig(**base)
+
+    def _submit_mixed(self, cb, eos_tok=None):
+        import numpy as np
+
+        prompts = [np.array([1, 2, 3, 4], np.int32),
+                   np.array([7, 8], np.int32),
+                   np.array([9, 10, 11, 12, 13, 14, 15, 16], np.int32),
+                   np.array([20, 21, 22], np.int32)]
+        max_news = [10, 4, 7, 12]
+        kws = [dict(), dict(temperature=0.9, top_k=8, seed=3),
+               dict(temperature=1.2, top_p=0.8, seed=5),
+               dict(stop=[[eos_tok]] if eos_tok is not None else None)]
+        return [cb.submit(p, m, **kw)
+                for p, m, kw in zip(prompts, max_news, kws)]
+
+    def test_dense_matches_per_step(self):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        a = ContinuousBatcher(params, cfg, n_slots=3)
+        ra = self._submit_mixed(a)
+        ref = a.run()
+        b = ContinuousBatcher(params, cfg, n_slots=3)
+        rb = self._submit_mixed(b)
+        out = b.run(multi_step=4)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+
+    def test_dense_stop_and_eos_overshoot_discarded(self):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        # find the greedy first token; use it as a stop so the request
+        # finishes mid-window
+        gen = T.make_generate(cfg, max_new=2)
+        p = np.array([5, 6, 7], np.int32)
+        first = int(np.asarray(gen(params, p[None], jax.random.key(1))
+                               )[0, len(p)])
+        a = ContinuousBatcher(params, cfg, n_slots=2, eos_id=first)
+        ra = [a.submit(p, 20), a.submit(np.array([30, 31], np.int32), 9)]
+        ref = a.run()
+        b = ContinuousBatcher(params, cfg, n_slots=2, eos_id=first)
+        rb = [b.submit(p, 20), b.submit(np.array([30, 31], np.int32), 9)]
+        out = b.run(multi_step=8)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+        assert len(out[rb[0]]) == 1          # stopped at eos immediately
+
+    @pytest.mark.parametrize("n_blocks,block_size", [(16, 8), (5, 4)])
+    def test_paged_matches_per_step(self, n_blocks, block_size):
+        """Paged windows pre-allocate blocks through pos+k (preempting
+        under pressure — the (5, 4) pool forces it) and must still be
+        token-identical to the per-step paged batcher."""
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        a = PagedBatcher(params, cfg, n_slots=3, n_blocks=n_blocks,
+                         block_size=block_size)
+        ra = self._submit_mixed(a)
+        ref = a.run()
+        b = PagedBatcher(params, cfg, n_slots=3, n_blocks=n_blocks,
+                         block_size=block_size)
+        rb = self._submit_mixed(b)
+        out = b.run(multi_step=4)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+        assert b.block_stats[0] == 0         # pool fully returned
+        if n_blocks == 5:
+            assert b.preemptions > 0
