@@ -191,6 +191,135 @@ def _bench_var_api_gpt(peak: float, steps: int = 8) -> dict:
     return out
 
 
+def _bench_serving_matrix() -> dict:
+    """VERDICT r3 #3: the serving tier's perf claims, measured into the
+    artifact. Four comparisons, all on the batcher API the features ship
+    in (multi-step decode windows amortise the tunnel's per-step round
+    trip so device-side differences are visible):
+
+      * dense (ContinuousBatcher) vs paged (PagedBatcher) new-token
+        throughput at B in {8, 32} slots on a mixed workload (prompt
+        lengths {32, 64, 128}, budgets {32, 48, 64, 96} — drawn from
+        small bucket sets so prefill shapes compile once each);
+      * the paged-attention Pallas kernel on vs off (same paged setup);
+      * chunked prefill's latency SLO: a long prompt admitted mid-decode
+        — the co-running request's MAX inter-token gap and the long
+        request's TTFT, chunk off vs on (d1536, per-step driving:
+        chunking is a latency feature, so the window amortisation is
+        deliberately NOT applied here);
+      * S-LoRA: mixed-adapter batches vs the base-only batcher.
+    """
+    import numpy as np
+
+    from neuronika_tpu.models import transformer as T
+    from neuronika_tpu.serving import ContinuousBatcher, PagedBatcher
+
+    cfg = T.GPTConfig(vocab_size=16384, n_layer=8, n_head=6, d_model=768,
+                      d_ff=3072, max_seq=512, dropout=0.0,
+                      dtype=jnp.bfloat16, flash="auto")
+    params = T.init_params(jax.random.key(0), cfg)
+    quant = "int8"
+    out = {"config": ("d768 L8 hd128 int8 max_seq512; 24 reqs, "
+                      "P in {32,64,128}, new in {32,48,64,96}, "
+                      "multi_step 8")}
+
+    def workload(n=24):
+        rng = np.random.default_rng(0)
+        return [
+            (rng.integers(1, cfg.vocab_size,
+                          (int(rng.choice([32, 64, 128])),)).astype(np.int32),
+             int(rng.choice([32, 48, 64, 96])))
+            for _ in range(n)
+        ]
+
+    def drive(batcher, adapters=False, n=24):
+        rng = np.random.default_rng(1)
+        toks = dt = 0
+        for _ in range(2):             # pass 0 warms compiles; pass 1 times
+            for i, (p, m) in enumerate(workload(n)):
+                batcher.submit(p, m, adapter=int(rng.integers(0, 3))
+                               if adapters else 0)
+            t0 = time.perf_counter()
+            done = batcher.run(multi_step=8)
+            dt = time.perf_counter() - t0
+            toks = sum(len(v) for v in done.values())
+        return round(toks / dt, 1)
+
+    for B in (8, 32):
+        try:
+            out[f"dense_B{B}_tok_s"] = drive(
+                ContinuousBatcher(params, cfg, n_slots=B, quant=quant))
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+        try:
+            out[f"paged_B{B}_tok_s"] = drive(PagedBatcher(
+                params, cfg, n_slots=B, n_blocks=64 + 15 * B,
+                block_size=16, quant=quant, kernel="on"))
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+    try:
+        out["paged_B8_kernel_off_tok_s"] = drive(PagedBatcher(
+            params, cfg, n_slots=8, n_blocks=184, block_size=16,
+            quant=quant, kernel="off"))
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+
+    # S-LoRA: two rank-8 adapters over qkv/proj, requests spread across
+    # {base, a1, a2} in one batch, vs the base-only number above
+    try:
+        from neuronika_tpu.models.lora import lora_init
+
+        cb = ContinuousBatcher(params, cfg, n_slots=8, quant=quant)
+        cb.register_adapter(lora_init(jax.random.key(1), params, 8))
+        cb.register_adapter(lora_init(jax.random.key(2), params, 8))
+        out["slora_mixed_B8_tok_s"] = drive(cb, adapters=True)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+
+    # chunked prefill: d1536 so the monolithic prefill stall is well
+    # above tunnel jitter; a 48-token decode is mid-flight when an
+    # 896-token prompt arrives
+    try:
+        cfg_c = T.GPTConfig(vocab_size=16384, n_layer=8, n_head=12,
+                            d_model=1536, d_ff=6144, max_seq=1024,
+                            dropout=0.0, dtype=jnp.bfloat16, flash="auto")
+        params_c = T.init_params(jax.random.key(0), cfg_c)
+        long_prompt = np.arange(1, 897, dtype=np.int32) % 16000 + 1
+        victim_prompt = np.array([1, 2, 3, 4], np.int32)
+
+        def chunk_case(chunk):
+            cb = ContinuousBatcher(params_c, cfg_c, n_slots=2,
+                                   quant=quant, prefill_chunk=chunk)
+            stamps, first_long = [], []
+            for warm in (True, False):
+                cb.submit(victim_prompt, 48,
+                          on_token=lambda rid, t: stamps.append(
+                              time.perf_counter()))
+                for _ in range(8):      # victim decodes alone first
+                    cb.step()
+                t_sub = time.perf_counter()
+                cb.submit(long_prompt, 8,
+                          on_token=lambda rid, t: first_long.append(
+                              time.perf_counter() - t_sub))
+                cb.run()
+                if warm:
+                    stamps.clear()
+                    first_long.clear()
+            gaps = np.diff(np.asarray(stamps))
+            return {"victim_itl_max_ms": round(float(gaps.max()) * 1e3, 2),
+                    "victim_itl_mean_ms": round(float(gaps.mean()) * 1e3, 2),
+                    "long_ttft_s": round(first_long[0], 4)}
+
+        out["chunked_prefill"] = {
+            "off": chunk_case(None), "on_128": chunk_case(128),
+            "config": "d1536 int8: 896-tok prompt admitted mid-decode, "
+                      "per-step driving",
+        }
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+    return out
+
+
 def _measure_rtt():
     tiny = jax.jit(lambda x: x + 1.0)
     z = jnp.zeros(())
@@ -667,6 +796,11 @@ def main() -> None:
                 "decode_ms_per_step": round(dt_s * 1e3 / Ns, 3),
                 "config": f"int8 B={Bs} prefill{Ps}+decode{Ns}",
             }
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+        try:
+            matrix = _bench_serving_matrix()
+            serving = dict(serving or {}, matrix=matrix)
         except Exception:  # noqa: BLE001
             traceback.print_exc()
 

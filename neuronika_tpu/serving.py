@@ -82,8 +82,24 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: T.GPTConfig, n_slots: int,
                  quant: Optional[str] = None,
                  eos_id: Optional[int] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor-parallel serving (VERDICT r3 #4): params keep the
+            # Megatron column/row layout and the KV cache shards its
+            # kv-head axis over "tp" — GSPMD partitions the prefill /
+            # decode einsums over heads (decode is weight-bandwidth
+            # bound, so tp multiplies the aggregate weight bandwidth).
+            # The host-side scheduler is untouched: block tables, slots,
+            # sampling and preemption see the same arrays, just sharded.
+            if "tp" not in mesh.axis_names:
+                raise ValueError("sharded serving needs a 'tp' mesh axis")
+            if T._kv_heads(cfg) % mesh.shape["tp"]:
+                raise ValueError(
+                    "tensor-parallel serving needs kv_heads % tp == 0")
+            params = jax.device_put(params, T.param_shardings(mesh, cfg))
         # quantize/cast ONCE: the batcher calls the jitted step per token,
         # so in-program quantization would re-read the f32 weights every
         # step — prepare_decode_params hoists it out of the loop
@@ -114,6 +130,21 @@ class ContinuousBatcher:
         self._stats = {"completed": 0, "tokens_out": 0,
                        "ttft_sum": 0.0, "itl_sum": 0.0, "itl_n": 0}
 
+    def _shard_cache(self) -> None:
+        """Place the freshly created cache on the mesh: kv heads over
+        "tp" (dim 2 of every (L, B/NB, KV, S/BS, hd) pool), per-slot
+        positions replicated."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = {n: P(None, None, "tp", None, None) if v.ndim == 5 else P()
+                for n, v in self.cache.items()}
+        self.cache = {
+            n: jax.device_put(v, NamedSharding(self.mesh, spec[n]))
+            for n, v in self.cache.items()
+        }
+
     def _build_programs(self) -> None:
         """Build the jitted prefill/decode programs and the KV cache
         (the paged subclass swaps in block-pool versions)."""
@@ -121,6 +152,7 @@ class ContinuousBatcher:
         self._step = T.make_slot_decode_step(self.cfg, self._quant)
         self.cache = T.init_slot_cache(self.cfg, self.n_slots,
                                        quant=self._quant)
+        self._shard_cache()
 
     # ------------------------------------------------------------- prefix
     def register_prefix(self, tokens) -> int:
@@ -476,6 +508,10 @@ class ContinuousBatcher:
             return
         k = min([k] + [r.max_new - len(r.tokens)
                        for r in self._running.values()])
+        k = 1 << (k.bit_length() - 1) if k > 0 else 0
+        # ^ round down to a power of two: the budget cap varies with the
+        # batch mix, and each distinct k is its own compiled program —
+        # bucketing bounds the program count at log2(max window)
         if k <= 1 or not self._grow_many(k):
             self.step()
             return
@@ -654,15 +690,19 @@ class PagedBatcher(ContinuousBatcher):
                  quant: Optional[str] = None,
                  eos_id: Optional[int] = None,
                  kernel: str = "auto",
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 mesh=None):
         if n_blocks < 2:
             raise ValueError("n_blocks must be >= 2 (block 0 is scratch)")
         self.block_size = block_size
         self.n_blocks = n_blocks
-        self.kernel = kernel
+        # the fused block-table kernel is a single-chip Pallas program;
+        # tp-sharded serving partitions the XLA gather path instead
+        self.kernel = "off" if (mesh is not None and kernel == "auto") \
+            else kernel
         self._mb = -(-cfg.max_seq // block_size)     # table width
         super().__init__(params, cfg, n_slots, quant=quant, eos_id=eos_id,
-                         prefill_chunk=prefill_chunk)
+                         prefill_chunk=prefill_chunk, mesh=mesh)
         self._free_blocks: deque[int] = deque(range(1, n_blocks))
         self._table = np.zeros((n_slots, self._mb), np.int32)
         self._slot_blocks: Dict[int, List[int]] = {}
@@ -681,6 +721,7 @@ class PagedBatcher(ContinuousBatcher):
                                               kernel=self.kernel)
         self.cache = T.init_paged_cache(self.cfg, self.n_blocks,
                                         self.block_size, self.n_slots)
+        self._shard_cache()
 
     def register_prefix(self, tokens) -> int:
         """Precompute a shared prompt prefix's K/V into dedicated pool

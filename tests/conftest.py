@@ -26,6 +26,11 @@ def pytest_configure(config):
     Runs from pytest_configure (not module import) so we can release
     pytest's fd-level output capture first — otherwise the re-exec'd run
     writes into the abandoned capture file and appears silent."""
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy test (>= 3 s in the full-suite duration "
+        "profile, tests/slow_tests.txt); `-m 'not slow'` is the <3 min "
+        "smoke tier")
     if not _needs_reexec():
         return
     capman = config.pluginmanager.getplugin("capturemanager")
@@ -60,6 +65,27 @@ try:
     ensure_native_built()
 except Exception:  # noqa: BLE001 - never block the test run on a build
     pass
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from the checked-in duration profile
+    (tests/slow_tests.txt — one `file::function` per line, parametrized
+    cases inherit their function's mark). Data-driven so the smoke tier
+    tracks reality: regenerate with tools/mark_slow.py after the suite's
+    shape changes."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            slow = {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    root = str(config.rootpath)
+    for item in items:
+        nodeid = item.nodeid.split("[")[0]
+        if nodeid in slow or os.path.relpath(
+                os.path.join(root, nodeid), root) in slow:
+            item.add_marker(pytest.mark.slow)
+
 
 # Reference numeric tolerance: F16_EPSILON = 4.88e-4
 # (neuronika-variable/src/utils.rs:500-517). We target the tighter 1e-5 from
