@@ -473,6 +473,34 @@ def _kernel_rooflines(peak: float) -> dict:
         dt = _timed_chain(fb_chain, qkv, rtt, iters=8)
         # fwd 2 + fused bwd 5 MXU passes per tile pair -> 7/2 x fl
         out["flash_qkv_fwdbwd_mfu"] = round((fl * 7 // 2) / dt / peak, 4)
+
+        # S4096 (VERDICT r3 #5 / PERF.md's open item): the long-sequence
+        # regime. The fused bwd's whole-S slabs exceed scoped VMEM here,
+        # so the VJP auto-routes to the split kernels (attention.py).
+        B4, S4 = 2, 4096
+        qkv4 = jax.random.normal(jax.random.key(9), (B4, S4, W),
+                                 jnp.bfloat16) / (hd ** 0.25)
+        fl4 = 2 * B4 * H * S4 * S4 * hd
+
+        def fwd4(x):
+            o = flash_attention_qkv(x, None, H, H, True, None, 512, 512,
+                                    False, 0.0, True, True)
+            return x.at[0, 0, 0].set(o[0, 0, 0].astype(x.dtype))
+
+        dt = _timed_chain(fwd4, qkv4, rtt, iters=8)
+        out["flash_qkv_s4096_fwd_mfu"] = round(fl4 / dt / peak, 4)
+
+        g4 = jax.grad(lambda x: flash_attention_qkv(
+            x, None, H, H, True, None, 512, 512, False, 0.0, True, True,
+        ).astype(jnp.float32).sum())
+
+        def fb4(x):
+            d = g4(x)
+            return x.at[0, 0, 0].set(d[0, 0, 0].astype(x.dtype))
+
+        dt = _timed_chain(fb4, qkv4, rtt, iters=4)
+        out["flash_qkv_s4096_fwdbwd_mfu"] = round(
+            (fl4 * 7 // 2) / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     try:

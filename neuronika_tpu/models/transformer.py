@@ -1780,7 +1780,8 @@ def _decode_mlp(x, blk, cfg: GPTConfig, ab=None, sel=None):
     return _mlp(x, blk, cfg)[0]
 
 
-def _prefill_body(params, cache, prompt, cfg: GPTConfig, ab=None, sel=None):
+def _prefill_body(params, cache, prompt, cfg: GPTConfig, ab=None, sel=None,
+                  last=None):
     """Batched prefill: ONE MXU-efficient pass over the whole prompt
     (B, P) fills the KV cache and returns the last position's logits.
     The previous scanned prefill paid P sequential single-token steps —
@@ -1788,7 +1789,15 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig, ab=None, sel=None):
     them (~half the serving time at P=128/N=256). Shares `_qdot` /
     `_quant_kv`, so all quant modes work identically. `ab` (stacked
     adapters, leading layer axis — see `_lora_delta`) and `sel` (B,)
-    apply per-row LoRA corrections during the prompt pass."""
+    apply per-row LoRA corrections during the prompt pass.
+
+    `last` (traced scalar, default P-1) indexes the position whose
+    logits are returned — BUCKETED prefill pads the prompt to a shape
+    bucket and asks for position plen-1; the padded tail's K/V land at
+    positions >= plen, which decode overwrites before it ever attends
+    them (the causal mask keeps real positions blind to the tail, so
+    the state through plen is bit-identical to an exact-shape
+    prefill)."""
     B, P = prompt.shape
     H = cfg.n_head
     KV = _kv_heads(cfg)
@@ -1852,7 +1861,13 @@ def _prefill_body(params, cache, prompt, cfg: GPTConfig, ab=None, sel=None):
     carry, _ = lax.scan(
         body, (x,) + tuple(cache[n] for n in keys),
         (params["blocks"], ab, jnp.arange(cfg.n_layer)))
-    x = _layer_norm(carry[0][:, -1], params["ln_f"], cfg.norm_eps)
+    if last is None:
+        x_last = carry[0][:, -1]
+    else:
+        idx = jnp.broadcast_to(
+            jnp.asarray(last, jnp.int32).reshape(-1, 1, 1), (B, 1, 1))
+        x_last = jnp.take_along_axis(carry[0], idx, axis=1)[:, 0]
+    x = _layer_norm(x_last, params["ln_f"], cfg.norm_eps)
     head = params.get("head")
     if head is not None:
         logits = _qdot(x, head, cfg)
@@ -2105,12 +2120,22 @@ def init_slot_cache(cfg: GPTConfig, n_slots: int, quant: str | None = None):
     return cache
 
 
-def make_slot_prefill(cfg: GPTConfig, quant: str | None = None):
+def make_slot_prefill(cfg: GPTConfig, quant: str | None = None,
+                      bucketed: bool = False):
     """Jitted per-request prefill for slot-based serving:
     (params, cache, prompt (1, P), slot) -> (last-position logits (V,),
     cache with slot's K/V rows replaced and pos[slot] = P). The other
     slots' rows and positions are untouched, so requests join a running
-    batch without disturbing it."""
+    batch without disturbing it.
+
+    With `bucketed=True` the signature gains a traced true length:
+    (params, cache, prompt (1, Pb), plen, slot, ...) — the prompt is
+    zero-padded to a shape BUCKET Pb, so one compiled program serves
+    every prompt length in the bucket instead of one program per
+    distinct length (arbitrary-length workloads otherwise recompile
+    per request). Returned logits are position plen-1's; pos[slot] =
+    plen; the padded tail's K/V are dead by the causal-mask argument
+    in `_prefill_body`."""
     _require_causal(cfg, "kv-cache decoding/serving")
 
     def pre(params, cache, prompt, slot, adapters=None, sel=None):
@@ -2126,7 +2151,21 @@ def make_slot_prefill(cfg: GPTConfig, quant: str | None = None):
         out["pos"] = out["pos"].at[slot].set(prompt.shape[1])
         return logits[0], out
 
-    return jax.jit(pre, donate_argnums=(1,))
+    def pre_bucketed(params, cache, prompt, plen, slot, adapters=None,
+                     sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+        mini = init_kv_cache(cfg, 1, quant=quant)
+        logits, mini = _prefill_body(params, mini, prompt, cfg, adapters,
+                                     sel, last=plen - 1)
+        out = dict(cache)
+        for n in ("k", "v", "ks", "vs"):
+            if n in out:
+                out[n] = lax.dynamic_update_slice(
+                    out[n], mini[n], (0, slot, 0, 0, 0))
+        out["pos"] = out["pos"].at[slot].set(plen)
+        return logits[0], out
+
+    return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
 def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None):
@@ -2339,20 +2378,27 @@ def init_paged_cache(cfg: GPTConfig, n_blocks: int, block_size: int,
 
 
 def make_paged_prefill(cfg: GPTConfig, block_size: int,
-                       quant: str | None = None):
+                       quant: str | None = None, bucketed: bool = False):
     """Jitted prefill into pool blocks: (params, cache, prompt (1, P),
     slot, blocks (MB,) int32) -> (last-position logits (V,), cache).
     One batched MXU pass computes the prompt's K/V (`_prefill_body`),
     which is then scattered into the slot's first ceil(P/BS) table
-    blocks; pos[slot] = P."""
+    blocks; pos[slot] = P.
+
+    With `bucketed=True` the signature gains a traced true length
+    (params, cache, prompt (1, Pb), plen, slot, blocks, ...): the
+    caller pads the prompt to bucket Pb and pads `blocks` past its
+    real ceil(plen/BS) entries with 0 — the padded tail's K/V scatter
+    into scratch block 0 (never read), so allocation stays exact while
+    one program serves the whole bucket."""
     _require_causal(cfg, "kv-cache decoding/serving")
     if quant == "int8-kv":
         raise NotImplementedError("paged serving supports "
                                   "quant=None/'int8'/'int4'")
     BS = block_size
 
-    def pre(params, cache, prompt, slot, blocks, adapters=None, sel=None):
-        params = _prep_decode_params(params, cfg, quant)
+    def body(params, cache, prompt, slot, blocks, adapters, sel, plen,
+             last):
         P = prompt.shape[1]
         nb = -(-P // BS)                                   # ceil, static
         # mini cache rounded up to a whole number of blocks so the
@@ -2364,17 +2410,28 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
                 "v": jnp.zeros((L, 1, KV, s_round, hd), cfg.dtype),
                 "pos": jnp.zeros((), jnp.int32)}
         logits, mini = _prefill_body(params, mini, prompt, cfg, adapters,
-                                     sel)
+                                     sel, last=last)
         out = dict(cache)
         for name, src in (("pk", mini["k"]), ("pv", mini["v"])):
             t = src[:, 0]                                  # (L,KV,S,hd)
             t = t.reshape(L, KV, nb, BS, hd).transpose(0, 2, 1, 3, 4)
             out[name] = out[name].at[:, blocks[:nb]].set(
                 t.astype(out[name].dtype))
-        out["pos"] = out["pos"].at[slot].set(P)
+        out["pos"] = out["pos"].at[slot].set(plen)
         return logits[0], out
 
-    return jax.jit(pre, donate_argnums=(1,))
+    def pre(params, cache, prompt, slot, blocks, adapters=None, sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+        return body(params, cache, prompt, slot, blocks, adapters, sel,
+                    prompt.shape[1], None)
+
+    def pre_bucketed(params, cache, prompt, plen, slot, blocks,
+                     adapters=None, sel=None):
+        params = _prep_decode_params(params, cfg, quant)
+        return body(params, cache, prompt, slot, blocks, adapters, sel,
+                    plen, plen - 1)
+
+    return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
 def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,

@@ -979,8 +979,19 @@ def _flashqkv_fwd(qkv, seed, n_head, n_kv_head, causal, scale, block_q,
 def _flashqkv_bwd(n_head, n_kv_head, causal, scale, block_q, block_k,
                   interpret, dropout, fast_softmax, fused_bwd, res, do):
     qkv, out, lse, seed = res
-    _, _, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    _, S, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     s = 1.0 / math.sqrt(hd) if scale is None else scale
+    if fused_bwd:
+        # The fused kernel holds whole-S slabs (qkv in+out, o, do) plus
+        # two f32 (S, hd) scratches per program; with double buffering
+        # the footprint grows linearly in S and blows the 16M scoped-
+        # VMEM stack at S4096/hd128 (measured r4: Mosaic compile
+        # failure; S2048 fits). Route oversize shapes to the split
+        # kernels — same math, dq and dkv in separate passes.
+        G = n_head // (n_kv_head or n_head)
+        est = S * hd * (qkv.dtype.itemsize * (8 * G + 8) + 8)
+        if est > 12e6:
+            fused_bwd = False
     bwd = _bwd_call_qkv_fused if fused_bwd else _bwd_call_qkv
     d_qkv = bwd(qkv, n_head, n_kv_head, out, lse, do, s, causal,
                 block_q, block_k, interpret, dropout, seed)

@@ -83,9 +83,22 @@ class ContinuousBatcher:
                  quant: Optional[str] = None,
                  eos_id: Optional[int] = None,
                  prefill_chunk: Optional[int] = None,
-                 mesh=None):
+                 mesh=None,
+                 prefill_bucket=None):
         self.cfg = cfg
         self.mesh = mesh
+        # prefill shape bucketing: every distinct prompt length is its
+        # own compiled program, so arbitrary-length workloads recompile
+        # per request. "pow2" pads prompts to the next power of two
+        # (<= log2(max_seq) programs ever); an int N pads to the next
+        # multiple of N. Padded-tail K/V are provably dead (see
+        # make_slot_prefill); outputs are identical to exact shapes.
+        if prefill_bucket is not None and prefill_bucket != "pow2" \
+                and (not isinstance(prefill_bucket, int)
+                     or prefill_bucket < 1):
+            raise ValueError("prefill_bucket must be None, 'pow2', or a "
+                             "positive int")
+        self.prefill_bucket = prefill_bucket
         if mesh is not None:
             # tensor-parallel serving (VERDICT r3 #4): params keep the
             # Megatron column/row layout and the KV cache shards its
@@ -145,10 +158,31 @@ class ContinuousBatcher:
             for n, v in self.cache.items()
         }
 
+    def _bucket_len(self, n: int) -> int:
+        """Padded prompt length for bucketed prefill (min 16, capped at
+        max_seq); `n` itself when bucketing is off."""
+        b = self.prefill_bucket
+        if b is None:
+            return n
+        if b == "pow2":
+            out = max(16, 1 << (n - 1).bit_length())
+        else:
+            out = -(-n // b) * b
+        return min(out, self.cfg.max_seq)
+
+    def _pad_row(self, row: np.ndarray):
+        """(padded (1, Pb) array, true length) for the bucketed prefill
+        programs."""
+        pb = self._bucket_len(row.size)
+        out = np.zeros((1, pb), np.int32)
+        out[0, :row.size] = row
+        return out, row.size
+
     def _build_programs(self) -> None:
         """Build the jitted prefill/decode programs and the KV cache
         (the paged subclass swaps in block-pool versions)."""
-        self._prefill = T.make_slot_prefill(self.cfg, self._quant)
+        self._prefill = T.make_slot_prefill(
+            self.cfg, self._quant, bucketed=self.prefill_bucket is not None)
         self._step = T.make_slot_decode_step(self.cfg, self._quant)
         self.cache = T.init_slot_cache(self.cfg, self.n_slots,
                                        quant=self._quant)
@@ -437,6 +471,12 @@ class ContinuousBatcher:
             logits, self.cache = self._suffix_prefill(
                 self.params, self.cache, pk, pv, jnp.int32(plen),
                 jnp.asarray(req.prompt[:, plen:]), jnp.int32(slot))
+        elif self.prefill_bucket is not None:
+            padded, plen = self._pad_row(req.prompt[0])
+            logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(padded),
+                jnp.int32(plen), jnp.int32(slot),
+                *self._lora_prefill_args(req))
         else:
             logits, self.cache = self._prefill(
                 self.params, self.cache, jnp.asarray(req.prompt),
@@ -691,7 +731,8 @@ class PagedBatcher(ContinuousBatcher):
                  eos_id: Optional[int] = None,
                  kernel: str = "auto",
                  prefill_chunk: Optional[int] = None,
-                 mesh=None):
+                 mesh=None,
+                 prefill_bucket=None):
         if n_blocks < 2:
             raise ValueError("n_blocks must be >= 2 (block 0 is scratch)")
         self.block_size = block_size
@@ -702,7 +743,8 @@ class PagedBatcher(ContinuousBatcher):
             else kernel
         self._mb = -(-cfg.max_seq // block_size)     # table width
         super().__init__(params, cfg, n_slots, quant=quant, eos_id=eos_id,
-                         prefill_chunk=prefill_chunk, mesh=mesh)
+                         prefill_chunk=prefill_chunk, mesh=mesh,
+                         prefill_bucket=prefill_bucket)
         self._free_blocks: deque[int] = deque(range(1, n_blocks))
         self._table = np.zeros((n_slots, self._mb), np.int32)
         self._slot_blocks: Dict[int, List[int]] = {}
@@ -714,8 +756,9 @@ class PagedBatcher(ContinuousBatcher):
         self._paged_suffix = None
 
     def _build_programs(self) -> None:
-        self._prefill = T.make_paged_prefill(self.cfg, self.block_size,
-                                             self._quant)
+        self._prefill = T.make_paged_prefill(
+            self.cfg, self.block_size, self._quant,
+            bucketed=self.prefill_bucket is not None)
         self._step = T.make_paged_decode_step(self.cfg, self.block_size,
                                               self._quant,
                                               kernel=self.kernel)
@@ -849,6 +892,22 @@ class PagedBatcher(ContinuousBatcher):
                 self.params, self.cache, jnp.asarray(row[None, cut:]),
                 jnp.int32(slot), jnp.asarray(np.asarray(own, np.int32)),
                 jnp.asarray(shared_blocks))
+        elif self.prefill_bucket is not None:
+            nb = -(-row.size // BS)
+            blocks = [self._free_blocks.popleft() for _ in range(nb)]
+            self._slot_blocks[slot] = blocks
+            self._slot_shared[slot] = 0
+            self._table[slot, :nb] = blocks
+            padded, plen = self._pad_row(row)
+            # block row padded to the bucket's static ceil(Pb/BS) width
+            # with scratch block 0 — the padded tail's K/V land there
+            nb_b = -(-padded.shape[1] // BS)
+            brow = np.zeros((nb_b,), np.int32)
+            brow[:nb] = blocks
+            logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(padded),
+                jnp.int32(plen), jnp.int32(slot), jnp.asarray(brow),
+                *self._lora_prefill_args(req))
         else:
             nb = -(-row.size // BS)
             blocks = [self._free_blocks.popleft() for _ in range(nb)]

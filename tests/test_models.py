@@ -2536,3 +2536,78 @@ class TestMultiStepDecode:
         assert b.block_stats[0] == 0         # pool fully returned
         if n_blocks == 5:
             assert b.preemptions > 0
+
+
+class TestBucketedPrefill:
+    """prefill_bucket: prompts pad to shape buckets so one compiled
+    program serves every length in the bucket (arbitrary-length
+    workloads otherwise compile one prefill per distinct length).
+    Outputs must be byte-identical to exact-shape prefill — the padded
+    tail's K/V are dead by the causal mask + decode-overwrite
+    argument."""
+
+    def _cfg(self):
+        import jax.numpy as jnp
+
+        return T.GPTConfig(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                           d_ff=128, max_seq=48, dtype=jnp.float32,
+                           flash="off")
+
+    def _prompts(self):
+        # deliberately awkward lengths: 3, 5, 6, 11 all land in pow2
+        # buckets 16; 17 lands in 32
+        lens = [3, 5, 6, 11, 17]
+        return ([np.arange(1, n + 1, dtype=np.int32) for n in lens],
+                [6, 4, 5, 7, 6])
+
+    @pytest.mark.parametrize("bucket", ["pow2", 8])
+    def test_dense_bucketed_matches_exact(self, bucket):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts, max_news = self._prompts()
+        a = ContinuousBatcher(params, cfg, n_slots=2)
+        ra = [a.submit(p, m) for p, m in zip(prompts, max_news)]
+        ref = a.run()
+        b = ContinuousBatcher(params, cfg, n_slots=2,
+                              prefill_bucket=bucket)
+        rb = [b.submit(p, m) for p, m in zip(prompts, max_news)]
+        out = b.run()
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+        if bucket == "pow2":
+            # 5 distinct lengths but only 2 buckets -> 2 compiled shapes
+            assert b._prefill._cache_size() == 2
+
+    def test_paged_bucketed_matches_exact(self):
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts, max_news = self._prompts()
+        a = PagedBatcher(params, cfg, n_slots=2, n_blocks=16, block_size=8)
+        ra = [a.submit(p, m) for p, m in zip(prompts, max_news)]
+        ref = a.run()
+        b = PagedBatcher(params, cfg, n_slots=2, n_blocks=16, block_size=8,
+                         prefill_bucket="pow2")
+        rb = [b.submit(p, m) for p, m in zip(prompts, max_news)]
+        out = b.run(multi_step=2)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+        assert b._prefill._cache_size() == 2
+        assert b.block_stats[0] == 0     # exact allocation: all returned
+
+    def test_bad_bucket_rejected(self):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        with pytest.raises(ValueError, match="prefill_bucket"):
+            ContinuousBatcher(params, cfg, n_slots=2, prefill_bucket=0)
