@@ -2168,10 +2168,15 @@ def make_slot_prefill(cfg: GPTConfig, quant: str | None = None,
     return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
-def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None):
+def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None,
+                             bucketed: bool = False):
     """Jitted suffix prefill for PREFIX CACHING in slot-based serving:
     (params, cache, pk, pv, plen, suffix (1, C), slot) ->
-    (last-position logits (V,), cache).
+    (last-position logits (V,), cache). With `bucketed=True` the
+    signature is (..., plen, suffix (1, Cb), cs, slot): the suffix is
+    padded to bucket Cb with true length cs traced, so prefix-cache
+    hits with arbitrary user-suffix lengths share one compiled program
+    per bucket.
 
     `pk`/`pv` are a shared prompt prefix's precomputed K/V
     ((L, 1, KV, max_seq, hd), positions < plen valid — see
@@ -2188,18 +2193,31 @@ def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None):
             "slot serving supports quant=None/'int8'/'int4' (see "
             "make_slot_decode_step)")
 
-    def pre(params, cache, pk, pv, plen, suffix, slot):
-        params = _prep_decode_params(params, cfg, quant)
+    def body(params, cache, pk, pv, plen, suffix, slot, cs, last):
         mini = {"k": pk, "v": pv, "pos": plen}
         logits, mini = _verify_body(params, mini, suffix, cfg)
         out = dict(cache)
         for n in ("k", "v"):
             out[n] = lax.dynamic_update_slice(
                 out[n], mini[n], (0, slot, 0, 0, 0))
-        out["pos"] = out["pos"].at[slot].set(plen + suffix.shape[1])
-        return logits[0, -1], out
+        out["pos"] = out["pos"].at[slot].set(plen + cs)
+        return logits[0, last], out
 
-    return jax.jit(pre, donate_argnums=(1,))
+    def pre(params, cache, pk, pv, plen, suffix, slot):
+        params = _prep_decode_params(params, cfg, quant)
+        return body(params, cache, pk, pv, plen, suffix, slot,
+                    suffix.shape[1], -1)
+
+    def pre_bucketed(params, cache, pk, pv, plen, suffix, cs, slot):
+        # suffix padded to a shape bucket, true length cs traced (same
+        # dead-tail argument as make_slot_prefill's bucketed mode; the
+        # caller caps the bucket at max_seq - plen so the tail writes
+        # stay in range)
+        params = _prep_decode_params(params, cfg, quant)
+        return body(params, cache, pk, pv, plen, suffix, slot, cs,
+                    cs - 1)
+
+    return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
 def make_slot_chunk_prefill(cfg: GPTConfig, quant: str | None = None):
@@ -2435,10 +2453,14 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
 
 
 def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,
-                              quant: str | None = None):
+                              quant: str | None = None,
+                              bucketed: bool = False):
     """Jitted suffix prefill for PREFIX CACHING over the block pool:
     (params, cache, suffix (1, C), slot, own_blocks (nb,) int32,
     prefix_blocks (nf,) int32) -> (last-position logits (V,), cache).
+    With `bucketed=True` the signature is (..., suffix (1, Cb), cs,
+    slot, own_blocks, prefix_blocks) — suffix padded to bucket Cb,
+    true length cs traced, own_blocks padded with scratch block 0.
 
     A registered prefix owns `nf` FULL pool blocks (positions
     [0, nf*BS)); this program gathers their K/V into a dense mini
@@ -2455,9 +2477,8 @@ def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,
                                   "quant=None/'int8'/'int4'")
     BS = block_size
 
-    def pre(params, cache, suffix, slot, own_blocks, prefix_blocks):
-        params = _prep_decode_params(params, cfg, quant)
-        C = suffix.shape[1]
+    def body(params, cache, suffix, slot, own_blocks, prefix_blocks, cs,
+             last):
         nf = prefix_blocks.shape[0]
         nb = own_blocks.shape[0]
         L, KV = cfg.n_layer, _kv_heads(cfg)
@@ -2480,10 +2501,24 @@ def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,
             t = t.reshape(L, KV, nb, BS, hd).transpose(0, 2, 1, 3, 4)
             out[name] = out[name].at[:, own_blocks].set(
                 t.astype(out[name].dtype))
-        out["pos"] = out["pos"].at[slot].set(cut + C)
-        return logits[0, -1], out
+        out["pos"] = out["pos"].at[slot].set(cut + cs)
+        return logits[0, last], out
 
-    return jax.jit(pre, donate_argnums=(1,))
+    def pre(params, cache, suffix, slot, own_blocks, prefix_blocks):
+        params = _prep_decode_params(params, cfg, quant)
+        return body(params, cache, suffix, slot, own_blocks,
+                    prefix_blocks, suffix.shape[1], -1)
+
+    def pre_bucketed(params, cache, suffix, cs, slot, own_blocks,
+                     prefix_blocks):
+        # suffix padded to a bucket with true length cs; own_blocks is
+        # padded with scratch block 0 past its real entries, so the
+        # dead tail scatters there and allocation stays exact
+        params = _prep_decode_params(params, cfg, quant)
+        return body(params, cache, suffix, slot, own_blocks,
+                    prefix_blocks, cs, cs - 1)
+
+    return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
 def make_paged_chunk_prefill(cfg: GPTConfig, block_size: int,

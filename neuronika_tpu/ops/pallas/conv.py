@@ -504,12 +504,90 @@ conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)
 # along any dim only contaminate positions the VALID crop discards.)
 
 
+def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl):
+    # x_ref (1, Lpad, Ci) full sample; w_ref (k, Ci, co_b);
+    # o_ref (1, bl, co_b). Tap j is the static row slice
+    # window[j·d : j·d + bl] — 1-d windows are natively contiguous, so
+    # unlike the 2-d kernel there is no wraparound and no W padding.
+    ci = x_ref.shape[2]
+    co = o_ref.shape[2]
+    span = bl + d * (k - 1)
+    if x_ref.shape[1] == span:
+        window = x_ref[0]
+    else:
+        qi = pl.program_id(1)
+        window = x_ref[0, pl.ds(pl.multiple_of(qi * bl, bl), span), :]
+    acc = jnp.zeros((bl, co), jnp.float32)
+    for j in range(k):
+        acc = acc + jnp.dot(window[j * d:j * d + bl, :], w_ref[j],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "block_l", "block_co", "interpret"),
+)
+def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 512,
+                   block_co: int = 256, interpret: bool = False):
+    """x (N, L, Ci) ⊛ w (k, Ci, Co), stride 1, VALID → (N, Lout, Co) —
+    a native 1-d flat-window kernel (the r3 (1, L)-image lowering onto
+    the 2-d kernel forced one whole-L row block per sample and measured
+    0.38 MFU; dedicated L-blocking restores a real grid)."""
+    N, L, Ci = x.shape
+    k, Cik, Co = w.shape
+    if Cik != Ci:
+        raise ValueError("channel mismatch (grouped conv1d: use XLA)")
+    d = dilation
+    Lout = L - d * (k - 1)
+    if Lout <= 0:
+        raise ValueError("kernel larger than input")
+    bl = min(block_l, Lout)
+    bco = min(block_co, Co)
+    pad_co = (-Co) % bco
+    if pad_co:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad_co)))
+    # pad L so (a) output blocks tile evenly and (b) the last block's
+    # span (bl + d·(k-1)) stays in bounds
+    n_lb = -(-Lout // bl)
+    need = (n_lb - 1) * bl + bl + d * (k - 1)
+    if L < need:
+        x = jnp.pad(x, ((0, 0), (0, need - L), (0, 0)))
+    grid = (N, n_lb, (Co + pad_co) // bco)
+    out = pl.pallas_call(
+        functools.partial(_conv1d_kernel, k=k, d=d, bl=bl),
+        out_shape=jax.ShapeDtypeStruct((N, n_lb * bl, Co + pad_co),
+                                       x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, x.shape[1], Ci), lambda n, i, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, Ci, bco), lambda n, i, c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bl, bco), lambda n, i, c: (n, i, c),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * Lout * Ci * (Co + pad_co) * k,
+            bytes_accessed=(N * L * Ci + N * Lout * Co) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w)
+    return out[:, :Lout, :Co]
+
+
 def conv1d_direct_nwc(x, w, dilation=1, stride=1, *, interpret=False):
     """x (N, L, Ci) ⊛ w (k, Ci, Co), VALID → (N, Lout, Co).
 
-    Lowered onto the 2-d kernel as a (1, L) image with (1, k) taps: the
-    width axis carries the sequence, so the flat-window addressing and
-    sublane padding apply unchanged."""
+    Stride 1 runs the native 1-d kernel; strided convs lower onto the
+    2-d kernel as a (1, L) image with (1, k) taps (phase decomposition
+    there handles the stride)."""
+    if stride == 1:
+        return _conv1d_s1_nwc(x, w, dilation, interpret=interpret)
     a = conv2d_direct_nhwc(
         x[:, None], w[None], (1, dilation), (1, stride),
         interpret=interpret,

@@ -203,7 +203,8 @@ class ContinuousBatcher:
             raise ValueError("prefix must be 1..max_seq-1 tokens")
         if self._suffix_prefill is None:
             self._suffix_prefill = T.make_slot_suffix_prefill(
-                self.cfg, self._quant)
+                self.cfg, self._quant,
+                bucketed=self.prefill_bucket is not None)
             self._prefix_fill = T.make_prefill(self.cfg, self._quant)
         mini = T.init_kv_cache(self.cfg, 1)
         _, mini = self._prefix_fill(self.params, mini,
@@ -468,9 +469,17 @@ class ContinuousBatcher:
                 else self._match_prefix(req.prompt[0]))
         if pref is not None:
             pk, pv, plen = pref
-            logits, self.cache = self._suffix_prefill(
-                self.params, self.cache, pk, pv, jnp.int32(plen),
-                jnp.asarray(req.prompt[:, plen:]), jnp.int32(slot))
+            if self.prefill_bucket is not None:
+                padded, cs = self._pad_row(req.prompt[0, plen:])
+                if padded.shape[1] > self.cfg.max_seq - plen:
+                    padded = padded[:, :self.cfg.max_seq - plen]
+                logits, self.cache = self._suffix_prefill(
+                    self.params, self.cache, pk, pv, jnp.int32(plen),
+                    jnp.asarray(padded), jnp.int32(cs), jnp.int32(slot))
+            else:
+                logits, self.cache = self._suffix_prefill(
+                    self.params, self.cache, pk, pv, jnp.int32(plen),
+                    jnp.asarray(req.prompt[:, plen:]), jnp.int32(slot))
         elif self.prefill_bucket is not None:
             padded, plen = self._pad_row(req.prompt[0])
             logits, self.cache = self._prefill(
@@ -792,7 +801,8 @@ class PagedBatcher(ContinuousBatcher):
                 f"{len(self._free_blocks)} are free")
         if self._paged_suffix is None:
             self._paged_suffix = T.make_paged_suffix_prefill(
-                self.cfg, BS, self._quant)
+                self.cfg, BS, self._quant,
+                bucketed=self.prefill_bucket is not None)
             self._prefix_fill = T.make_prefill(self.cfg, self._quant)
         cut = nf * BS
         blocks = np.asarray(
@@ -888,10 +898,23 @@ class PagedBatcher(ContinuousBatcher):
             self._slot_shared[slot] = nf
             self._table[slot, :nf] = shared_blocks
             self._table[slot, nf:nf + nb_own] = own
-            logits, self.cache = self._paged_suffix(
-                self.params, self.cache, jnp.asarray(row[None, cut:]),
-                jnp.int32(slot), jnp.asarray(np.asarray(own, np.int32)),
-                jnp.asarray(shared_blocks))
+            if self.prefill_bucket is not None:
+                padded, cs = self._pad_row(row[cut:])
+                if padded.shape[1] > self.cfg.max_seq - cut:
+                    padded = padded[:, :self.cfg.max_seq - cut]
+                nb_b = -(-(cut + padded.shape[1]) // BS) - nf
+                brow = np.zeros((nb_b,), np.int32)
+                brow[:nb_own] = own
+                logits, self.cache = self._paged_suffix(
+                    self.params, self.cache, jnp.asarray(padded),
+                    jnp.int32(cs), jnp.int32(slot), jnp.asarray(brow),
+                    jnp.asarray(shared_blocks))
+            else:
+                logits, self.cache = self._paged_suffix(
+                    self.params, self.cache, jnp.asarray(row[None, cut:]),
+                    jnp.int32(slot),
+                    jnp.asarray(np.asarray(own, np.int32)),
+                    jnp.asarray(shared_blocks))
         elif self.prefill_bucket is not None:
             nb = -(-row.size // BS)
             blocks = [self._free_blocks.popleft() for _ in range(nb)]

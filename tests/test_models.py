@@ -2611,3 +2611,53 @@ class TestBucketedPrefill:
         params = T.init_params(jax.random.key(0), cfg)
         with pytest.raises(ValueError, match="prefill_bucket"):
             ContinuousBatcher(params, cfg, n_slots=2, prefill_bucket=0)
+
+    def test_dense_bucketed_prefix_cache_matches_exact(self):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        system = np.array([5, 6, 7, 8, 9, 10], np.int32)
+        prompts = [np.concatenate([system, np.arange(1, n + 1)]).astype(
+            np.int32) for n in (2, 3, 7, 13)]
+        max_news = [6, 4, 5, 5]
+        a = ContinuousBatcher(params, cfg, n_slots=2)
+        a.register_prefix(system)
+        ra = [a.submit(p, m) for p, m in zip(prompts, max_news)]
+        ref = a.run()
+        b = ContinuousBatcher(params, cfg, n_slots=2,
+                              prefill_bucket="pow2")
+        b.register_prefix(system)
+        rb = [b.submit(p, m) for p, m in zip(prompts, max_news)]
+        out = b.run()
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+        # 4 suffix lengths land in pow2 bucket 16 -> ONE suffix program
+        assert b._suffix_prefill._cache_size() == 1
+
+    def test_paged_bucketed_prefix_cache_matches_exact(self):
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        system = np.arange(50, 58, dtype=np.int32)       # one full block
+        prompts = [np.concatenate([system, np.arange(1, n + 1)]).astype(
+            np.int32) for n in (2, 5, 9)]
+        max_news = [6, 4, 5]
+        a = PagedBatcher(params, cfg, n_slots=2, n_blocks=16, block_size=8)
+        a.register_prefix(system)
+        ra = [a.submit(p, m) for p, m in zip(prompts, max_news)]
+        ref = a.run()
+        b = PagedBatcher(params, cfg, n_slots=2, n_blocks=16, block_size=8,
+                         prefill_bucket="pow2")
+        b.register_prefix(system)
+        rb = [b.submit(p, m) for p, m in zip(prompts, max_news)]
+        out = b.run(multi_step=2)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+        assert b._paged_suffix._cache_size() == 1
+        assert b.block_stats[0] == 0
