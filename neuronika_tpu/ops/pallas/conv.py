@@ -504,13 +504,16 @@ conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)
 # along any dim only contaminate positions the VALID crop discards.)
 
 
-def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl):
+def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False):
     # x_ref (1, Lpad, Ci) full sample; w_ref (k, Ci, co_b);
-    # o_ref (1, bl, co_b). Tap j is the static row slice
-    # window[j·d : j·d + bl] — 1-d windows are natively contiguous, so
-    # unlike the 2-d kernel there is no wraparound and no W padding.
+    # o_ref (1, bl, co_b) — or (1, co_b, bl) when out_ncw (the block
+    # transposes in VMEM, so NCW-layout callers skip the HBM-level
+    # output transpose that costs ~2x the kernel's own time).
+    # Tap j is the static row slice window[j·d : j·d + bl] — 1-d
+    # windows are natively contiguous, so unlike the 2-d kernel there
+    # is no wraparound and no W padding.
     ci = x_ref.shape[2]
-    co = o_ref.shape[2]
+    co = o_ref.shape[1] if out_ncw else o_ref.shape[2]
     span = bl + d * (k - 1)
     if x_ref.shape[1] == span:
         window = x_ref[0]
@@ -521,15 +524,20 @@ def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl):
     for j in range(k):
         acc = acc + jnp.dot(window[j * d:j * d + bl, :], w_ref[j],
                             preferred_element_type=jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    if out_ncw:
+        o_ref[0] = acc.T.astype(o_ref.dtype)
+    else:
+        o_ref[0] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilation", "block_l", "block_co", "interpret"),
+    static_argnames=("dilation", "block_l", "block_co", "out_ncw",
+                     "interpret"),
 )
-def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 512,
-                   block_co: int = 256, interpret: bool = False):
+def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 0,
+                   block_co: int = 256, out_ncw: bool = False,
+                   interpret: bool = False):
     """x (N, L, Ci) ⊛ w (k, Ci, Co), stride 1, VALID → (N, Lout, Co) —
     a native 1-d flat-window kernel (the r3 (1, L)-image lowering onto
     the 2-d kernel forced one whole-L row block per sample and measured
@@ -542,7 +550,21 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 512,
     Lout = L - d * (k - 1)
     if Lout <= 0:
         raise ValueError("kernel larger than input")
+    if block_l <= 0:
+        # auto: ~768-row blocks that tile Lout with minimal padding —
+        # fixed 512 pads 3136 -> 7x512 (14% waste) and measured 0.46 on
+        # v5e, while the even 4x784 split measured 0.92; shrink when
+        # wide channel counts would pinch VMEM (window + acc, ~6 bytes
+        # per element with double buffering)
+        n_b = max(1, round(Lout / 768) or 1)
+        block_l = -(-Lout // n_b)
+        while block_l * max(Ci, 256) * 6 > 4e6 and block_l > 128:
+            block_l = -(-block_l // 2)
     bl = min(block_l, Lout)
+    if out_ncw:
+        # the NCW output block's LAST dim is bl → Mosaic requires a
+        # multiple of 128 (NWC only needed bl % 8 on the sublane dim)
+        bl = -(-bl // 128) * 128
     bco = min(block_co, Co)
     pad_co = (-Co) % bco
     if pad_co:
@@ -554,10 +576,20 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 512,
     if L < need:
         x = jnp.pad(x, ((0, 0), (0, need - L), (0, 0)))
     grid = (N, n_lb, (Co + pad_co) // bco)
+    if out_ncw:
+        out_shape = jax.ShapeDtypeStruct((N, Co + pad_co, n_lb * bl),
+                                         x.dtype)
+        out_spec = pl.BlockSpec((1, bco, bl), lambda n, i, c: (n, c, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((N, n_lb * bl, Co + pad_co),
+                                         x.dtype)
+        out_spec = pl.BlockSpec((1, bl, bco), lambda n, i, c: (n, i, c),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_conv1d_kernel, k=k, d=d, bl=bl),
-        out_shape=jax.ShapeDtypeStruct((N, n_lb * bl, Co + pad_co),
-                                       x.dtype),
+        functools.partial(_conv1d_kernel, k=k, d=d, bl=bl,
+                          out_ncw=out_ncw),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, x.shape[1], Ci), lambda n, i, c: (n, 0, 0),
@@ -565,8 +597,7 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 512,
             pl.BlockSpec((k, Ci, bco), lambda n, i, c: (0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bl, bco), lambda n, i, c: (n, i, c),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -577,22 +608,28 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 512,
         ),
         interpret=interpret,
     )(x, w)
+    if out_ncw:
+        return out[:, :Co, :Lout]
     return out[:, :Lout, :Co]
 
 
-def conv1d_direct_nwc(x, w, dilation=1, stride=1, *, interpret=False):
-    """x (N, L, Ci) ⊛ w (k, Ci, Co), VALID → (N, Lout, Co).
+def conv1d_direct_nwc(x, w, dilation=1, stride=1, *, out_ncw=False,
+                      interpret=False):
+    """x (N, L, Ci) ⊛ w (k, Ci, Co), VALID → (N, Lout, Co) — or
+    (N, Co, Lout) when ``out_ncw`` (the stride-1 kernel transposes its
+    block in VMEM, sparing NCW callers the HBM output transpose).
 
     Stride 1 runs the native 1-d kernel; strided convs lower onto the
     2-d kernel as a (1, L) image with (1, k) taps (phase decomposition
     there handles the stride)."""
     if stride == 1:
-        return _conv1d_s1_nwc(x, w, dilation, interpret=interpret)
+        return _conv1d_s1_nwc(x, w, dilation, out_ncw=out_ncw,
+                              interpret=interpret)
     a = conv2d_direct_nhwc(
         x[:, None], w[None], (1, dilation), (1, stride),
         interpret=interpret,
-    )
-    return a[:, 0]
+    )[:, 0]
+    return a.transpose(0, 2, 1) if out_ncw else a
 
 
 def _conv3d_kernel(x_ref, w_ref, o_ref, *, kd, kh, kw, dd, dh, dw, bd):

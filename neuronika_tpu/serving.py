@@ -588,14 +588,31 @@ class ContinuousBatcher:
             *self._lora_args())
         toks = np.asarray(toks)          # (k, B) — the ONE fetch
         was_active = [s for s in range(B) if active[s]]
-        for i in range(k):
-            for slot in was_active:
-                req = self._running.get(slot)
-                if req is None:          # finished earlier in the window:
-                    continue             # its later tokens are discarded
-                self._next_tok[slot] = int(toks[i, slot])
-                self._emit(req, int(toks[i, slot]))
-                self._maybe_finish(slot)
+        for slot in was_active:
+            req = self._running[slot]
+            col = toks[:, slot]
+            if req.stop or req.on_token is not None:
+                # slow path: stop sequences match across the window
+                # boundary and callbacks want per-token calls
+                for tok in col:
+                    if slot not in self._running:
+                        break            # later tokens are discarded
+                    self._next_tok[slot] = int(tok)
+                    self._emit(req, int(tok))
+                    self._maybe_finish(slot)
+                continue
+            # fast path (one numpy pass per slot, not k Python steps):
+            # accept through the first eos, discard the overshoot
+            n = k
+            if self.eos_id is not None:
+                hits = np.flatnonzero(col == self.eos_id)
+                if hits.size:
+                    n = int(hits[0]) + 1
+            if req.t_first is None:
+                req.t_first = time.monotonic()
+            req.tokens.extend(int(t) for t in col[:n])
+            self._next_tok[slot] = int(col[n - 1])
+            self._maybe_finish(slot)
         # a slot that finished mid-window kept decoding device-side; its
         # overshoot K/V and position are rewritten by the next prefill
         # into the slot, so no fixup is needed

@@ -510,6 +510,19 @@ class TestDirectConvRanks:
         assert a.shape == b.shape
         assert_close(a, b, tol=1e-5)
 
+    @pytest.mark.parametrize("d,s", [(1, 1), (2, 1), (1, 2)])
+    def test_conv1d_out_ncw(self, d, s):
+        # NCW-layout output produced in-kernel (VMEM block transpose)
+        # must equal the NWC result transposed on the host side
+        from neuronika_tpu.ops.pallas.conv import conv1d_direct_nwc
+
+        x = jnp.asarray(np.random.randn(2, 33, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 8, 16), jnp.float32) * 0.1
+        a = conv1d_direct_nwc(x, w, d, s, out_ncw=True, interpret=True)
+        b = conv1d_direct_nwc(x, w, d, s, interpret=True)
+        assert a.shape == (b.shape[0], b.shape[2], b.shape[1])
+        assert_close(a, b.transpose(0, 2, 1), tol=1e-5)
+
     @pytest.mark.parametrize("k,dil", [
         ((3, 3, 3), (1, 1, 1)), ((2, 3, 2), (1, 1, 1)),
         ((2, 2, 2), (2, 2, 2))])
