@@ -548,11 +548,14 @@ class ContinuousBatcher:
         (past its stop/eos) are simply discarded; the window is capped
         at the tightest remaining token budget so no row overshoots
         max_new. Trades: finishes are detected at window ends (a freed
-        slot re-admits up to k-1 steps later than with `step()`), and
-        streaming callbacks arrive in window-sized bursts. Falls back
-        to `step()` while any slot is mid-chunked-prefill or requests
-        are queued (admission latency beats window amortisation)."""
-        if k <= 1 or not self._running or self._prefilling or self._queue:
+        slot re-admits a QUEUED request up to k-1 steps later than with
+        `step()` — windows run even while requests wait, because with
+        every slot busy the queue drains exactly when a running request
+        finishes, and a window reaches that finish k× fewer round trips
+        away), and streaming callbacks arrive in window-sized bursts.
+        Falls back to `step()` only while a slot is mid-chunked-prefill
+        (the chunk advance is host-driven)."""
+        if k <= 1 or not self._running or self._prefilling:
             self.step()
             return
         k = min([k] + [r.max_new - len(r.tokens)
