@@ -221,7 +221,9 @@ def _bench_serving_matrix() -> dict:
     quant = "int8"
     out = {"config": ("d768 L8 hd128 int8 max_seq512; 24 reqs, "
                       "P in {32,64,128}, new in {32,48,64,96}, "
-                      "multi_step 8")}
+                      "multi_step 8, deferred burst submit (grouped "
+                      "prefill on the dense batcher); timed window = "
+                      "submit + prefill + decode")}
 
     def workload(n=24):
         rng = np.random.default_rng(0)
@@ -236,10 +238,12 @@ def _bench_serving_matrix() -> dict:
         rng = np.random.default_rng(1)
         toks = dt = 0
         for _ in range(2):             # pass 0 warms compiles; pass 1 times
-            for i, (p, m) in enumerate(workload(n)):
-                batcher.submit(p, m, adapter=int(rng.integers(0, 3))
-                               if adapters else 0)
             t0 = time.perf_counter()
+            with batcher.defer_admission():   # burst arrival: the dense
+                # batcher admits same-bucket prompts in grouped prefills
+                for i, (p, m) in enumerate(workload(n)):
+                    batcher.submit(p, m, adapter=int(rng.integers(0, 3))
+                                   if adapters else 0)
             done = batcher.run(multi_step=8)
             dt = time.perf_counter() - t0
             toks = sum(len(v) for v in done.values())

@@ -2168,6 +2168,41 @@ def make_slot_prefill(cfg: GPTConfig, quant: str | None = None,
     return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
+def make_slot_prefill_multi(cfg: GPTConfig, quant: str | None = None):
+    """Jitted MULTI-REQUEST prefill for slot-based serving:
+    (params, cache, prompts (m, Pb), plens (m,), slots (m,)) ->
+    (logits (m, V) at each row's plen-1, cache with the m slots'
+    K/V rows replaced and pos[slots] = plens).
+
+    Per-request prefill (`make_slot_prefill`) pays one host<->device
+    round trip AND one full weight read per admitted request; admitting
+    a group of same-shape prompts in ONE `_prefill_body` pass reads the
+    weights once for all m rows and fetches once — prefill is weight-
+    bandwidth-bound at short prompts exactly like decode, so the m-row
+    batch is nearly free device-side. Rows are zero-padded to a common
+    bucket Pb with true lengths in `plens` (same dead-tail argument as
+    bucketed single prefill); group sizes round up to a power of two by
+    REPLICATING row 0 (same prompt, same plen, same slot) — duplicate
+    scatter rows write byte-identical values, so the nondeterministic
+    duplicate-index write order is unobservable."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+
+    def pre(params, cache, prompts, plens, slots):
+        m = prompts.shape[0]
+        params = _prep_decode_params(params, cfg, quant)
+        mini = init_kv_cache(cfg, m, quant=quant)
+        logits, mini = _prefill_body(params, mini, prompts, cfg,
+                                     last=plens - 1)
+        out = dict(cache)
+        for n in ("k", "v", "ks", "vs"):
+            if n in out:
+                out[n] = out[n].at[:, slots].set(mini[n])
+        out["pos"] = out["pos"].at[slots].set(plens)
+        return logits, out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
 def make_slot_suffix_prefill(cfg: GPTConfig, quant: str | None = None,
                              bucketed: bool = False):
     """Jitted suffix prefill for PREFIX CACHING in slot-based serving:

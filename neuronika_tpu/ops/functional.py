@@ -598,11 +598,14 @@ def _conv_fwd(e, kernel, inp):
         if groups != 1:
             return _conv_fwd_lax(e, kernel, inp)
         if len(stride) == 1:
-            # out_ncw: the kernel transposes its block in VMEM, so the
-            # NCW-layout caller skips the HBM-level output transpose
-            return conv1d_direct_nwc(
+            # NOT out_ncw: the in-kernel VMEM block transpose measured
+            # 0.32 MFU vs 0.61 for kernel + XLA transpose at the bench
+            # shape (Mosaic relayouts the accumulator; the fused XLA
+            # transpose is far cheaper) — see conv.py::_conv1d_kernel
+            out = conv1d_direct_nwc(
                 inp.transpose(0, 2, 1), kernel.transpose(2, 1, 0),
-                dilation[0], stride[0], out_ncw=True, interpret=interp)
+                dilation[0], stride[0], interpret=interp)
+            return out.transpose(0, 2, 1)
         if len(stride) == 3 and stride == (1, 1, 1):
             out = conv3d_direct_ndhwc(
                 inp.transpose(0, 2, 3, 4, 1),

@@ -507,8 +507,12 @@ conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)
 def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False):
     # x_ref (1, Lpad, Ci) full sample; w_ref (k, Ci, co_b);
     # o_ref (1, bl, co_b) — or (1, co_b, bl) when out_ncw (the block
-    # transposes in VMEM, so NCW-layout callers skip the HBM-level
-    # output transpose that costs ~2x the kernel's own time).
+    # transposes in VMEM). MEASURED WORSE on v5e: 0.32 MFU vs 0.61 for
+    # kernel + XLA output transpose at B64 C256 L3136 — Mosaic lowers
+    # acc.T as an accumulator relayout that dwarfs the HBM transpose it
+    # saves, and the NCW block's %128 last-dim rule pads bl 784 → 896.
+    # Kept as a measured-dead-end record; the framework path does NOT
+    # set it (ops/functional._conv_fwd).
     # Tap j is the static row slice window[j·d : j·d + bl] — 1-d
     # windows are natively contiguous, so unlike the 2-d kernel there
     # is no wraparound and no W padding.
@@ -552,14 +556,18 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 0,
         raise ValueError("kernel larger than input")
     if block_l <= 0:
         # auto: ~768-row blocks that tile Lout with minimal padding —
-        # fixed 512 pads 3136 -> 7x512 (14% waste) and measured 0.46 on
-        # v5e, while the even 4x784 split measured 0.92; shrink when
-        # wide channel counts would pinch VMEM (window + acc, ~6 bytes
-        # per element with double buffering)
+        # at B64 C256 L3136 the fixed 512 pads 3136 -> 7x512 and
+        # measures 0.30 MFU on v5e while the even 4x784 split measures
+        # 0.61 (XLA's conv emitter still leads at 0.70, so the route
+        # table keeps conv1d on XLA; this kernel is the measured
+        # runner-up, kept for force mode). Shrink when wide channel
+        # counts would pinch VMEM (window + acc, ~6 bytes per element
+        # with double buffering).
         n_b = max(1, round(Lout / 768) or 1)
         block_l = -(-Lout // n_b)
         while block_l * max(Ci, 256) * 6 > 4e6 and block_l > 128:
             block_l = -(-block_l // 2)
+    block_l = -(-block_l // 8) * 8       # Mosaic sublane rule for NWC
     bl = min(block_l, Lout)
     if out_ncw:
         # the NCW output block's LAST dim is bl → Mosaic requires a

@@ -128,6 +128,8 @@ class ContinuousBatcher:
         self._quant = quant
         self._suffix_prefill = None          # built on first register_prefix
         self._sampler = None                 # built on first sample
+        self._multi_prefill = None           # built on first group admit
+        self._defer = False                  # see defer_admission()
         self._prefixes: List[Tuple[np.ndarray, object, object, int]] = []
         self._adapter_trees: List[Dict] = []  # host copies, re-stackable
         self._adapters = None                 # stacked device tree or None
@@ -340,8 +342,34 @@ class ContinuousBatcher:
                        stop=stop, on_token=on_token)
         self._next_rid += 1
         self._queue.append(req)
-        self._admit()
+        if not self._defer:
+            self._admit()
         return req.rid
+
+    def defer_admission(self):
+        """Context manager that holds admission while a burst of
+        requests is submitted; they admit TOGETHER on exit, so
+        same-shape prompts land in one grouped multi-row prefill
+        (`_prefill_group` — one weight read + one host round trip per
+        group) instead of one program call each. Without it `submit`
+        admits eagerly (latency-optimal for online arrivals) and
+        grouping only kicks in when several slots free at once.
+
+        >>> with cb.defer_admission():
+        ...     rids = [cb.submit(p, 64) for p in prompts]
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            self._defer = True
+            try:
+                yield
+            finally:
+                self._defer = False
+                self._admit()
+
+        return _ctx()
 
     # ----------------------------------------------------------- sampling
     def _get_sampler(self):
@@ -492,8 +520,94 @@ class ContinuousBatcher:
                 jnp.int32(slot), *self._lora_prefill_args(req))
         return logits
 
+    # grouped admission (dense only: the paged subclass prefills through
+    # per-request block tables and keeps the single path)
+    _group_prefill = True
+
+    def _group_eligible(self, req: _Request) -> bool:
+        """A request the multi-row prefill program can admit: base
+        model (per-row LoRA stays on the single path), fresh (not a
+        preemption resume), un-chunked, no prefix-cache hit."""
+        return (req.adapter == 0 and not req.tokens
+                and not self._should_chunk(req)
+                and self._match_prefix(req.prompt[0]) is None)
+
+    def _pop_prefill_group(self):
+        """Pop the run of front-of-queue requests that share a padded
+        prefill shape (while free slots last) for ONE multi-row prefill
+        call, or None for the single-request path. Grouping never
+        reorders the queue — it only widens the front — so admission
+        stays FIFO."""
+        if (not self._group_prefill or len(self._queue) < 2
+                or len(self._free) < 2
+                or not self._group_eligible(self._queue[0])):
+            return None
+        pb = self._bucket_len(self._queue[0].prompt.shape[1])
+        n = 1
+        while (n < len(self._queue) and n < len(self._free)
+               and self._group_eligible(self._queue[n])
+               and self._bucket_len(self._queue[n].prompt.shape[1]) == pb
+               and self._can_admit(self._queue[n])):
+            n += 1
+        if n < 2:
+            return None
+        group = []
+        for _ in range(n):
+            req = self._queue.popleft()
+            slot = self._free.popleft()
+            req.slot = slot
+            req._seq = self._admit_seq
+            self._admit_seq += 1
+            self._sel[slot] = 0
+            group.append((req, slot))
+        return group
+
+    def _prefill_group(self, group) -> None:
+        """Admit a group in one `make_slot_prefill_multi` call: one
+        weight read and one host round trip for the whole group (vs one
+        of each per request). The group rounds up to a power-of-two row
+        count by replicating row 0 — prompt, plen AND slot — so the
+        duplicate scatter rows write byte-identical values and jit
+        compiles at most log2(n_slots) row counts per prompt bucket.
+        First tokens are sampled in one batched call (same per-request
+        seeded sampler as the single path — outputs are identical)."""
+        rows = [self._pad_row(req.prompt[0]) for req, _ in group]
+        m_real = len(group)
+        m = 1 << (m_real - 1).bit_length()
+        pad = m - m_real
+        prompts = np.concatenate([r[0] for r in rows]
+                                 + [rows[0][0]] * pad, axis=0)
+        plens = np.asarray([r[1] for r in rows]
+                           + [rows[0][1]] * pad, np.int32)
+        slots = np.asarray([s for _, s in group]
+                           + [group[0][1]] * pad, np.int32)
+        if self._multi_prefill is None:
+            self._multi_prefill = T.make_slot_prefill_multi(
+                self.cfg, self._quant)
+        logits, self.cache = self._multi_prefill(
+            self.params, self.cache, jnp.asarray(prompts),
+            jnp.asarray(plens), jnp.asarray(slots))
+        reqs = [req for req, _ in group] + [group[0][0]] * pad
+        toks = np.asarray(self._get_sampler()(
+            logits,
+            jnp.asarray([r.seed for r in reqs], np.uint32),
+            jnp.zeros((m,), jnp.int32),       # all fresh: 0 tokens out
+            jnp.asarray([r.temperature for r in reqs], np.float32),
+            jnp.asarray([r.top_k for r in reqs], np.int32),
+            jnp.asarray([r.top_p for r in reqs], np.float32),
+            jnp.asarray([r.min_p for r in reqs], np.float32)))
+        for i, (req, slot) in enumerate(group):
+            self._running[slot] = req
+            self._next_tok[slot] = int(toks[i])
+            self._emit(req, int(toks[i]))
+            self._maybe_finish(slot)
+
     def _admit(self) -> None:
         while self._queue and self._free and self._can_admit(self._queue[0]):
+            group = self._pop_prefill_group()
+            if group is not None:
+                self._prefill_group(group)
+                continue
             req = self._queue.popleft()
             slot = self._free.popleft()
             req.slot = slot
@@ -753,6 +867,10 @@ class PagedBatcher(ContinuousBatcher):
     >>> rid = pb.submit(prompt_ids, max_new=64)
     >>> done = pb.run()
     """
+
+    # paged prefill scatters through per-request block tables; grouped
+    # admission (make_slot_prefill_multi) is a dense-cache program
+    _group_prefill = False
 
     def __init__(self, params, cfg: T.GPTConfig, n_slots: int,
                  n_blocks: int, block_size: int = 16,

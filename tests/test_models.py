@@ -2538,6 +2538,113 @@ class TestMultiStepDecode:
             assert b.preemptions > 0
 
 
+class TestGroupedPrefill:
+    """Grouped admission (make_slot_prefill_multi): same-shape queued
+    prompts admit in ONE multi-row prefill call — one weight read and
+    one host round trip per group. Outputs must be token-identical to
+    per-request admission (per-request seeded sampling; the m-row
+    scatter pads to a power of two by replicating row 0, whose
+    duplicate writes are byte-identical)."""
+
+    def _cfg(self, **kw):
+        import jax.numpy as jnp
+
+        base = dict(vocab_size=64, n_layer=2, n_head=4, d_model=64,
+                    d_ff=128, max_seq=48, dtype=jnp.float32, flash="off")
+        base.update(kw)
+        return T.GPTConfig(**base)
+
+    def _reqs(self):
+        rng = np.random.default_rng(0)
+        return [(rng.integers(1, 64, (int(rng.choice([4, 4, 8])),))
+                 .astype(np.int32), int(rng.choice([6, 10])))
+                for _ in range(9)]
+
+    @pytest.mark.parametrize("bucket,ms", [(None, 1), (None, 4),
+                                           ("pow2", 4)])
+    def test_matches_per_request_admission(self, bucket, ms):
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        reqs = self._reqs()
+        a = ContinuousBatcher(params, cfg, n_slots=4, eos_id=9)
+        ra = [a.submit(p, m, temperature=0.7, seed=i)
+              for i, (p, m) in enumerate(reqs)]
+        assert a._multi_prefill is None      # eager per-request admits
+        ref = a.run()
+        b = ContinuousBatcher(params, cfg, n_slots=4, eos_id=9,
+                              prefill_bucket=bucket)
+        with b.defer_admission():
+            rb = [b.submit(p, m, temperature=0.7, seed=i)
+                  for i, (p, m) in enumerate(reqs)]
+        out = b.run(multi_step=ms)
+        assert b._multi_prefill is not None  # grouped path engaged
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+
+    def test_groups_form_at_window_ends_without_defer(self):
+        """Equal-budget requests finish at the same multi-step window
+        end, freeing several slots at once — re-admission groups even
+        with eager submit."""
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        reqs = self._reqs()
+        a = ContinuousBatcher(params, cfg, n_slots=4, eos_id=9)
+        ra = [a.submit(p, m, temperature=0.7, seed=i)
+              for i, (p, m) in enumerate(reqs)]
+        ref = a.run()
+        b = ContinuousBatcher(params, cfg, n_slots=4, eos_id=9)
+        rb = [b.submit(p, m, temperature=0.7, seed=i)
+              for i, (p, m) in enumerate(reqs)]
+        out = b.run(multi_step=4)
+        assert b._multi_prefill is not None
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+
+    def test_ineligible_requests_stay_on_single_path(self):
+        """Prefix-cache hits and adapter requests fall back to the
+        single-request programs inside a deferred burst, and the mix
+        still matches per-request admission."""
+        import jax
+
+        from neuronika_tpu.models.lora import lora_init
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prefix = np.arange(1, 7, dtype=np.int32)
+        prompts = [np.concatenate([prefix, [20 + i]]).astype(np.int32)
+                   for i in range(2)] + \
+                  [np.array([30 + i, 31, 32, 33], np.int32)
+                   for i in range(4)]
+        adapters = [0, 0, 1, 0, 0, 1]
+
+        def build():
+            cb = ContinuousBatcher(params, cfg, n_slots=3, eos_id=9)
+            cb.register_adapter(lora_init(jax.random.key(1), params, 4))
+            cb.register_prefix(prefix)
+            return cb
+
+        a = build()
+        ra = [a.submit(p, 8, temperature=0.5, seed=i, adapter=ad)
+              for i, (p, ad) in enumerate(zip(prompts, adapters))]
+        ref = a.run()
+        b = build()
+        with b.defer_admission():
+            rb = [b.submit(p, 8, temperature=0.5, seed=i, adapter=ad)
+                  for i, (p, ad) in enumerate(zip(prompts, adapters))]
+        out = b.run(multi_step=4)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+
+
 class TestBucketedPrefill:
     """prefill_bucket: prompts pad to shape buckets so one compiled
     program serves every length in the bucket (arbitrary-length

@@ -749,6 +749,31 @@ class TestBatcherOnMesh:
         for x, y in zip(ra, rb):
             np.testing.assert_array_equal(out[y], ref[x])
 
+    def test_dense_batcher_tp_grouped_admission(self):
+        """A deferred burst on the tp batcher admits through the
+        multi-row prefill program (GSPMD-partitioned like the rest) and
+        stays token-identical to the single-chip per-request path."""
+        from neuronika_tpu.serving import ContinuousBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts = [np.array([1, 2, 3, 4], np.int32),
+                   np.array([5, 6, 7, 8], np.int32),
+                   np.array([9, 10, 11, 12], np.int32)]
+        a = ContinuousBatcher(params, cfg, n_slots=3)
+        ra = [a.submit(p, 8, temperature=0.6, seed=i)
+              for i, p in enumerate(prompts)]
+        ref = a.run()
+        mesh = parallel.make_mesh([("dp", 4), ("tp", 2)])
+        b = ContinuousBatcher(params, cfg, n_slots=3, mesh=mesh)
+        with b.defer_admission():
+            rb = [b.submit(p, 8, temperature=0.6, seed=i)
+                  for i, p in enumerate(prompts)]
+        out = b.run(multi_step=4)
+        assert b._multi_prefill is not None
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+
     def test_paged_batcher_tp_matches_single_chip_with_preemption(self):
         from neuronika_tpu.serving import PagedBatcher
 
