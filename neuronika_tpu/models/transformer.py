@@ -2487,6 +2487,52 @@ def make_paged_prefill(cfg: GPTConfig, block_size: int,
     return jax.jit(pre_bucketed if bucketed else pre, donate_argnums=(1,))
 
 
+def make_paged_prefill_multi(cfg: GPTConfig, block_size: int,
+                             quant: str | None = None):
+    """Jitted MULTI-REQUEST prefill into pool blocks:
+    (params, cache, prompts (m, Pb), plens (m,), slots (m,),
+    tables (m, ceil(Pb/BS)) int32) -> (logits (m, V) at each row's
+    plen-1, cache).
+
+    The grouped-admission counterpart of `make_paged_prefill`: one
+    `_prefill_body` pass computes all m rows' K/V (one weight read for
+    the group), which scatter through each row's block-table row.
+    Table entries past a row's real ceil(plen/BS) blocks are scratch
+    block 0 — written with dead padded-tail K/V, never read (the same
+    contract as bucketed single prefill; rows' REAL blocks are
+    pool-distinct so every meaningful scatter index is unique).
+    Group-padding rows replicate row 0 (prompt, plen, slot AND table),
+    so their duplicate writes are byte-identical."""
+    _require_causal(cfg, "kv-cache decoding/serving")
+    if quant == "int8-kv":
+        raise NotImplementedError("paged serving supports "
+                                  "quant=None/'int8'/'int4'")
+    BS = block_size
+
+    def pre(params, cache, prompts, plens, slots, tables):
+        m, P = prompts.shape
+        nb = -(-P // BS)                                   # ceil, static
+        L, KV = cfg.n_layer, _kv_heads(cfg)
+        hd = cfg.d_model // cfg.n_head
+        s_round = max(nb * BS, BS)
+        params = _prep_decode_params(params, cfg, quant)
+        mini = {"k": jnp.zeros((L, m, KV, s_round, hd), cfg.dtype),
+                "v": jnp.zeros((L, m, KV, s_round, hd), cfg.dtype),
+                "pos": jnp.zeros((), jnp.int32)}
+        logits, mini = _prefill_body(params, mini, prompts, cfg,
+                                     last=plens - 1)
+        out = dict(cache)
+        for name, src in (("pk", mini["k"]), ("pv", mini["v"])):
+            t = src[:, :, :, :nb * BS]                 # (L,m,KV,nb·BS,hd)
+            t = t.reshape(L, m, KV, nb, BS, hd).transpose(0, 1, 3, 2, 4, 5)
+            out[name] = out[name].at[:, tables.reshape(-1)].set(
+                t.reshape(L, m * nb, KV, BS, hd).astype(out[name].dtype))
+        out["pos"] = out["pos"].at[slots].set(plens)
+        return logits, out
+
+    return jax.jit(pre, donate_argnums=(1,))
+
+
 def make_paged_suffix_prefill(cfg: GPTConfig, block_size: int,
                               quant: str | None = None,
                               bucketed: bool = False):

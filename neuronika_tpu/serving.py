@@ -543,11 +543,13 @@ class ContinuousBatcher:
                 or not self._group_eligible(self._queue[0])):
             return None
         pb = self._bucket_len(self._queue[0].prompt.shape[1])
+        claimed = self._group_claim(self._queue[0])
         n = 1
         while (n < len(self._queue) and n < len(self._free)
                and self._group_eligible(self._queue[n])
                and self._bucket_len(self._queue[n].prompt.shape[1]) == pb
-               and self._can_admit(self._queue[n])):
+               and self._group_can_extend(self._queue[n], claimed)):
+            claimed += self._group_claim(self._queue[n])
             n += 1
         if n < 2:
             return None
@@ -562,15 +564,38 @@ class ContinuousBatcher:
             group.append((req, slot))
         return group
 
+    def _group_claim(self, req: _Request) -> int:
+        """Pool resources a group member will consume during grouped
+        admission (the paged subclass counts blocks; dense needs
+        nothing beyond the slot)."""
+        return 0
+
+    def _group_can_extend(self, req: _Request, claimed: int) -> bool:
+        """Whether `req` fits the group given resources the earlier
+        members already claimed (`_can_admit` alone over-commits: it
+        checks the pool as if each member were admitted alone)."""
+        return self._can_admit(req)
+
+    def _group_prefill_call(self, prompts, plens, slots, group):
+        """Device call for one grouped admission; returns
+        (logits (m, V), cache). The paged subclass allocates each row's
+        blocks and calls the block-table program instead."""
+        if self._multi_prefill is None:
+            self._multi_prefill = T.make_slot_prefill_multi(
+                self.cfg, self._quant)
+        return self._multi_prefill(
+            self.params, self.cache, jnp.asarray(prompts),
+            jnp.asarray(plens), jnp.asarray(slots))
+
     def _prefill_group(self, group) -> None:
-        """Admit a group in one `make_slot_prefill_multi` call: one
-        weight read and one host round trip for the whole group (vs one
-        of each per request). The group rounds up to a power-of-two row
-        count by replicating row 0 — prompt, plen AND slot — so the
-        duplicate scatter rows write byte-identical values and jit
-        compiles at most log2(n_slots) row counts per prompt bucket.
-        First tokens are sampled in one batched call (same per-request
-        seeded sampler as the single path — outputs are identical)."""
+        """Admit a group in one multi-row prefill call: one weight read
+        and one host round trip for the whole group (vs one of each per
+        request). The group rounds up to a power-of-two row count by
+        replicating row 0 — prompt, plen AND slot — so the duplicate
+        scatter rows write byte-identical values and jit compiles at
+        most log2(n_slots) row counts per prompt bucket. First tokens
+        are sampled in one batched call (same per-request seeded
+        sampler as the single path — outputs are identical)."""
         rows = [self._pad_row(req.prompt[0]) for req, _ in group]
         m_real = len(group)
         m = 1 << (m_real - 1).bit_length()
@@ -581,12 +606,8 @@ class ContinuousBatcher:
                            + [rows[0][1]] * pad, np.int32)
         slots = np.asarray([s for _, s in group]
                            + [group[0][1]] * pad, np.int32)
-        if self._multi_prefill is None:
-            self._multi_prefill = T.make_slot_prefill_multi(
-                self.cfg, self._quant)
-        logits, self.cache = self._multi_prefill(
-            self.params, self.cache, jnp.asarray(prompts),
-            jnp.asarray(plens), jnp.asarray(slots))
+        logits, self.cache = self._group_prefill_call(
+            prompts, plens, slots, group)
         reqs = [req for req, _ in group] + [group[0][0]] * pad
         toks = np.asarray(self._get_sampler()(
             logits,
@@ -868,10 +889,6 @@ class PagedBatcher(ContinuousBatcher):
     >>> done = pb.run()
     """
 
-    # paged prefill scatters through per-request block tables; grouped
-    # admission (make_slot_prefill_multi) is a dense-cache program
-    _group_prefill = False
-
     def __init__(self, params, cfg: T.GPTConfig, n_slots: int,
                  n_blocks: int, block_size: int = 16,
                  quant: Optional[str] = None,
@@ -1020,6 +1037,53 @@ class PagedBatcher(ContinuousBatcher):
 
     def _note_prefilled(self, slot: int, row_len: int) -> None:
         self._pos[slot] = row_len
+
+    # ------------------------------------------------- grouped admission
+    def _group_eligible(self, req: _Request) -> bool:
+        # paged prefix hits go through _match_paged_prefix (block
+        # sharing), not the dense _match_prefix
+        return (req.adapter == 0 and not req.tokens
+                and not self._should_chunk(req)
+                and self._match_paged_prefix(req.prompt[0]) is None)
+
+    def _group_claim(self, req: _Request) -> int:
+        return -(-req.prompt.shape[1] // self.block_size)
+
+    def _group_can_extend(self, req: _Request, claimed: int) -> bool:
+        # the scan must not over-commit the pool: blocks the earlier
+        # group members will take are already spoken for
+        return (len(self._free_blocks) - claimed
+                >= -(-req.prompt.shape[1] // self.block_size))
+
+    def _group_prefill_call(self, prompts, plens, slots, group):
+        """Allocate each member's blocks and prefill the group through
+        ONE block-table program (make_paged_prefill_multi). Pad rows
+        replicate row 0's table (byte-identical duplicate writes);
+        table entries past a row's real ceil(plen/BS) blocks point at
+        scratch block 0, whose contents are never read — exactly the
+        bucketed single-prefill contract."""
+        BS = self.block_size
+        m, Pb = prompts.shape
+        nb_b = -(-Pb // BS)
+        m_real = len(group)
+        tables = np.zeros((m, nb_b), np.int32)
+        for i, (req, slot) in enumerate(group):
+            size = int(plens[i])
+            nb = -(-size // BS)
+            blocks = [self._free_blocks.popleft() for _ in range(nb)]
+            self._slot_blocks[slot] = blocks
+            self._slot_shared[slot] = 0
+            self._table[slot, :] = 0
+            self._table[slot, :nb] = blocks
+            tables[i, :nb] = blocks
+            self._pos[slot] = size
+        tables[m_real:] = tables[0]
+        if self._multi_prefill is None:
+            self._multi_prefill = T.make_paged_prefill_multi(
+                self.cfg, self.block_size, self._quant)
+        return self._multi_prefill(
+            self.params, self.cache, jnp.asarray(prompts),
+            jnp.asarray(plens), jnp.asarray(slots), jnp.asarray(tables))
 
     def _prefill_slot(self, req: _Request, slot: int):
         resumed = bool(req.tokens)

@@ -2608,6 +2608,38 @@ class TestGroupedPrefill:
         for x, y in zip(ra, rb):
             np.testing.assert_array_equal(out[y], ref[x])
 
+    @pytest.mark.parametrize("n_blocks,bucket", [(32, None), (32, "pow2"),
+                                                 (9, None)])
+    def test_paged_grouped_matches_per_request(self, n_blocks, bucket):
+        """Paged grouped admission (make_paged_prefill_multi): blocks
+        allocated up front, scratch-0 tails, cumulative pool check —
+        the (9-block) pool forces small groups + preemption and must
+        still match per-request admission exactly."""
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        reqs = self._reqs()
+        a = PagedBatcher(params, cfg, n_slots=4, n_blocks=32,
+                         block_size=4, eos_id=9)
+        ra = [a.submit(p, m, temperature=0.7, seed=i)
+              for i, (p, m) in enumerate(reqs)]
+        ref = a.run()
+        b = PagedBatcher(params, cfg, n_slots=4, n_blocks=n_blocks,
+                         block_size=4, eos_id=9, prefill_bucket=bucket)
+        with b.defer_admission():
+            rb = [b.submit(p, m, temperature=0.7, seed=i)
+                  for i, (p, m) in enumerate(reqs)]
+        out = b.run(multi_step=4)
+        assert b._multi_prefill is not None
+        assert b.block_stats[0] == 0         # pool fully returned
+        if n_blocks == 9:
+            assert b.preemptions > 0
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(out[y], ref[x])
+
     def test_ineligible_requests_stay_on_single_path(self):
         """Prefix-cache hits and adapter requests fall back to the
         single-request programs inside a deferred burst, and the mix
