@@ -71,6 +71,11 @@ class Engine:
             with self.lock:
                 running, queued, _ = self.cb.stats
                 if running or queued:
+                    # per-token stepping keeps finish detection (and so
+                    # response latency) tight for an interactive demo;
+                    # a throughput deployment would drive step_many(k)
+                    # (one host round trip per k tokens) and batch
+                    # burst arrivals under cb.defer_admission()
                     self.cb.step()
                     for rid, toks in list(self.cb._finished.items()):
                         ev = self.events.get(rid)

@@ -39,6 +39,18 @@ done = cb.run()
 for rid in (r1, r2, r3):
     print(f"request {rid}: {done[rid].tolist()}")
 
+# --- throughput mode: a deferred burst admits same-bucket prompts in
+# ONE multi-row prefill, and multi-step windows decode k tokens per
+# host round trip — outputs identical to the per-step path above
+cb2 = ContinuousBatcher(params, cfg, n_slots=4, eos_id=None,
+                        prefill_bucket="pow2")
+with cb2.defer_admission():
+    rids = [cb2.submit(np.arange(1, 4 + i, dtype=np.int32), max_new=8)
+            for i in range(6)]
+done2 = cb2.run(multi_step=8)
+print("burst of 6 over 4 slots:",
+      {r: done2[r].tolist()[:4] for r in rids[:2]}, "...")
+
 # --- tensor-parallel serving (works on any mesh; here CPU devices)
 if jax.device_count() >= 2:
     mesh = parallel.make_mesh([("dp", 1), ("tp", 2)],
