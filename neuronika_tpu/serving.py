@@ -1209,9 +1209,18 @@ class PagedBatcher(ContinuousBatcher):
         if progs is None:
             progs = self._many_progs = {}
         if k not in progs:
+            # "auto" resolves to the XLA gather path INSIDE multi-step
+            # windows: measured twice on v5e (BENCH_r04 serving.matrix,
+            # d768 B8 int8), the scanned decode_many runs 21-29% faster
+            # with kernel off (633 vs 765 tok/s) — the Pallas kernel's
+            # per-step fixed cost outweighs its one-HBM-pass win at
+            # window-amortised RTT, while the PER-STEP path keeps
+            # kernel on (+10% there, where each call pays the RTT
+            # anyway). Explicit "on"/"off" still force either tier.
+            kern = "off" if self.kernel == "auto" else self.kernel
             progs[k] = T.make_paged_decode_many(
                 self.cfg, self.block_size, k, self._quant,
-                kernel=self.kernel)
+                kernel=kern)
         return progs[k]
 
     def _grow_many(self, k: int) -> bool:
