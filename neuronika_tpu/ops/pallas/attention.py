@@ -407,6 +407,11 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
         raise ValueError("sliding window requires causal attention")
     bq = _block_size(S, block_q, "query sequence")
     bk = _block_size(Skv, block_k, "key/value sequence")
+    # same scoped-VMEM clamp as _bwd_call_qkv: the dkv pass's whole-S
+    # slabs + (bk, D) f32 accumulators overflow the 16M stack at
+    # S4096/hd128 with bk=512 (measured, tools/probe_s4096_vmem.py)
+    if Skv * D * q.dtype.itemsize > 2 ** 19:
+        bk = min(bk, 256)
     # delta = rowsum(dO * O), stored like lse
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (B, H, S, LSE_W))
@@ -858,6 +863,15 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
+    # Mosaic's scoped-VMEM stack (16M on this toolchain) fits the dkv
+    # pass's whole-S slabs plus its (bk, hd) f32 dk/dv accumulators only
+    # up to S·hd·itemsize = 512K (S2048/hd128 bf16) at bk=512. Measured
+    # r4 (tools/probe_s4096_vmem.py): S4096/hd128 overflows by ~0.26M —
+    # exactly what halving the two accumulators releases; bk=256
+    # compiles at every probed bq. Shrink the kv block for oversize
+    # sequences (bq is footprint-neutral here; tiling only, same math).
+    if S * hd * qkv.dtype.itemsize > 2 ** 19:
+        bk = min(bk, 256)
     # group-major chunk maps (see the packed-layout comment above)
     qc = lambda h: (h // G) * (G + 2) + h % G
     kc = lambda h: (h // G) * (G + 2) + G
