@@ -363,6 +363,11 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
         raise ValueError("sliding window requires causal attention")
     bq = _block_size(S, block_q, "query sequence")
     bk = _block_size(Skv, block_k, "key/value sequence")
+    if dropout > 0.0 and Skv * D * q.dtype.itemsize > 2 ** 19:
+        # the dropout keep-mask is seeded per (q-tile, k-tile) index, so
+        # fwd/dq/dkv must share block sizes; mirror the dkv pass's
+        # scoped-VMEM clamp (see _bwd_call) here when it will fire
+        bk = min(bk, 256)
     grid = (B, H, S // bq)
     row_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                             memory_space=pltpu.VMEM)
@@ -407,18 +412,24 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
         raise ValueError("sliding window requires causal attention")
     bq = _block_size(S, block_q, "query sequence")
     bk = _block_size(Skv, block_k, "key/value sequence")
-    # same scoped-VMEM clamp as _bwd_call_qkv: the dkv pass's whole-S
-    # slabs + (bk, D) f32 accumulators overflow the 16M stack at
-    # S4096/hd128 with bk=512 (measured, tools/probe_s4096_vmem.py)
-    if Skv * D * q.dtype.itemsize > 2 ** 19:
-        bk = min(bk, 256)
+    # scoped-VMEM clamp (same rationale as _bwd_call_qkv): the dkv
+    # pass's whole-S q/do/lse/delta blocks + (bk, D) f32 accumulators
+    # crowd the 16M stack at S4096/hd128 with bk=512 (measured,
+    # tools/probe_s4096_vmem.py). Only the dkv pass is clamped — the dq
+    # pass's footprint is bk-independent (bk just tiles its loop over
+    # whole-S k/v already resident in VMEM).
+    bk_kv = min(bk, 256) if Skv * D * q.dtype.itemsize > 2 ** 19 else bk
+    if dropout > 0.0:
+        # tile-seeded keep-masks: every pass must share block sizes
+        # (_fwd_call applies the same clamp), including the dq pass
+        bk = bk_kv
     # delta = rowsum(dO * O), stored like lse
     delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (B, H, S, LSE_W))
 
     row_q = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
-    row_k = pl.BlockSpec((1, 1, bk, D), lambda b, h, j: (b, h, j, 0),
+    row_k = pl.BlockSpec((1, 1, bk_kv, D), lambda b, h, j: (b, h, j, 0),
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -460,7 +471,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(B, H, Skv // bk),
+        grid=(B, H, Skv // bk_kv),
         in_specs=[full, row_k, row_k, full, vec_full, vec_full, seed_spec],
         out_specs=(row_k, row_k),
         compiler_params=pltpu.CompilerParams(
@@ -724,29 +735,32 @@ def _bwd_dq_kernel_qkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel_qkv(slab_ref, do_ref, o_ref, lse_ref,
-                        seed_ref, dk_ref, dv_ref, *, scale, block_q, causal,
+def _bwd_dkv_kernel_qkv(*refs, scale, block_q, causal,
                         dropout, group, interpret=False):
-    # grid (B, KV, kblocks); slab_ref is the kv-group's contiguous
-    # (1, S, (G+2)·hd) slice of the group-major packed qkv (q member m at
-    # lane offset m·hd, k at G·hd, v at (G+1)·hd); do/o refs carry the
+    # grid (B, KV, kblocks); inputs are per-member whole-S q refs
+    # (1, S, hd) — G separate lane slices of the group-major packed qkv —
+    # plus BLOCKED (1, bk, hd) k/v refs at the kj block (the old whole-S
+    # (1, S, (G+2)·hd) slab loaded S·2·hd of k/v rows per program just to
+    # read bk of them; with double buffering that overflowed the 16M
+    # scoped-VMEM stack at S4096/hd128 bk=512); do/o refs carry the
     # group's q-heads as (1, S, G*hd) slices of the dense head-major
-    # tensors; lse/delta (1, G, S, LSE_W); dk/dv out (1, bk, hd).
+    # tensors; lse (1, G, S, LSE_W); dk/dv out (1, bk, hd).
+    q_refs = refs[:group]
+    k_ref, v_ref, do_ref, o_ref, lse_ref, seed_ref, dk_ref, dv_ref = \
+        refs[group:]
     hd = dk_ref.shape[2]
     block_k = dk_ref.shape[1]
-    seq = slab_ref.shape[1]
+    seq = q_refs[0].shape[1]
     b, g, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    k = slab_ref[0, pl.ds(kj * block_k, block_k),
-                 group * hd:(group + 1) * hd]
-    v = slab_ref[0, pl.ds(kj * block_k, block_k),
-                 (group + 1) * hd:(group + 2) * hd]
+    k = k_ref[0]
+    v = v_ref[0]
+    dtype = k_ref.dtype
     inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
 
     def tile(i, carry, member, masked):
         dk, dv = carry
-        qb = slab_ref[0, pl.ds(i * block_q, block_q),
-                      member * hd:(member + 1) * hd]
+        qb = q_refs[member][0, pl.ds(i * block_q, block_q), :]
         dob = do_ref[0, pl.ds(i * block_q, block_q),
                      member * hd:(member + 1) * hd]
         ob = o_ref[0, pl.ds(i * block_q, block_q),
@@ -772,9 +786,9 @@ def _bwd_dkv_kernel_qkv(slab_ref, do_ref, o_ref, lse_ref,
             dp = jnp.where(keep, dp * inv_keep, 0.0)
         else:
             pv = p
-        dv = dv + _dot_bf16(pv.astype(slab_ref.dtype).T, dob)
+        dv = dv + _dot_bf16(pv.astype(dtype).T, dob)
         ds = p * (dp - delta) * scale
-        dk = dk + _dot_bf16(ds.astype(slab_ref.dtype).T, qb)
+        dk = dk + _dot_bf16(ds.astype(dtype).T, qb)
         return dk, dv
 
     zeros = (
@@ -816,6 +830,12 @@ def _fwd_call_qkv(qkv, n_head, n_kv_head, scale, causal, block_q, block_k,
     B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
+    if dropout > 0.0 and \
+            2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) > 13e6:
+        # tile-seeded keep-masks require fwd/dq/dkv to share block sizes;
+        # mirror the dkv pass's scoped-VMEM clamp (_bwd_call_qkv) when it
+        # will fire
+        bk = min(bk, 256)
     grid = (B, H, S // bq)
     # group-major layout: q-head h lives in group g = h//G at member slot
     # h%G; its k/v chunks close the group (see the layout comment above)
@@ -863,15 +883,20 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
-    # Mosaic's scoped-VMEM stack (16M on this toolchain) fits the dkv
-    # pass's whole-S slabs plus its (bk, hd) f32 dk/dv accumulators only
-    # up to S·hd·itemsize = 512K (S2048/hd128 bf16) at bk=512. Measured
-    # r4 (tools/probe_s4096_vmem.py): S4096/hd128 overflows by ~0.26M —
-    # exactly what halving the two accumulators releases; bk=256
-    # compiles at every probed bq. Shrink the kv block for oversize
-    # sequences (bq is footprint-neutral here; tiling only, same math).
-    if S * hd * qkv.dtype.itemsize > 2 ** 19:
-        bk = min(bk, 256)
+    # The dq pass's footprint is bk-independent (bk only tiles its inner
+    # loop over whole-S k/v already in VMEM), so it always keeps the
+    # caller's bk. The dkv pass holds whole-S q/do/o/lse blocks whose
+    # doubled-buffered total nears Mosaic's 16M scoped-VMEM stack at long
+    # S (measured r4, tools/probe_s4096_vmem.py); shrink ITS kv block
+    # when the estimate crowds the stack (the (bk, hd) f32 accumulators
+    # are the only bk-scaled term left after the slab->blocked-k/v
+    # restructure below — S4096/hd128 now fits at bk=512).
+    est = 2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4)
+    bk_kv = min(bk, 256) if est > 13e6 else bk
+    if dropout > 0.0:
+        # tile-seeded keep-masks: every pass must share block sizes
+        # (_fwd_call_qkv applies the same clamp), including the dq pass
+        bk = bk_kv
     # group-major chunk maps (see the packed-layout comment above)
     qc = lambda h: (h // G) * (G + 2) + h % G
     kc = lambda h: (h // G) * (G + 2) + G
@@ -912,17 +937,28 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
         interpret=interpret,
     )(qkv, qkv, qkv, do, out, lse, seed_a)
 
-    # dk/dv: grid over kv heads; each program reads its group's contiguous
-    # (1, S, (G+2)·hd) slab of the packed qkv (q members, k and v all live
-    # there in the group-major layout) and the group's (1, S, G·hd) slice
-    # of the dense head-major do/o
-    slab_spec = pl.BlockSpec((1, S, (G + 2) * hd), lambda b, g, j: (b, 0, g),
-                             memory_space=pltpu.VMEM)
+    # dk/dv: grid over kv heads; each program reads its group's q members
+    # as G whole-S (1, S, hd) lane slices of the packed qkv, this kj's
+    # (1, bk, hd) k/v blocks (blocked — the old whole-S slab overflowed
+    # scoped VMEM at long S), and the group's (1, S, G·hd) slice of the
+    # dense head-major do/o
+    qm_specs = [
+        pl.BlockSpec((1, S, hd),
+                     lambda b, g, j, m=m: (b, 0, g * (G + 2) + m),
+                     memory_space=pltpu.VMEM)
+        for m in range(G)
+    ]
+    kb_spec = pl.BlockSpec((1, bk_kv, hd),
+                           lambda b, g, j: (b, j, g * (G + 2) + G),
+                           memory_space=pltpu.VMEM)
+    vb_spec = pl.BlockSpec((1, bk_kv, hd),
+                           lambda b, g, j: (b, j, g * (G + 2) + G + 1),
+                           memory_space=pltpu.VMEM)
     qg_spec = pl.BlockSpec((1, S, G * hd), lambda b, g, j: (b, 0, g),
                            memory_space=pltpu.VMEM)
     vg_spec = pl.BlockSpec((1, G, S, LSE_W), lambda b, g, j: (b, g, 0, 0),
                            memory_space=pltpu.VMEM)
-    dkv_out = pl.BlockSpec((1, bk, hd), lambda b, g, j: (b, j, g),
+    dkv_out = pl.BlockSpec((1, bk_kv, hd), lambda b, g, j: (b, j, g),
                            memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_qkv, scale=scale, block_q=bq,
@@ -932,8 +968,9 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
             jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
         ),
-        grid=(B, KV, S // bk),
-        in_specs=[slab_spec, qg_spec, qg_spec, vg_spec, seed_spec],
+        grid=(B, KV, S // bk_kv),
+        in_specs=[*qm_specs, kb_spec, vb_spec, qg_spec, qg_spec, vg_spec,
+                  seed_spec],
         out_specs=(dkv_out, dkv_out),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -944,7 +981,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
             transcendentals=B * H * S * S // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(qkv, do, out, lse, seed_a)
+    )(*([qkv] * (G + 2)), do, out, lse, seed_a)
 
     # repack head-major dq + per-group dk/dv into the group-major layout
     d_qkv = jnp.concatenate(
