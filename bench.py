@@ -19,7 +19,12 @@ Config fallbacks: if the preferred configuration fails (backend
 FailedPrecondition / OOM through the tunnel), progressively smaller or
 flash-off configs are tried so a JSON line is always produced.
 
-Prints exactly ONE JSON line.
+Output protocol (VERDICT r4 #1 — BENCH_r04's single giant line outgrew
+the driver's 2000-char capture tail and the flagship headline was never
+machine-recorded): the FULL detail dict is printed on its own earlier
+stdout line, and the LAST line is a compact headline JSON (metric /
+value / unit / vs_baseline + a small summary detail) hard-capped well
+under the capture window, so `parsed.vs_baseline` always exists.
 """
 
 from __future__ import annotations
@@ -863,33 +868,81 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             traceback.print_exc()
 
-    print(
-        json.dumps(
-            {
-                "metric": "gpt_flagship_train_tokens_per_sec",
-                "value": round(tok_per_sec, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(mfu / 0.80, 4),
-                "detail": {
-                    "mfu": round(mfu, 4),
-                    "mfu_samples": mfu_samples,
-                    "mfu_spread": round(mfu_samples[-1] - mfu_samples[0], 4),
-                    "step_ms": round(dt * 1e3, 2),
-                    "rtt_ms": round(rtt * 1e3, 2),
-                    "quickstart_mlp_steps_per_sec": mlp_sps,
-                    "kernel_rooflines": rooflines or None,
-                    "serving": serving,
-                    "mini_d768_r1_metric": mini,
-                    "var_api_gpt": var_api,
-                    "loss": lv,
-                    "device": str(jax.devices()[0]),
-                    "config": label,
-                    "native_tier": native_ok,
-                    "fallbacks": errors or None,
-                },
-            }
-        )
-    )
+    detail = {
+        "mfu": round(mfu, 4),
+        "mfu_samples": mfu_samples,
+        "mfu_spread": round(mfu_samples[-1] - mfu_samples[0], 4),
+        "step_ms": round(dt * 1e3, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
+        "quickstart_mlp_steps_per_sec": mlp_sps,
+        "kernel_rooflines": rooflines or None,
+        "serving": serving,
+        "mini_d768_r1_metric": mini,
+        "var_api_gpt": var_api,
+        "loss": lv,
+        "device": str(jax.devices()[0]),
+        "config": label,
+        "native_tier": native_ok,
+        "fallbacks": errors or None,
+    }
+    headline = {
+        "metric": "gpt_flagship_train_tokens_per_sec",
+        "value": round(tok_per_sec, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(mfu / 0.80, 4),
+        "detail": _compact_summary(detail),
+    }
+    # line 1: the bulky full detail (PERF.md's ground truth); LAST line:
+    # the compact headline the driver parses — hard-capped to fit a
+    # 2000-char capture tail no matter what the sub-benches returned
+    print(json.dumps({"full_detail": detail}))
+    line = json.dumps(headline)
+    if len(line) > 1800:  # belt and braces: drop summary keys until it fits
+        for k in list(headline["detail"]):
+            if k in ("mfu", "config"):
+                continue
+            del headline["detail"][k]
+            line = json.dumps(headline)
+            if len(line) <= 1800:
+                break
+    print(line)
+
+
+def _compact_summary(detail: dict) -> dict:
+    """The one-line headline summary: every round-defining number, no
+    nested matrices (those live in the full_detail line above)."""
+    out = {
+        "mfu": detail["mfu"],
+        "mfu_spread": detail["mfu_spread"],
+        "step_ms": detail["step_ms"],
+        "config": detail["config"],
+        "device": detail["device"],
+        "native_tier": detail["native_tier"],
+        "quickstart_mlp_steps_per_sec":
+            detail["quickstart_mlp_steps_per_sec"],
+    }
+    rf = detail.get("kernel_rooflines") or {}
+    for k in ("matmul_mfu", "flash_qkv_fwdbwd_mfu",
+              "flash_qkv_s4096_fwdbwd_mfu", "conv2d_fwdbwd_mfu"):
+        if k in rf:
+            out[k] = rf[k]
+    var = detail.get("var_api_gpt") or {}
+    if "mfu" in var:
+        out["var_api_mfu"] = var["mfu"]
+        out["var_api_ratio_vs_functional"] = var.get("ratio_vs_functional")
+    flag = var.get("flagship") or {}
+    if "mfu" in flag:
+        out["var_flagship_mfu"] = flag["mfu"]
+        out["var_flagship_ratio"] = flag.get("ratio_vs_functional")
+    sv = detail.get("serving") or {}
+    cap = sv.get("capacity") or {}
+    if cap:
+        out["paged_capacity_tok_s"] = cap.get("paged_tok_s")
+        out["dense_capacity_tok_s"] = cap.get("dense_tok_s")
+    spec = sv.get("speculative") or {}
+    if spec:
+        out["spec_decode_speedup"] = spec.get("speedup")
+    return out
 
 
 if __name__ == "__main__":
