@@ -347,6 +347,23 @@ def _block_size(seq: int, block: int, what: str) -> int:
     return b
 
 
+def _shrink_block(bk: int, seq: int, cap: int = 256) -> int:
+    """Shrink a validated block size (bk | seq) to at most `cap` while
+    KEEPING divisibility — `min(bk, 256)` alone can return a non-divisor
+    for non-power-of-two callers (e.g. bk=384, Skv=1152 -> 256∤1152: the
+    dkv grid would under-cover the kv rows and silently drop the last
+    partial block's gradients). Halving an even divisor of `seq` is
+    always a divisor; odd leftovers fall back to the largest divisor
+    <= cap."""
+    while bk > cap and bk % 2 == 0:
+        bk //= 2
+    if bk > cap:
+        for d in range(min(cap, seq), 0, -1):
+            if seq % d == 0:
+                return d
+    return bk
+
+
 def _seed_arr(seed):
     if seed is None:
         return jnp.zeros((1,), jnp.int32)
@@ -367,7 +384,7 @@ def _fwd_call(q, k, v, scale, causal, block_q, block_k, interpret,
         # the dropout keep-mask is seeded per (q-tile, k-tile) index, so
         # fwd/dq/dkv must share block sizes; mirror the dkv pass's
         # scoped-VMEM clamp (see _bwd_call) here when it will fire
-        bk = min(bk, 256)
+        bk = _shrink_block(bk, Skv)
     grid = (B, H, S // bq)
     row_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
                             memory_space=pltpu.VMEM)
@@ -418,7 +435,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, causal, block_q, block_k,
     # tools/probe_s4096_vmem.py). Only the dkv pass is clamped — the dq
     # pass's footprint is bk-independent (bk just tiles its loop over
     # whole-S k/v already resident in VMEM).
-    bk_kv = min(bk, 256) if Skv * D * q.dtype.itemsize > 2 ** 19 else bk
+    bk_kv = _shrink_block(bk, Skv) if Skv * D * q.dtype.itemsize > 2 ** 19 else bk
     if dropout > 0.0:
         # tile-seeded keep-masks: every pass must share block sizes
         # (_fwd_call applies the same clamp), including the dq pass
@@ -835,7 +852,7 @@ def _fwd_call_qkv(qkv, n_head, n_kv_head, scale, causal, block_q, block_k,
         # tile-seeded keep-masks require fwd/dq/dkv to share block sizes;
         # mirror the dkv pass's scoped-VMEM clamp (_bwd_call_qkv) when it
         # will fire
-        bk = min(bk, 256)
+        bk = _shrink_block(bk, S)
     grid = (B, H, S // bq)
     # group-major layout: q-head h lives in group g = h//G at member slot
     # h%G; its k/v chunks close the group (see the layout comment above)
@@ -892,7 +909,7 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     # are the only bk-scaled term left after the slab->blocked-k/v
     # restructure below — S4096/hd128 now fits at bk=512).
     est = 2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4)
-    bk_kv = min(bk, 256) if est > 13e6 else bk
+    bk_kv = _shrink_block(bk, S) if est > 13e6 else bk
     if dropout > 0.0:
         # tile-seeded keep-masks: every pass must share block sizes
         # (_fwd_call_qkv applies the same clamp), including the dq pass
@@ -1042,6 +1059,15 @@ def _flashqkv_bwd(n_head, n_kv_head, causal, scale, block_q, block_k,
         G = n_head // (n_kv_head or n_head)
         est = S * hd * (qkv.dtype.itemsize * (8 * G + 8) + 8)
         if est > 12e6:
+            fused_bwd = False
+        elif dropout > 0.0 and \
+                2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) \
+                > 13e6:
+            # tile-seeded keep-masks: _fwd_call_qkv clamped its bk under
+            # this exact condition, but the fused backward never clamps —
+            # its keep-mask tiling would disagree with the forward's and
+            # silently corrupt dropout gradients. Use the split backward,
+            # whose dkv/dq passes mirror the fwd clamp.
             fused_bwd = False
     bwd = _bwd_call_qkv_fused if fused_bwd else _bwd_call_qkv
     d_qkv = bwd(qkv, n_head, n_kv_head, out, lse, do, s, causal,

@@ -903,6 +903,11 @@ class PagedBatcher(ContinuousBatcher):
         self.n_blocks = n_blocks
         # the fused block-table kernel is a single-chip Pallas program;
         # tp-sharded serving partitions the XLA gather path instead
+        if mesh is not None and kernel == "on":
+            raise ValueError(
+                "kernel='on' cannot run over a tp-sharded KV pool; use "
+                "kernel='auto' (routes to the XLA gather path on a mesh) "
+                "or drop mesh=")
         self.kernel = "off" if (mesh is not None and kernel == "auto") \
             else kernel
         self._mb = -(-cfg.max_seq // block_size)     # table width
@@ -1244,6 +1249,17 @@ class PagedBatcher(ContinuousBatcher):
                     self._table[slot, shared + len(blocks)] = b
                     blocks.append(b)
                     continue
+                # before evicting anyone: is this slot's window satisfiable
+                # at all?  Preempting every peer reclaims their held
+                # blocks; if even that cannot host the window, bail NOW so
+                # an oversized window doesn't evict peers and then abandon
+                # the reservation anyway (per-step _grow would not have
+                # evicted them).
+                remaining = need + 1 - (shared + len(blocks))
+                reclaimable = sum(len(self._slot_blocks[s])
+                                  for s in self._running if s != slot)
+                if reclaimable < remaining:
+                    return False     # shrink the window instead
                 victim = max(
                     (s for s in self._running if s != slot),
                     key=lambda s: self._running[s]._seq, default=None)
