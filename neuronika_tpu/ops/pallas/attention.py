@@ -1049,27 +1049,34 @@ def _flashqkv_bwd(n_head, n_kv_head, causal, scale, block_q, block_k,
     qkv, out, lse, seed = res
     _, S, _, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     s = 1.0 / math.sqrt(hd) if scale is None else scale
+    bwd = _bwd_call_qkv
     if fused_bwd:
-        # The fused kernel holds whole-S slabs (qkv in+out, o, do) plus
-        # two f32 (S, hd) scratches per program; with double buffering
-        # the footprint grows linearly in S and blows the 16M scoped-
-        # VMEM stack at S4096/hd128 (measured r4: Mosaic compile
-        # failure; S2048 fits). Route oversize shapes to the split
-        # kernels — same math, dq and dkv in separate passes.
+        # The slab-fused kernel holds whole-S slabs (qkv in+out, o, do)
+        # plus two f32 (S, hd) scratches per program; with double
+        # buffering the footprint grows linearly in S and blows the 16M
+        # scoped-VMEM stack at S4096/hd128 (measured r4: Mosaic compile
+        # failure; S2048 fits). Oversize shapes — and dropout shapes
+        # whose forward fired the keep-mask block clamp — route to the
+        # i-BLOCKED fused kernel (same 5-pass math, q-tile loop promoted
+        # to the grid, dk/dv in scratch; it mirrors the fwd's clamp) —
+        # r4 routed these to the 7-pass split pair, which capped S4096
+        # f+b at ~7/9 of the fused number (measured 0.4433 vs 0.5652).
         G = n_head // (n_kv_head or n_head)
         est = S * hd * (qkv.dtype.itemsize * (8 * G + 8) + 8)
+        clamp_fired = dropout > 0.0 and \
+            2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) \
+            > 13e6
         if est > 12e6:
-            fused_bwd = False
-        elif dropout > 0.0 and \
-                2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) \
-                > 13e6:
-            # tile-seeded keep-masks: _fwd_call_qkv clamped its bk under
-            # this exact condition, but the fused backward never clamps —
-            # its keep-mask tiling would disagree with the forward's and
-            # silently corrupt dropout gradients. Use the split backward,
-            # whose dkv/dq passes mirror the fwd clamp.
-            fused_bwd = False
-    bwd = _bwd_call_qkv_fused if fused_bwd else _bwd_call_qkv
+            # dropout pins the blocked kernel to the forward's (bq, bk),
+            # which does not compile at the shapes that land here (the
+            # bq x bk tile intermediates overflow scoped VMEM) — the
+            # split pair stays the dropout long-S path
+            bwd = (_bwd_call_qkv if dropout > 0.0
+                   else _bwd_call_qkv_fused_blocked)
+        elif clamp_fired:
+            bwd = _bwd_call_qkv_fused_blocked
+        else:
+            bwd = _bwd_call_qkv_fused
     d_qkv = bwd(qkv, n_head, n_kv_head, out, lse, do, s, causal,
                 block_q, block_k, interpret, dropout, seed)
     dseed = None if seed is None else jnp.zeros_like(seed)
@@ -1173,6 +1180,177 @@ def _bwd_fused_kernel_qkv(slab_ref, do_ref, o_ref, lse_ref,
         dqkv_ref.dtype)
     dqkv_ref[0, :, (group + 1) * hd:(group + 2) * hd] = dv_scr[...].astype(
         dqkv_ref.dtype)
+
+
+def _bwd_fused_kernel_qkv_blocked(*refs, scale, block_k, causal,
+                                  dropout, group, interpret=False):
+    # The long-S variant of `_bwd_fused_kernel_qkv` (same 5-MXU-pass
+    # math): grid (B, KV, n_q) with the q-tile loop PROMOTED to the
+    # sequential grid axis, so q/do/o/lse arrive as (1, bq, ·) blocks
+    # instead of whole-S slabs — only k/v stay whole-S (index-invariant
+    # in i: fetched once per (b, g)). dk/dv accumulate in f32 VMEM
+    # scratch across the i steps and are written at the last i. This
+    # cuts the whole-S footprint from ~S·hd·(16G+16+8) bytes to
+    # ~S·hd·(4+8+8)+O(bq) — S4096/hd128/G1 fits the 16M scoped-VMEM
+    # stack where the slab kernel needs 21M, so the 5-pass fused
+    # backward replaces the 7-pass split pair at long S.
+    q_refs = refs[:group]
+    (k_ref, v_ref, do_ref, o_ref, lse_ref, seed_ref,
+     dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs[group:]
+    hd = dk_ref.shape[2]
+    S = k_ref.shape[1]
+    block_q = q_refs[0].shape[1]
+    b, g, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_q = pl.num_programs(2)
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+
+    @pl.when(i == 0)
+    def _zero():
+        dk_scr[...] = jnp.zeros((S, hd), jnp.float32)
+        dv_scr[...] = jnp.zeros((S, hd), jnp.float32)
+
+    for member in range(group):  # static unroll over the kv-group
+        h = g * group + member
+        qb = q_refs[member][0]
+        dob = do_ref[0, :, member * hd:(member + 1) * hd]
+        ob = o_ref[0, :, member * hd:(member + 1) * hd]
+        lse = lse_ref[0, member, :, :1]
+        delta = (dob.astype(jnp.float32)
+                 * ob.astype(jnp.float32)).sum(-1, keepdims=True)
+
+        def ktile(j, dq, masked, qb=qb, dob=dob, lse=lse, delta=delta,
+                  h=h):
+            kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+            vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+            s = _dot_bf16(qb, kb.T) * (scale * LOG2E)
+            if masked:
+                rows = i * block_q + lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                cols = j * block_k + lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                s = jnp.where(rows >= cols, s, NEG_INF)
+            p = jnp.exp2(s - lse)
+            dp = _dot_bf16(dob, vb.T)
+            if dropout > 0.0:
+                keep = _tile_keep_mask(seed_ref, b, h, i, j,
+                                       (block_q, block_k), dropout,
+                                       interpret)
+                pv = jnp.where(keep, p * inv_keep, 0.0)
+                dp = jnp.where(keep, dp * inv_keep, 0.0)
+            else:
+                pv = p
+            ds = p * (dp - delta) * scale
+            dsb = ds.astype(k_ref.dtype)
+            sl = pl.ds(j * block_k, block_k)
+            dv_scr[sl, :] += _dot_bf16(pv.astype(k_ref.dtype).T, dob)
+            dk_scr[sl, :] += _dot_bf16(dsb.T, qb)
+            return dq + _dot_bf16(dsb, kb)
+
+        dq0 = jnp.zeros((block_q, hd), jnp.float32)
+        if causal:
+            n_full = (i * block_q) // block_k
+            n_edge = ((i + 1) * block_q + block_k - 1) // block_k
+            dq = lax.fori_loop(
+                0, n_full, lambda j, d: ktile(j, d, False), dq0)
+            dq = lax.fori_loop(
+                n_full, n_edge, lambda j, d: ktile(j, d, True), dq)
+        else:
+            dq = lax.fori_loop(
+                0, S // block_k, lambda j, d: ktile(j, d, False), dq0)
+        dq_ref[0, :, member * hd:(member + 1) * hd] = dq.astype(
+            dq_ref.dtype)
+
+    @pl.when(i == n_q - 1)
+    def _flush():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_call_qkv_fused_blocked(qkv, n_head, n_kv_head, out, lse, do,
+                                scale, causal, block_q, block_k,
+                                interpret, dropout=0.0, seed=None):
+    """Long-S fused backward: one 5-pass kernel over grid (B, KV, n_q),
+    then the split path's repack (dq head-major + per-group dk/dv ->
+    group-major packed d_qkv)."""
+    B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
+    H, G = n_head, n_head // (n_kv_head or n_head)
+    bq, bk = _block_sizes(S, block_q, block_k)
+    if dropout > 0.0:
+        # tile-seeded keep-masks must match the forward's block sizes:
+        # mirror _fwd_call_qkv's scoped-VMEM clamp under its EXACT
+        # condition (clamping when the fwd didn't — or vice versa —
+        # silently corrupts dropout gradients)
+        if 2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) \
+                > 13e6:
+            bk = _shrink_block(bk, S)
+    else:
+        # no keep-mask coupling -> free block choice. Measured S4096
+        # hd128 sweep (r5, tools/probe_s4096_bq.py + pairs): bq > 256
+        # overflows the 16M scoped-VMEM stack (the bq x bk f32 tile
+        # intermediates — (512, 512) fails to compile), bq < 256
+        # starves the MXU (0.43-0.46); bk = 1024 is the knee
+        # (0.5731 vs 0.5418 at bk=512, FAIL at 2048).
+        bq = _shrink_block(bq, S)
+        bk = _shrink_block(S, S, cap=1024)
+
+    qm_specs = [
+        pl.BlockSpec((1, bq, hd),
+                     lambda b, g, i, m=m: (b, i, g * (G + 2) + m),
+                     memory_space=pltpu.VMEM)
+        for m in range(G)
+    ]
+    k_spec = pl.BlockSpec((1, S, hd),
+                          lambda b, g, i: (b, 0, g * (G + 2) + G),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, S, hd),
+                          lambda b, g, i: (b, 0, g * (G + 2) + G + 1),
+                          memory_space=pltpu.VMEM)
+    qg_spec = pl.BlockSpec((1, bq, G * hd), lambda b, g, i: (b, i, g),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, G, bq, LSE_W),
+                            lambda b, g, i: (b, g, i, 0),
+                            memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dq_spec = pl.BlockSpec((1, bq, G * hd), lambda b, g, i: (b, i, g),
+                           memory_space=pltpu.VMEM)
+    dkv_spec = pl.BlockSpec((1, S, hd), lambda b, g, i: (b, 0, g),
+                            memory_space=pltpu.VMEM)
+
+    flops_bwd = 7 * B * H * S * S * hd // (2 if causal else 1)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel_qkv_blocked, scale=scale,
+                          block_k=bk, causal=causal, dropout=dropout,
+                          group=G, interpret=interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, H * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, KV * hd), qkv.dtype),
+        ),
+        grid=(B, KV, S // bq),
+        in_specs=[*qm_specs, k_spec, v_spec, qg_spec, qg_spec, lse_spec,
+                  seed_spec],
+        out_specs=(dq_spec, dkv_spec, dkv_spec),
+        scratch_shapes=[
+            pltpu.VMEM((S, hd), jnp.float32),
+            pltpu.VMEM((S, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * flops_bwd // 7,
+            bytes_accessed=4 * B * S * W * qkv.dtype.itemsize,
+            transcendentals=B * H * S * S // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(*([qkv] * (G + 2)), do, out, lse, _seed_arr(seed))
+
+    d_qkv = jnp.concatenate(
+        [dq.reshape(B, S, KV, G, hd),
+         dk.reshape(B, S, KV, 1, hd),
+         dv.reshape(B, S, KV, 1, hd)], axis=3,
+    ).reshape(B, S, W)
+    return d_qkv
 
 
 def _bwd_call_qkv_fused(qkv, n_head, n_kv_head, out, lse, do, scale, causal,

@@ -754,3 +754,28 @@ class TestConvRouting:
             enable_pallas(False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("kv,drop,causal", [(4, 0.0, True), (2, 0.0, True),
+                                            (2, 0.3, True), (1, 0.0, True),
+                                            (4, 0.0, False)])
+def test_flash_qkv_blocked_fused_bwd_matches_split(kv, drop, causal):
+    """The i-BLOCKED fused backward (grid (B, KV, n_q), q/do/o as q-tile
+    blocks, dk/dv in scratch across the sequential axis — the long-S
+    route where the whole-S slab kernel overflows scoped VMEM) matches
+    the split dq/dkv passes, incl. GQA and dropout."""
+    from neuronika_tpu.ops.pallas import attention as A
+
+    H, hd, B, S = 4, 64, 2, 256
+    qkv = jax.random.normal(jax.random.key(0), (B, S, (H + 2 * kv) * hd))
+    seed = jnp.float32(9.0) if drop else None
+    sc = 1.0 / hd ** 0.5
+    out, lse = A._fwd_call_qkv(qkv, H, kv, sc, causal, 128, 128, True,
+                               drop, seed)
+    do = jax.random.normal(jax.random.key(1), out.shape)
+    g_split = A._bwd_call_qkv(qkv, H, kv, out, lse, do, sc, causal,
+                              128, 128, True, drop, seed)
+    g_blk = A._bwd_call_qkv_fused_blocked(qkv, H, kv, out, lse, do, sc,
+                                          causal, 128, 128, True, drop,
+                                          seed)
+    assert_close(g_blk, g_split, tol=1e-6)

@@ -22,20 +22,21 @@ import jax.numpy as jnp
 
 from bench import _measure_rtt
 from neuronika_tpu.models.transformer import (
-    GPTConfig, init_gpt, init_paged_cache, make_paged_decode_many,
+    GPTConfig, init_params, init_paged_cache, make_paged_decode_many,
 )
 
 rtt = _measure_rtt()
 cfg = GPTConfig(n_layer=8, d_model=768, n_head=6, max_seq=8192,
                 vocab_size=16384)
-params = init_gpt(jax.random.key(0), cfg)
+params = init_params(jax.random.key(0), cfg)
 B, BS, K = 8, 64, 8
 
-for cap_tokens in [256, 1024, 4096]:
+for cap_tokens in [256, 1024, 4096, 8192]:
     MB = cap_tokens // BS
     NB = 1 + B * MB  # scratch block 0 + dense tables
     row = []
     for kern in ("on", "off"):
+        print(f"compiling cap={cap_tokens} kernel={kern} ...", flush=True)
         many = make_paged_decode_many(cfg, BS, K, quant="int8",
                                       kernel=kern)
         cache = init_paged_cache(cfg, NB, BS, B)
@@ -46,7 +47,11 @@ for cap_tokens in [256, 1024, 4096]:
         active = jnp.ones((B,), bool)
         seeds = jnp.zeros((B,), jnp.uint32)
         args = lambda c: (params, c, tokens, active, table, seeds,
-                          jnp.int32(0), 0.0, 0, 0.0, 0.0)
+                          jnp.zeros((B,), jnp.int32),       # steps0
+                          jnp.zeros((B,), jnp.float32),     # temperature
+                          jnp.zeros((B,), jnp.int32),       # top_k
+                          jnp.zeros((B,), jnp.float32),     # top_p
+                          jnp.zeros((B,), jnp.float32))     # min_p
         toks, cache = many(*args(cache))       # compile + warm
         cache["pos"] = jnp.full((B,), cap_tokens - K - 2, jnp.int32)
         toks, cache = many(*args(cache))
