@@ -582,7 +582,8 @@ def _conv_fwd(e, kernel, inp):
         # interpret mode the kernels always run (CPU test meshes exercise
         # kernel code, not perf)
         if not interp and route_conv2d(len(stride), stride, dilation,
-                                       groups) != "pallas":
+                                       groups,
+                                       batch=inp.shape[0]) != "pallas":
             return _conv_fwd_lax(e, kernel, inp)
         # grouped convs route to the kernel when the per-group channel
         # slices are lane-aligned (or in interpret mode, where Mosaic's

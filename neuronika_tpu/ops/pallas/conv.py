@@ -224,27 +224,55 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
 #   64·56²·256→512 k1                  0.47 / ~0.85   0.28 / 0.85
 #   (* r3 artifact; the r4 re-run hit the dw VMEM guard, since fixed)
 #
-# XLA's conv emitter wins EVERY measured configuration — it reaches
-# implicit-GEMM tilings the tap-matmul scheme cannot (each tap here is a
-# (bh·W, Ci)×(Ci, co) dot that re-reads the window kh·kw times from VMEM,
-# and strided shapes quarter the tile sizes via phase decomposition).
-ROUTE_SWEEP = "tools/sweep_r4_conv.py"
+# At B=64, XLA's conv emitter wins EVERY measured configuration — it
+# reaches implicit-GEMM tilings the tap-matmul scheme cannot (each tap
+# here is a (bh·W, Ci)×(Ci, co) dot that re-reads the window kh·kw times
+# from VMEM, and strided shapes quarter the tile sizes via phase
+# decomposition).
+#
+# SMALL BATCH is the direct kernel's regime (r5 probe, stride-1 k3 fwd,
+# same two-length chain timing — XLA's emitter tile-quantizes on the
+# thin batch while the tap matmul flattens (B·bh·W, Ci) rows):
+#
+#   shape (NHWC fwd)                   pallas         xla
+#   4·28²·512→512                      0.8093         0.6884
+#   2·28²·512→512                      0.7637         0.6237
+#   1·28²·512→512                      0.7120         0.5819
+#   4·56²·256→256                      0.7956         0.6841
+#   2·56²·256→256                      0.7866         0.7189
+#   4·112²·64→64                       0.1815         0.1366
+#   8·28²·512→512                      0.8039         0.9769   <- xla
+#
+# The crossover sits between B=4 (pallas +18%) and B=8 (xla +21%).
+# Gradients keep XLA either way: the framework's conv VJP transposes the
+# lax conv (ops/functional.py::_conv_vjp), so a pallas forward composes
+# with the XLA backward — mixed fwd+bwd at B4 computes ~0.78 effective
+# vs 0.74 pure-XLA; differentiating THROUGH the direct kernel (the
+# composition backward below) measured 0.52 and stays off the route.
+ROUTE_SWEEP = "tools/sweep_r4_conv.py + r5 small-batch probe"
 
 
 def route_conv2d(nd: int, stride, dilation, groups: int,
-                 training: bool = True) -> str:
+                 training: bool = True, batch: int = 0) -> str:
     """Per-shape tier choice for the direct conv kernels: "pallas" or
     "xla" (VERDICT r3 #2c: `config.use_pallas=True` must NEVER pessimise).
 
-    The r4 measurement (table above) has the XLA conv ahead at every
-    ResNet-family shape, both directions, so "auto" currently selects XLA
-    for ALL convolutions; the per-argument signature keeps the seam so a
-    future kernel win routes in without touching call sites. Force the
-    direct kernels with `config.pallas_conv_route = "force"` (tests, and
-    the measurement sweep itself, do)."""
-    from ...config import config  # this file sits in ops/pallas/
+    The measured tables above pick the tier: the direct NHWC tap-matmul
+    kernel wins stride-1 unit-dilation ungrouped 2-d forwards at
+    batch <= 4 (every probed shape, +10-22%); XLA wins everything else —
+    large batch, strided/dilated/grouped shapes, conv1d/3d, and all
+    backwards. Force the direct kernels with
+    `config.pallas_conv_route = "force"` (tests, and the measurement
+    sweeps themselves, do)."""
+    from ...config import config, on_tpu  # this file sits in ops/pallas/
 
     if config.pallas_conv_route == "force":
+        return "pallas"
+    if (nd == 2 and 0 < batch <= 4 and groups == 1
+            and tuple(stride) == (1, 1) and tuple(dilation) == (1, 1)
+            and on_tpu()):
+        # the small-batch win is a TPU measurement (and compiled Pallas
+        # needs the TPU backend anyway — CPU runs stay on XLA)
         return "pallas"
     return "xla"
 

@@ -716,10 +716,35 @@ class TestConvRouting:
     def test_auto_routes_conv_to_xla(self):
         from neuronika_tpu.ops.pallas.conv import route_conv2d
 
-        # every measured configuration routes to XLA today (r4 sweep)
+        # large-batch / strided / 1d / 3d configurations route to XLA
+        # (r4 sweep); batch defaults to 0 = unknown -> XLA
         for nd, s, d in ((2, (1, 1), (1, 1)), (2, (2, 2), (1, 1)),
                          ((1), (1,), (1,)), (3, (1, 1, 1), (1, 1, 1))):
             assert route_conv2d(nd, s, d, 1) == "xla"
+        assert route_conv2d(2, (1, 1), (1, 1), 1, batch=64) == "xla"
+        assert route_conv2d(2, (1, 1), (1, 1), 1, batch=8) == "xla"
+
+    def test_auto_routes_small_batch_s1_to_pallas(self, monkeypatch):
+        """r5 probe: the direct NHWC kernel beats XLA's emitter at every
+        stride-1 k3 forward with batch <= 4 (+10-22%); the route sends
+        exactly that regime to pallas (on TPU — CPU stays on XLA)."""
+        import sys
+
+        from neuronika_tpu.ops.pallas.conv import route_conv2d
+
+        # the package re-exports `config` (the object) under the same
+        # name, shadowing the module attr — fetch the module itself
+        C = sys.modules["neuronika_tpu.config"]
+        monkeypatch.setattr(C, "on_tpu", lambda: True)
+        for b in (1, 2, 4):
+            assert route_conv2d(2, (1, 1), (1, 1), 1, batch=b) == "pallas"
+        # strided / dilated / grouped small-batch still XLA
+        assert route_conv2d(2, (2, 2), (1, 1), 1, batch=4) == "xla"
+        assert route_conv2d(2, (1, 1), (2, 2), 1, batch=4) == "xla"
+        assert route_conv2d(2, (1, 1), (1, 1), 4, batch=4) == "xla"
+        # off-TPU the same shape keeps XLA
+        monkeypatch.setattr(C, "on_tpu", lambda: False)
+        assert route_conv2d(2, (1, 1), (1, 1), 1, batch=4) == "xla"
 
     def test_force_selects_pallas(self):
         from neuronika_tpu.config import config
