@@ -202,6 +202,15 @@ def _bench_var_api_gpt(peak: float, steps: int = 8) -> dict:
             "config": "var-api batched d1536 L8 H12 S2048 B16 bf16 "
                       "fb512 flash fused Adam step",
         }
+        # free the Var model's HBM before its functional twin runs:
+        # with both d1536 models + Adam states co-resident the twin
+        # measured 0.60 MFU vs its 0.81 standalone (r5) — the ratio
+        # would flatter the Var tier. The headline `mfu` (same cfg,
+        # measured first in this process) is the cross-check.
+        import gc
+
+        del params_f, opt_f, xf, tf, loss_f, fwd_f, fstep
+        gc.collect()
         try:
             dt_ff, _, _, _ = _run_config(T, cfg_f, Bf, Sf, 8)
             flag["functional_same_shape_tokens_per_sec"] = round(
@@ -318,9 +327,14 @@ def _bench_serving_matrix() -> dict:
         except Exception:  # noqa: BLE001
             traceback.print_exc()
         try:
+            # kernel="auto" (the shipped default): routes the Pallas
+            # kernel OFF inside decode windows (measured 4x slower
+            # there, see paged_window_kernel below + the r5 capacity
+            # probe) and ON for per-step decode. r4 forced "on", which
+            # hobbled the paged rows by that same factor.
             out[f"paged_B{B}_tok_s"] = drive(PagedBatcher(
                 params, cfg, n_slots=B, n_blocks=64 + 15 * B,
-                block_size=16, quant=quant, kernel="on"))
+                block_size=16, quant=quant, kernel="auto"))
         except Exception:  # noqa: BLE001
             traceback.print_exc()
     # paged-attention kernel on vs off, measured at the PROGRAM level
@@ -424,14 +438,16 @@ def _paged_kernel_ms(T, cfg, quant, B=8, BS=16, k=8, calls=32) -> dict:
     out = {"config": f"decode_many k={k} B={B} cap={cfg.max_seq} "
                      f"tables full; {calls} async windows per rep, "
                      f"median of 3"}
-    pos0 = jnp.full((B,), cfg.max_seq - k - 2, jnp.int32)
+    pos0v = cfg.max_seq - k - 2
     for kern in ("on", "off"):
         many = T.make_paged_decode_many(cfg, BS, k, quant=quant,
                                         kernel=kern)
         cache = T.init_paged_cache(cfg, NB, BS, B)
 
         def window(cache):
-            cache = dict(cache, pos=pos0)
+            # fresh pos array per call: the program donates the cache,
+            # so a shared pos buffer would be use-after-donate
+            cache = dict(cache, pos=jnp.full((B,), pos0v, jnp.int32))
             toks, cache = many(params, cache, tokens, active, table,
                                seeds, zi, zf, zi, zf, zf)
             return toks, cache
