@@ -30,7 +30,7 @@ from ._engine.node import Node
 from .config import config, enable_pallas, on_tpu, seed
 from .variable import Reduction, StatusCell, Var, VarDiff, _apply, _to_operand
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Var", "VarDiff", "Reduction", "StatusCell", "seed",

@@ -10,7 +10,7 @@ from setuptools import Extension, setup
 
 setup(
     name="neuronika_tpu",
-    version="0.4.0",
+    version="0.5.0",
     packages=["neuronika_tpu"],
     ext_modules=[
         Extension(
