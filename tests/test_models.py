@@ -1066,6 +1066,49 @@ class TestPagedBatcher:
         assert pb.preemptions > 0
         assert pb.block_stats == (0, 4)
 
+    def test_kernel_on_with_mesh_raises(self):
+        """ADVICE r4: the fused block-table kernel is a single-chip
+        Pallas program — an explicit kernel="on" combined with mesh=
+        must fail loudly at construction, not at trace time."""
+        import jax
+
+        from neuronika_tpu import parallel
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        mesh = parallel.make_mesh([("tp", 2)], devices=jax.devices()[:2])
+        with pytest.raises(ValueError, match="tp-sharded"):
+            PagedBatcher(params, cfg, n_slots=2, n_blocks=8,
+                         block_size=4, kernel="on", mesh=mesh)
+
+    def test_unsatisfiable_window_does_not_evict(self):
+        """ADVICE r4: an oversized multi-step window that cannot be
+        hosted even by preempting every peer must bail BEFORE evicting
+        anyone (the per-step fallback then serves the requests without
+        preemption). Pool: 4 usable blocks; both requests fit fully
+        (2 blocks each), but a k=16 window would need 6 blocks per
+        slot — the old code evicted a peer and then abandoned the
+        window anyway."""
+        import jax
+
+        from neuronika_tpu.serving import ContinuousBatcher, PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        prompts = [np.array([1, 2, 3, 4], np.int32),
+                   np.array([5, 6, 7, 8], np.int32)]
+        ref_b = ContinuousBatcher(params, cfg, n_slots=2)
+        r0 = [ref_b.submit(p, 4) for p in prompts]
+        ref = ref_b.run()
+        pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=5,
+                          block_size=4)
+        r1 = [pb.submit(p, 4) for p in prompts]
+        out = pb.run(multi_step=16)
+        assert pb.preemptions == 0
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(out[b], ref[a])
+
     def test_rope_gqa_sliding_window(self):
         """Positions survive paging: rope rotation, grouped-query KV
         and the sliding-window mask all key off LOGICAL positions,
