@@ -899,8 +899,10 @@ def _kernel_rooflines(peak: float) -> dict:
                                                 batch=64),
             "conv2d_56x56x256_s2": route_conv2d(2, (2, 2), (1, 1), 1,
                                                 batch=64),
-            "conv2d_28x28x512_B4": route_conv2d(2, (1, 1), (1, 1), 1,
-                                                batch=4),
+            "conv2d_28x28x512_B4": route_conv2d(
+                2, (1, 1), (1, 1), 1, batch=4, ksize=3,
+                sample_bytes=30 * 28 * 512 * 2,
+                weight_bytes=9 * 512 * 512 * 2),
             "conv1d_3136x256": route_conv2d(1, (1,), (1,), 1, batch=64),
             "conv3d_14x128": route_conv2d(3, (1, 1, 1), (1, 1, 1), 1,
                                           batch=32),

@@ -581,10 +581,20 @@ def _conv_fwd(e, kernel, inp):
         # route table decides the tier so use_pallas never pessimises; in
         # interpret mode the kernels always run (CPU test meshes exercise
         # kernel code, not perf)
-        if not interp and route_conv2d(len(stride), stride, dilation,
-                                       groups,
-                                       batch=inp.shape[0]) != "pallas":
-            return _conv_fwd_lax(e, kernel, inp)
+        if not interp:
+            route_kw = {"batch": inp.shape[0]}
+            if len(stride) == 2:
+                # kernel (Co, Ci/g, kh, kw), inp (N, Ci, H, W)
+                kh, kw = kernel.shape[2], kernel.shape[3]
+                route_kw.update(
+                    ksize=kh if kh == kw else 0,
+                    sample_bytes=(inp.shape[2] + 2) * inp.shape[3]
+                    * inp.shape[1] * inp.dtype.itemsize,
+                    weight_bytes=kernel.size * kernel.dtype.itemsize,
+                )
+            if route_conv2d(len(stride), stride, dilation, groups,
+                            **route_kw) != "pallas":
+                return _conv_fwd_lax(e, kernel, inp)
         # grouped convs route to the kernel when the per-group channel
         # slices are lane-aligned (or in interpret mode, where Mosaic's
         # tiling rules don't apply); otherwise fall through to XLA

@@ -900,6 +900,14 @@ def _bwd_call_qkv(qkv, n_head, n_kv_head, out, lse, do, scale, causal,
     B, S, W, KV, hd = _qkv_geometry(qkv, n_head, n_kv_head)
     H, G = n_head, n_head // (n_kv_head or n_head)
     bq, bk = _block_sizes(S, block_q, block_k)
+    if dropout == 0.0 and 6 * G * S * hd * qkv.dtype.itemsize > 9e6:
+        # wide-head long-S (e.g. S4096/hd256): without dropout the
+        # blocks are free to shrink (no keep-mask coupling with the
+        # forward), and the caller's bq=512 tile intermediates overflow
+        # the 16M stack on top of the whole-S q/do/o residents —
+        # measured on TPU: (512, *) fails Mosaic, (256, 256) compiles.
+        bq = _shrink_block(bq, S)
+        bk = _shrink_block(bk, S)
     # The dq pass's footprint is bk-independent (bk only tiles its inner
     # loop over whole-S k/v already in VMEM), so it always keeps the
     # caller's bk. The dkv pass holds whole-S q/do/o/lse blocks whose
@@ -1055,28 +1063,29 @@ def _flashqkv_bwd(n_head, n_kv_head, causal, scale, block_q, block_k,
         # plus two f32 (S, hd) scratches per program; with double
         # buffering the footprint grows linearly in S and blows the 16M
         # scoped-VMEM stack at S4096/hd128 (measured r4: Mosaic compile
-        # failure; S2048 fits). Oversize shapes — and dropout shapes
-        # whose forward fired the keep-mask block clamp — route to the
+        # failure; S2048 fits). Oversize no-dropout shapes route to the
         # i-BLOCKED fused kernel (same 5-pass math, q-tile loop promoted
-        # to the grid, dk/dv in scratch; it mirrors the fwd's clamp) —
-        # r4 routed these to the 7-pass split pair, which capped S4096
-        # f+b at ~7/9 of the fused number (measured 0.4433 vs 0.5652).
+        # to the grid, dk/dv in scratch) when ITS whole-S residents
+        # (k/v in, dk/dv out, two f32 scratches — ~(8·it+8)·S·hd bytes)
+        # fit the stack: S4096/hd128 bf16 measures f+b 0.5723 vs the
+        # split pair's 0.4433 (the split executes 9 MXU passes for the
+        # 7 the fused path needs). Shapes too big even for the blocked
+        # kernel (S4096/hd256, S16384/hd128 — compile-checked on TPU)
+        # keep the split pair, as do oversize dropout shapes (dropout
+        # pins the blocked kernel to the forward's (bq, bk), which
+        # does not compile at these sizes).
+        #
+        # NB dropout at est <= 12e6 is safe on the slab kernel: the
+        # forward's keep-mask clamp condition implies est > 17e6 for
+        # every dtype, so a clamped forward can never pair with the
+        # unclamped slab backward.
         G = n_head // (n_kv_head or n_head)
         est = S * hd * (qkv.dtype.itemsize * (8 * G + 8) + 8)
-        clamp_fired = dropout > 0.0 and \
-            2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) \
-            > 13e6
-        if est > 12e6:
-            # dropout pins the blocked kernel to the forward's (bq, bk),
-            # which does not compile at the shapes that land here (the
-            # bq x bk tile intermediates overflow scoped VMEM) — the
-            # split pair stays the dropout long-S path
-            bwd = (_bwd_call_qkv if dropout > 0.0
-                   else _bwd_call_qkv_fused_blocked)
-        elif clamp_fired:
-            bwd = _bwd_call_qkv_fused_blocked
-        else:
+        blocked_est = S * hd * (8 * qkv.dtype.itemsize + 8)
+        if est <= 12e6:
             bwd = _bwd_call_qkv_fused
+        elif dropout == 0.0 and blocked_est <= 14e6:
+            bwd = _bwd_call_qkv_fused_blocked
     d_qkv = bwd(qkv, n_head, n_kv_head, out, lse, do, s, causal,
                 block_q, block_k, interpret, dropout, seed)
     dseed = None if seed is None else jnp.zeros_like(seed)
@@ -1279,7 +1288,9 @@ def _bwd_call_qkv_fused_blocked(qkv, n_head, n_kv_head, out, lse, do,
         # tile-seeded keep-masks must match the forward's block sizes:
         # mirror _fwd_call_qkv's scoped-VMEM clamp under its EXACT
         # condition (clamping when the fwd didn't — or vice versa —
-        # silently corrupts dropout gradients)
+        # silently corrupts dropout gradients). The VJP router keeps
+        # oversize dropout shapes on the split pair; this path serves
+        # direct callers and the parity tests.
         if 2 * (3 * G * S * hd * qkv.dtype.itemsize + S * LSE_W * 4) \
                 > 13e6:
             bk = _shrink_block(bk, S)

@@ -253,23 +253,33 @@ ROUTE_SWEEP = "tools/sweep_r4_conv.py + r5 small-batch probe"
 
 
 def route_conv2d(nd: int, stride, dilation, groups: int,
-                 training: bool = True, batch: int = 0) -> str:
+                 training: bool = True, batch: int = 0,
+                 ksize: int = 0, sample_bytes: int = 0,
+                 weight_bytes: int = 0) -> str:
     """Per-shape tier choice for the direct conv kernels: "pallas" or
     "xla" (VERDICT r3 #2c: `config.use_pallas=True` must NEVER pessimise).
 
     The measured tables above pick the tier: the direct NHWC tap-matmul
-    kernel wins stride-1 unit-dilation ungrouped 2-d forwards at
+    kernel wins stride-1 unit-dilation ungrouped 3x3 2-d forwards at
     batch <= 4 (every probed shape, +10-22%); XLA wins everything else —
     large batch, strided/dilated/grouped shapes, conv1d/3d, and all
-    backwards. Force the direct kernels with
-    `config.pallas_conv_route = "force"` (tests, and the measurement
-    sweeps themselves, do)."""
+    backwards. The pallas branch additionally requires the kernel's VMEM
+    residents to fit: `sample_bytes` (one padded sample row-block,
+    (H+2)·W·Ci·itemsize — the kernel holds it whole at the probed sizes)
+    up to ~2 MB and `weight_bytes` up to ~6 MB, the envelope of the
+    probed winners (a 224²x256 f32 sample is 52 MB and fails Mosaic's
+    16M scoped-VMEM stack — auto must never turn a working XLA conv into
+    a compile error). Callers that don't pass sizes get XLA. Force the
+    direct kernels with `config.pallas_conv_route = "force"` (tests, and
+    the measurement sweeps themselves, do)."""
     from ...config import config, on_tpu  # this file sits in ops/pallas/
 
     if config.pallas_conv_route == "force":
         return "pallas"
     if (nd == 2 and 0 < batch <= 4 and groups == 1
             and tuple(stride) == (1, 1) and tuple(dilation) == (1, 1)
+            and ksize == 3
+            and 0 < sample_bytes <= 2e6 and 0 < weight_bytes <= 6e6
             and on_tpu()):
         # the small-batch win is a TPU measurement (and compiled Pallas
         # needs the TPU backend anyway — CPU runs stay on XLA)

@@ -1254,7 +1254,17 @@ class PagedBatcher(ContinuousBatcher):
                 # blocks; if even that cannot host the window, bail NOW so
                 # an oversized window doesn't evict peers and then abandon
                 # the reservation anyway (per-step _grow would not have
-                # evicted them).
+                # evicted them). Through the public API this is a
+                # defensive invariant rather than a reachable state:
+                # submit() gates each request's worst case to fit the
+                # pool alone and step_many caps k at the tightest
+                # remaining budget, so need <= worst <= usable =
+                # free + own + peers' blocks — i.e. reclaimable >=
+                # remaining always holds there, and the multi-slot
+                # evict-then-abandon chain cannot arise either (each
+                # later slot sees earlier slots' reservations as
+                # reclaimable). Direct _grow_many callers (tests) can
+                # still pass an uncapped k.
                 remaining = need + 1 - (shared + len(blocks))
                 reclaimable = sum(len(self._slot_blocks[s])
                                   for s in self._running if s != slot)

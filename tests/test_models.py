@@ -1083,31 +1083,40 @@ class TestPagedBatcher:
                          block_size=4, kernel="on", mesh=mesh)
 
     def test_unsatisfiable_window_does_not_evict(self):
-        """ADVICE r4: an oversized multi-step window that cannot be
-        hosted even by preempting every peer must bail BEFORE evicting
-        anyone (the per-step fallback then serves the requests without
-        preemption). Pool: 4 usable blocks; both requests fit fully
-        (2 blocks each), but a k=16 window would need 6 blocks per
-        slot — the old code evicted a peer and then abandoned the
-        window anyway."""
+        """ADVICE r4: a window reservation that cannot be hosted even
+        by preempting every peer must bail BEFORE evicting anyone.
+
+        Through the public API `step_many` caps k at the tightest
+        remaining budget and `submit` gates each request's worst case
+        to fit the pool alone, so the guard is a defensive invariant —
+        exercise it by calling `_grow_many` directly with an oversized
+        k (pool: 4 usable blocks; each slot holds 1; a k=32 window
+        needs 9 blocks for one slot, more than free 2 + the peer's 1):
+        it must return False with NO preemption and both requests still
+        running (the old code evicted the peer, then abandoned the
+        window anyway when the pool still came up short)."""
         import jax
 
-        from neuronika_tpu.serving import ContinuousBatcher, PagedBatcher
+        from neuronika_tpu.serving import PagedBatcher
 
         cfg = self._cfg()
         params = T.init_params(jax.random.key(0), cfg)
         prompts = [np.array([1, 2, 3, 4], np.int32),
                    np.array([5, 6, 7, 8], np.int32)]
-        ref_b = ContinuousBatcher(params, cfg, n_slots=2)
-        r0 = [ref_b.submit(p, 4) for p in prompts]
-        ref = ref_b.run()
         pb = PagedBatcher(params, cfg, n_slots=2, n_blocks=5,
                           block_size=4)
-        r1 = [pb.submit(p, 4) for p in prompts]
-        out = pb.run(multi_step=16)
+        rids = [pb.submit(p, 4) for p in prompts]
+        pb.step()                        # admit + prefill both
+        assert len(pb._running) == 2
+        pos_before = pb._pos.copy()
+        assert pb._grow_many(32) is False
         assert pb.preemptions == 0
-        for a, b in zip(r0, r1):
-            np.testing.assert_array_equal(out[b], ref[a])
+        assert len(pb._running) == 2     # nobody evicted
+        # positions only advance when the whole window is reserved
+        np.testing.assert_array_equal(pb._pos, pos_before)
+        out = pb.run()                   # per-step path finishes cleanly
+        assert pb.preemptions == 0
+        assert all(len(out[r]) == 4 for r in rids)
 
     def test_rope_gqa_sliding_window(self):
         """Positions survive paging: rope rotation, grouped-query KV

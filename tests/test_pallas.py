@@ -736,15 +736,32 @@ class TestConvRouting:
         # name, shadowing the module attr — fetch the module itself
         C = sys.modules["neuronika_tpu.config"]
         monkeypatch.setattr(C, "on_tpu", lambda: True)
+        # the probed winning cell: B<=4, 3x3, 28x28x512 bf16 footprints
+        cell = dict(ksize=3, sample_bytes=30 * 28 * 512 * 2,
+                    weight_bytes=9 * 512 * 512 * 2)
         for b in (1, 2, 4):
-            assert route_conv2d(2, (1, 1), (1, 1), 1, batch=b) == "pallas"
+            assert route_conv2d(2, (1, 1), (1, 1), 1, batch=b,
+                                **cell) == "pallas"
         # strided / dilated / grouped small-batch still XLA
-        assert route_conv2d(2, (2, 2), (1, 1), 1, batch=4) == "xla"
-        assert route_conv2d(2, (1, 1), (2, 2), 1, batch=4) == "xla"
-        assert route_conv2d(2, (1, 1), (1, 1), 4, batch=4) == "xla"
-        # off-TPU the same shape keeps XLA
-        monkeypatch.setattr(C, "on_tpu", lambda: False)
+        assert route_conv2d(2, (2, 2), (1, 1), 1, batch=4,
+                            **cell) == "xla"
+        assert route_conv2d(2, (1, 1), (2, 2), 1, batch=4,
+                            **cell) == "xla"
+        assert route_conv2d(2, (1, 1), (1, 1), 4, batch=4,
+                            **cell) == "xla"
+        # outside the probed envelope: big sample (224^2x256 f32),
+        # non-3x3 kernel, or missing sizes -> XLA (the route must
+        # never turn a working XLA conv into a Mosaic compile error)
+        assert route_conv2d(2, (1, 1), (1, 1), 1, batch=1, ksize=3,
+                            sample_bytes=226 * 224 * 256 * 4,
+                            weight_bytes=9 * 256 * 256 * 4) == "xla"
+        assert route_conv2d(2, (1, 1), (1, 1), 1, batch=4,
+                            **dict(cell, ksize=5)) == "xla"
         assert route_conv2d(2, (1, 1), (1, 1), 1, batch=4) == "xla"
+        # off-TPU the same winning cell keeps XLA
+        monkeypatch.setattr(C, "on_tpu", lambda: False)
+        assert route_conv2d(2, (1, 1), (1, 1), 1, batch=4,
+                            **cell) == "xla"
 
     def test_force_selects_pallas(self):
         from neuronika_tpu.config import config
