@@ -542,7 +542,8 @@ conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)
 # along any dim only contaminate positions the VALID crop discards.)
 
 
-def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False):
+def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False,
+                   stack_taps=False):
     # x_ref (1, Lpad, Ci) full sample; w_ref (k, Ci, co_b);
     # o_ref (1, bl, co_b) — or (1, co_b, bl) when out_ncw (the block
     # transposes in VMEM). MEASURED WORSE on v5e: 0.32 MFU vs 0.61 for
@@ -562,10 +563,23 @@ def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False):
     else:
         qi = pl.program_id(1)
         window = x_ref[0, pl.ds(pl.multiple_of(qi * bl, bl), span), :]
-    acc = jnp.zeros((bl, co), jnp.float32)
-    for j in range(k):
-        acc = acc + jnp.dot(window[j * d:j * d + bl, :], w_ref[j],
-                            preferred_element_type=jnp.float32)
+    if stack_taps:
+        # im2col IN VMEM: lane-concat the k shifted views into a
+        # (bl, k·Ci) patch and issue ONE dot with K = k·Ci — the deep-K
+        # GEMM regime (bench matmul measures 0.925 at K=768) instead of
+        # k shallow K=Ci passes. The patch never touches HBM; the only
+        # extra work is the VPU sublane-shift copies building it. The
+        # weight reshape (k, Ci, co) → (k·Ci, co) is a row-major view,
+        # j-major — matching the concat's column order.
+        patch = jnp.concatenate(
+            [window[j * d:j * d + bl, :] for j in range(k)], axis=1)
+        acc = jnp.dot(patch, w_ref[...].reshape(k * ci, co),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((bl, co), jnp.float32)
+        for j in range(k):
+            acc = acc + jnp.dot(window[j * d:j * d + bl, :], w_ref[j],
+                                preferred_element_type=jnp.float32)
     if out_ncw:
         o_ref[0] = acc.T.astype(o_ref.dtype)
     else:
@@ -575,11 +589,11 @@ def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False):
 @functools.partial(
     jax.jit,
     static_argnames=("dilation", "block_l", "block_co", "out_ncw",
-                     "interpret"),
+                     "stack_taps", "interpret"),
 )
 def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 0,
                    block_co: int = 256, out_ncw: bool = False,
-                   interpret: bool = False):
+                   stack_taps: bool = False, interpret: bool = False):
     """x (N, L, Ci) ⊛ w (k, Ci, Co), stride 1, VALID → (N, Lout, Co) —
     a native 1-d flat-window kernel (the r3 (1, L)-image lowering onto
     the 2-d kernel forced one whole-L row block per sample and measured
@@ -634,7 +648,7 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 0,
                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_conv1d_kernel, k=k, d=d, bl=bl,
-                          out_ncw=out_ncw),
+                          out_ncw=out_ncw, stack_taps=stack_taps),
         out_shape=out_shape,
         grid=grid,
         in_specs=[

@@ -510,6 +510,19 @@ class TestDirectConvRanks:
         assert a.shape == b.shape
         assert_close(a, b, tol=1e-5)
 
+    @pytest.mark.parametrize("d", [1, 2])
+    def test_conv1d_stacked_taps(self, d):
+        # the r5 deep-K variant: the (bl, k*Ci) patch built in VMEM and
+        # ONE K=k*Ci dot must equal the k-shallow-dot path exactly
+        from neuronika_tpu.ops.pallas.conv import _conv1d_s1_nwc
+
+        x = jnp.asarray(np.random.randn(2, 33, 8), jnp.float32)
+        w = jnp.asarray(np.random.randn(3, 8, 16), jnp.float32) * 0.1
+        a = _conv1d_s1_nwc(x, w, d, stack_taps=True, interpret=True)
+        b = _conv1d_s1_nwc(x, w, d, interpret=True)
+        assert a.shape == b.shape
+        assert_close(a, b, tol=1e-5)
+
     @pytest.mark.parametrize("d,s", [(1, 1), (2, 1), (1, 2)])
     def test_conv1d_out_ncw(self, d, s):
         # NCW-layout output produced in-kernel (VMEM block transpose)
