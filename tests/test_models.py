@@ -1118,6 +1118,60 @@ class TestPagedBatcher:
         assert pb.preemptions == 0
         assert all(len(out[r]) == 4 for r in rids)
 
+    def test_block_pool_partition_invariant(self):
+        """Allocator soundness under a randomized workload: at every
+        step, each block id 1..n_blocks-1 sits in EXACTLY one of the
+        free list, the prefix registry, or one slot's owned list — no
+        leaks, no double ownership — across admission, prefix hits,
+        chunked prefill, multi-step windows and preemption; and every
+        request still completes with its full token budget."""
+        import jax
+
+        from neuronika_tpu.serving import PagedBatcher
+
+        cfg = self._cfg()
+        params = T.init_params(jax.random.key(0), cfg)
+        pb = PagedBatcher(params, cfg, n_slots=3, n_blocks=14,
+                          block_size=4, prefill_chunk=4)
+
+        def check():
+            free = list(pb._free_blocks)
+            pref = [b for _, blocks in pb._paged_prefixes
+                    for b in np.asarray(blocks).tolist()]
+            owned = [b for bl in pb._slot_blocks.values() for b in bl]
+            ids = free + pref + owned
+            assert len(ids) == len(set(ids)), "block owned twice"
+            assert set(ids) == set(range(1, pb.n_blocks)), "block leaked"
+            # shared prefix blocks are table-only: never in owned lists
+            assert not (set(owned) & set(pref))
+
+        prefix = np.arange(1, 9, dtype=np.int32)          # 2 full blocks
+        pb.register_prefix(prefix)
+        check()
+        rng = np.random.default_rng(7)
+        want = {}
+        for _ in range(9):
+            if rng.random() < 0.4:  # prefix hit (suffix keeps it shared)
+                p = np.concatenate(
+                    [prefix, rng.integers(1, 64, 3).astype(np.int32)])
+            else:
+                p = rng.integers(1, 64, int(rng.integers(2, 9))).astype(
+                    np.int32)
+            new = int(rng.integers(2, 7))
+            want[pb.submit(p, new)] = new
+        guard = 0
+        while (pb._running or pb._queue) and guard < 300:
+            if guard % 3 == 2:
+                pb.step_many(2)
+            else:
+                pb.step()
+            check()
+            guard += 1
+        assert guard < 300, "batcher did not drain"
+        out = pb.run()
+        check()
+        assert {r: len(t) for r, t in out.items()} == want
+
     def test_rope_gqa_sliding_window(self):
         """Positions survive paging: rope rotation, grouped-query KV
         and the sliding-window mask all key off LOGICAL positions,
