@@ -904,6 +904,10 @@ def _kernel_rooflines(peak: float) -> dict:
                 sample_bytes=30 * 28 * 512 * 2,
                 weight_bytes=9 * 512 * 512 * 2),
             "conv1d_3136x256": route_conv2d(1, (1,), (1,), 1, batch=64),
+            "conv1d_3136x256_B4": route_conv2d(
+                1, (1,), (1,), 1, batch=4, ksize=3,
+                sample_bytes=3139 * 256 * 2,
+                weight_bytes=3 * 256 * 256 * 2),
             "conv3d_14x128": route_conv2d(3, (1, 1, 1), (1, 1, 1), 1,
                                           batch=32),
             "table": "ops/pallas/conv.py::route_conv2d "
@@ -974,6 +978,31 @@ def _kernel_rooflines(peak: float) -> dict:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).astype(jnp.bfloat16), x4, rtt)
         out["xla_conv2d_b4_fwd_mfu"] = round(fl4c / dt / peak, 4)
+
+        # conv1d shares the thin-batch regime (r5 probe): both tiers at
+        # B4 C256 L3136, the framework-realistic NCW layout (the pallas
+        # row pays both transposes, like ops/functional's dispatch)
+        from neuronika_tpu.ops.pallas.conv import conv1d_direct_nwc
+
+        B1d, C1d, L1d = 4, 256, 3136
+        x1 = jax.random.normal(jax.random.key(5), (B1d, C1d, L1d),
+                               jnp.bfloat16)
+        w1 = jax.random.normal(jax.random.key(6), (3, C1d, C1d),
+                               jnp.bfloat16) / (C1d * 3) ** 0.5
+        fl1 = 2 * B1d * C1d * C1d * 3 * L1d
+
+        def pal1d(x):
+            y = conv1d_direct_nwc(x.transpose(0, 2, 1), w1)
+            return jnp.pad(y.transpose(0, 2, 1), ((0, 0), (0, 0), (0, 2)))
+
+        dt = _timed_chain(pal1d, x1, rtt)
+        out["pallas_conv1d_b4_fwd_mfu"] = round(fl1 / dt / peak, 4)
+        w1t = w1.transpose(2, 1, 0)  # (Co, Ci, k)
+        dt = _timed_chain(
+            lambda x: lax.conv_general_dilated(
+                x, w1t, (1,), "SAME",
+                dimension_numbers=("NCH", "OIH", "NCH")), x1, rtt)
+        out["xla_conv1d_b4_fwd_mfu"] = round(fl1 / dt / peak, 4)
     except Exception:  # noqa: BLE001
         traceback.print_exc()
     return out

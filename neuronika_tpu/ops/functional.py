@@ -592,6 +592,15 @@ def _conv_fwd(e, kernel, inp):
                     * inp.shape[1] * inp.dtype.itemsize,
                     weight_bytes=kernel.size * kernel.dtype.itemsize,
                 )
+            elif len(stride) == 1:
+                # kernel (Co, Ci, k), inp (N, Ci, L) — the 1-d kernel
+                # holds the whole padded (L, Ci) sample per program
+                route_kw.update(
+                    ksize=kernel.shape[2],
+                    sample_bytes=(inp.shape[2] + kernel.shape[2])
+                    * inp.shape[1] * inp.dtype.itemsize,
+                    weight_bytes=kernel.size * kernel.dtype.itemsize,
+                )
             if route_conv2d(len(stride), stride, dilation, groups,
                             **route_kw) != "pallas":
                 return _conv_fwd_lax(e, kernel, inp)

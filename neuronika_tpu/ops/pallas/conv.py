@@ -243,6 +243,23 @@ def conv2d_direct_nhwc(x, w, dilation=(1, 1), stride=(1, 1), *,
 #   4·112²·64→64                       0.1815         0.1366
 #   8·28²·512→512                      0.8039         0.9769   <- xla
 #
+# conv1d has the SAME regime (r5, tools/probe_conv1d_r5.py, k3
+# C256→256 L3136 bf16; "NCW" = the framework-realistic path paying
+# both layout transposes):
+#
+#   batch    pallas NWC   pallas NCW   xla NCH
+#   1        0.6585       0.7911       0.4668
+#   2        0.7274       0.7055       0.4879
+#   4        0.7715       0.7061       0.4418
+#   8        0.7852       0.7536       0.9011   <- xla
+#   64       0.4623       —            0.7005   <- xla
+#
+# (The same probe killed the stacked-taps deep-K hypothesis: building
+# the (bl, k·Ci) patch in VMEM and issuing ONE K=k·Ci dot measures
+# 0.4571 vs 0.4623 for the k shallow dots at B64 bl784 — the shallow
+# dots were never the bottleneck. Three Mosaic lowering gaps shaped
+# the construction before it even ran; see _conv1d_kernel.)
+#
 # The crossover sits between B=4 (pallas +18%) and B=8 (xla +21%).
 # Gradients keep XLA either way: the framework's conv VJP transposes the
 # lax conv (ops/functional.py::_conv_vjp), so a pallas forward composes
@@ -259,11 +276,11 @@ def route_conv2d(nd: int, stride, dilation, groups: int,
     """Per-shape tier choice for the direct conv kernels: "pallas" or
     "xla" (VERDICT r3 #2c: `config.use_pallas=True` must NEVER pessimise).
 
-    The measured tables above pick the tier: the direct NHWC tap-matmul
-    kernel wins stride-1 unit-dilation ungrouped 3x3 2-d forwards at
-    batch <= 4 (every probed shape, +10-22%); XLA wins everything else —
-    large batch, strided/dilated/grouped shapes, conv1d/3d, and all
-    backwards. The pallas branch additionally requires the kernel's VMEM
+    The measured tables above pick the tier: the direct tap-matmul
+    kernels win stride-1 unit-dilation ungrouped k3 forwards at
+    batch <= 4, both 2-d (+10-22%) and 1-d (+45-75%); XLA wins
+    everything else — large batch, strided/dilated/grouped shapes,
+    conv3d, and all backwards. The pallas branch additionally requires the kernel's VMEM
     residents to fit: `sample_bytes` (one padded sample row-block,
     (H+2)·W·Ci·itemsize — the kernel holds it whole at the probed sizes)
     up to ~2 MB and `weight_bytes` up to ~6 MB, the envelope of the
@@ -283,6 +300,18 @@ def route_conv2d(nd: int, stride, dilation, groups: int,
             and on_tpu()):
         # the small-batch win is a TPU measurement (and compiled Pallas
         # needs the TPU backend anyway — CPU runs stay on XLA)
+        return "pallas"
+    if (nd == 1 and 0 < batch <= 4 and groups == 1
+            and tuple(stride) == (1,) and tuple(dilation) == (1,)
+            and ksize == 3
+            and 0 < sample_bytes <= 2e6 and 0 < weight_bytes <= 6e6
+            and on_tpu()):
+        # conv1d has the same thin-batch regime (r5 probe, k3 C256
+        # L3136 bf16): the NCW framework path — both transposes paid —
+        # measures 0.71-0.79 vs XLA's 0.44-0.49 at B1-B4 (+45-75%);
+        # XLA flips ahead at B8 (0.90 vs 0.75). Same VMEM envelope
+        # caps as the 2-d branch (the 1-d kernel holds the whole
+        # padded (L, Ci) sample per program).
         return "pallas"
     return "xla"
 
@@ -542,8 +571,8 @@ conv2d_pallas_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)
 # along any dim only contaminate positions the VALID crop discards.)
 
 
-def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False,
-                   stack_taps=False):
+def _conv1d_kernel(x_ref, w_ref, o_ref, *scratch, k, d, bl,
+                   out_ncw=False, stack_taps=False):
     # x_ref (1, Lpad, Ci) full sample; w_ref (k, Ci, co_b);
     # o_ref (1, bl, co_b) — or (1, co_b, bl) when out_ncw (the block
     # transposes in VMEM). MEASURED WORSE on v5e: 0.32 MFU vs 0.61 for
@@ -564,16 +593,23 @@ def _conv1d_kernel(x_ref, w_ref, o_ref, *, k, d, bl, out_ncw=False,
         qi = pl.program_id(1)
         window = x_ref[0, pl.ds(pl.multiple_of(qi * bl, bl), span), :]
     if stack_taps:
-        # im2col IN VMEM: lane-concat the k shifted views into a
-        # (bl, k·Ci) patch and issue ONE dot with K = k·Ci — the deep-K
-        # GEMM regime (bench matmul measures 0.925 at K=768) instead of
-        # k shallow K=Ci passes. The patch never touches HBM; the only
-        # extra work is the VPU sublane-shift copies building it. The
-        # weight reshape (k, Ci, co) → (k·Ci, co) is a row-major view,
-        # j-major — matching the concat's column order.
-        patch = jnp.concatenate(
-            [window[j * d:j * d + bl, :] for j in range(k)], axis=1)
-        acc = jnp.dot(patch, w_ref[...].reshape(k * ci, co),
+        # im2col IN VMEM: build the (bl, k·Ci) patch in a scratch
+        # buffer and issue ONE dot with K = k·Ci — the deep-K GEMM
+        # regime (bench matmul measures 0.925 at K=768) instead of k
+        # shallow K=Ci passes; the patch never touches HBM. The
+        # scratch store is the only construction Mosaic lowers for
+        # bf16: a vector lane-concat of the shifted tap views refuses
+        # mismatched sublane offsets on the non-concat dim, dynamic
+        # ref loads must be 8-aligned on the sublane dim, and
+        # pltpu.roll (tpu.dynamic_rotate) is unimplemented for
+        # non-32-bit data — storing each shifted view relayouts it
+        # through VMEM instead. The weight reshape (k, Ci, co) →
+        # (k·Ci, co) is a row-major view, j-major — matching the
+        # scratch's column order.
+        p_ref = scratch[0]
+        for j in range(k):
+            p_ref[:, j * ci:(j + 1) * ci] = window[j * d:j * d + bl, :]
+        acc = jnp.dot(p_ref[...], w_ref[...].reshape(k * ci, co),
                       preferred_element_type=jnp.float32)
     else:
         acc = jnp.zeros((bl, co), jnp.float32)
@@ -651,6 +687,8 @@ def _conv1d_s1_nwc(x, w, dilation=1, *, block_l: int = 0,
                           out_ncw=out_ncw, stack_taps=stack_taps),
         out_shape=out_shape,
         grid=grid,
+        scratch_shapes=([pltpu.VMEM((bl, k * Ci), x.dtype)]
+                        if stack_taps else []),
         in_specs=[
             pl.BlockSpec((1, x.shape[1], Ci), lambda n, i, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -776,6 +776,34 @@ class TestConvRouting:
         assert route_conv2d(2, (1, 1), (1, 1), 1, batch=4,
                             **cell) == "xla"
 
+    def test_auto_routes_small_batch_conv1d_to_pallas(self, monkeypatch):
+        """r5 probe: conv1d shares the thin-batch regime — the NCW
+        framework path measures 0.71-0.79 vs XLA's 0.44-0.49 at B<=4
+        (k3 C256 L3136 bf16); XLA flips ahead at B8."""
+        import sys
+
+        from neuronika_tpu.ops.pallas.conv import route_conv2d
+
+        C = sys.modules["neuronika_tpu.config"]
+        monkeypatch.setattr(C, "on_tpu", lambda: True)
+        cell = dict(ksize=3, sample_bytes=3139 * 256 * 2,
+                    weight_bytes=3 * 256 * 256 * 2)
+        for b in (1, 2, 4):
+            assert route_conv2d(1, (1,), (1,), 1, batch=b,
+                                **cell) == "pallas"
+        # B8/B64 are XLA's (measured crossover), as are dilated,
+        # grouped, non-k3, oversize-sample, and missing-size callers
+        assert route_conv2d(1, (1,), (1,), 1, batch=8, **cell) == "xla"
+        assert route_conv2d(1, (1,), (2,), 1, batch=4, **cell) == "xla"
+        assert route_conv2d(1, (1,), (1,), 2, batch=4, **cell) == "xla"
+        assert route_conv2d(1, (1,), (1,), 1, batch=4,
+                            **dict(cell, ksize=5)) == "xla"
+        assert route_conv2d(1, (1,), (1,), 1, batch=4,
+                            **dict(cell, sample_bytes=int(4e6))) == "xla"
+        assert route_conv2d(1, (1,), (1,), 1, batch=4) == "xla"
+        monkeypatch.setattr(C, "on_tpu", lambda: False)
+        assert route_conv2d(1, (1,), (1,), 1, batch=4, **cell) == "xla"
+
     def test_force_selects_pallas(self):
         from neuronika_tpu.config import config
         from neuronika_tpu.ops.pallas.conv import route_conv2d
